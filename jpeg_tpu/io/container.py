@@ -1,0 +1,347 @@
+"""Host container layer: JPEG marker walk -> ``DecodePlan``.
+
+Parity: reference ``src/jpeg/mod.rs:202-465`` (``JPEGImage::parse``): SOI/EOI,
+COM, DQT (8- and 16-bit entries), SOF0, DHT, SOS, APP0. Beyond the reference:
+- DRI / RST0-7 restart segmentation (reference panics: ``src/jpeg/mod.rs:427``)
+  — the feature that makes entropy decode parallel.
+- All APPn segments are skipped instead of panicking (``src/jpeg/mod.rs:446``).
+- Clear errors instead of panics for unsupported SOF types.
+
+The output is a *decode plan*: plain tensors (quant tables, Huffman LUTs,
+per-segment bit offsets, MCU geometry) that the oracle, the C++ runtime, and
+the device pipeline all consume. The parse itself is irregular byte work and
+stays on host by design (SURVEY.md §7 layer 1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from jpeg_tpu.entropy.tables import HuffmanTable, empty_table
+
+# Marker bytes (second byte after 0xFF).
+SOI = 0xD8
+EOI = 0xD9
+SOS = 0xDA
+DQT = 0xDB
+DRI = 0xDD
+DHT = 0xC4
+COM = 0xFE
+SOF0 = 0xC0  # baseline sequential DCT
+SOF_MIN, SOF_MAX = 0xC0, 0xCF  # SOFn family (C4=DHT, C8=JPG, CC=DAC excluded)
+RST0, RST7 = 0xD0, 0xD7
+APP0, APP15 = 0xE0, 0xEF
+
+
+class JPEGError(ValueError):
+    """Malformed or unsupported JPEG stream."""
+
+
+@dataclasses.dataclass
+class ComponentInfo:
+    """Merged frame+scan per-component config.
+
+    Parity: reference ``JPEGDecoderComponentFields``
+    (``src/jpeg/decoder.rs:39-52``) and the frame/scan component headers
+    (``src/jpeg/mod.rs:104-139``).
+    """
+
+    component_id: int
+    h: int  # horizontal sampling factor
+    v: int  # vertical sampling factor
+    quant_id: int
+    dc_id: int = -1
+    ac_id: int = -1
+
+
+@dataclasses.dataclass
+class Segment:
+    """One restart segment of the entropy-coded stream (byte-aligned)."""
+
+    byte_start: int  # offset into unstuffed scan bytes
+    byte_end: int
+    mcu_start: int
+    mcu_count: int
+
+
+@dataclasses.dataclass
+class DecodePlan:
+    """Everything device + entropy decoders need, as plain arrays.
+
+    Replaces the reference's ``JPEGImage`` mutable state
+    (``src/jpeg/mod.rs:59-87``) with an immutable struct-of-arrays plan.
+    """
+
+    width: int
+    height: int
+    components: list[ComponentInfo]
+    quant_tables: np.ndarray  # [4, 64] u16, zigzag order
+    dc_tables: list[HuffmanTable]  # 4 slots
+    ac_tables: list[HuffmanTable]  # 4 slots
+    scan_data: np.ndarray  # [n] u8 unstuffed entropy bytes (all segments)
+    segments: list[Segment]
+    restart_interval: int  # MCUs per restart segment; 0 = none
+    # Derived geometry (JPEG A.1.1, spec-correct — the reference's MCU count
+    # math at src/jpeg/decoder.rs:164-192 under-counts for 4:2:0; see SURVEY
+    # §2 quirks. We follow the spec/libjpeg.)
+    h_max: int = 1
+    v_max: int = 1
+    mcus_x: int = 0
+    mcus_y: int = 0
+    comment: str | None = None
+    jfif_version: tuple[int, int] | None = None
+    jfif_units: int | None = None
+    jfif_density: tuple[int, int] | None = None
+
+    @property
+    def n_mcus(self) -> int:
+        return self.mcus_x * self.mcus_y
+
+    @property
+    def blocks_per_mcu(self) -> int:
+        return sum(c.h * c.v for c in self.components)
+
+    @property
+    def total_blocks(self) -> int:
+        return self.n_mcus * self.blocks_per_mcu
+
+    def component_block_slots(self) -> list[tuple[int, int]]:
+        """Stream order of blocks within one MCU: (component_index, sub_index).
+
+        Interleave order per JPEG A.2.3: components in scan order, each
+        contributing v*h blocks row-major. Parity: reference MCU loop
+        ``src/jpeg/decoder.rs:195-215``.
+        """
+        slots = []
+        for ci, c in enumerate(self.components):
+            for s in range(c.h * c.v):
+                slots.append((ci, s))
+        return slots
+
+
+def _u16(data: np.ndarray, i: int) -> int:
+    """Big-endian u16 read (reference ``u8s_to_u16``, src/jpeg/mod.rs:9-13)."""
+    return (int(data[i]) << 8) | int(data[i + 1])
+
+
+def _unstuff_and_segment(data: np.ndarray, start: int):
+    """Scan entropy-coded data: strip 0xFF00 stuffing, split at RSTn markers.
+
+    Returns (unstuffed bytes, list of (seg_start, seg_end) into those bytes,
+    index one past the terminating marker start). Parity: reference byte
+    unstuffing ``src/jpeg/mod.rs:371-385``; RST handling is new (reference
+    panics on DRI and never sees RST markers).
+
+    Vectorized: find all 0xFF positions once, classify successors, then build
+    per-segment slices with the stuffed zeros dropped via np.delete.
+    """
+    buf = data[start:]
+    ff = np.flatnonzero(buf == 0xFF)
+    seg_bounds = []  # (rel_start, rel_end) raw byte ranges, per segment
+    seg_start = 0
+    end_rel = len(buf)
+    for p in ff.tolist():
+        if p + 1 >= len(buf):
+            end_rel = p
+            break
+        nxt = int(buf[p + 1])
+        if nxt == 0x00:
+            continue  # stuffed 0xFF data byte
+        if RST0 <= nxt <= RST7:
+            seg_bounds.append((seg_start, p))
+            seg_start = p + 2
+            continue
+        # Any other marker terminates the scan (EOI, next SOS, DNL, ...).
+        end_rel = p
+        break
+    else:
+        end_rel = len(buf)
+    seg_bounds.append((seg_start, end_rel))
+
+    out_chunks = []
+    out_bounds = []
+    pos = 0
+    for s, e in seg_bounds:
+        chunk = buf[s:e]
+        # Drop the 0x00 of each 0xFF00 pair inside this chunk.
+        ffs = np.flatnonzero(chunk[:-1] == 0xFF) + 1 if len(chunk) else np.array([], np.int64)
+        zeros = ffs[chunk[ffs] == 0x00] if len(ffs) else ffs
+        if len(zeros):
+            chunk = np.delete(chunk, zeros)
+        out_chunks.append(chunk)
+        out_bounds.append((pos, pos + len(chunk)))
+        pos += len(chunk)
+    unstuffed = np.concatenate(out_chunks) if out_chunks else np.zeros(0, np.uint8)
+    return unstuffed, out_bounds, start + end_rel
+
+
+def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
+    """Parse a baseline JPEG byte stream into a :class:`DecodePlan`.
+
+    Parity: reference ``JPEGImage::parse`` (``src/jpeg/mod.rs:202-465``); like
+    the reference it decodes the first scan only (single-scan baseline).
+    """
+    vec = np.frombuffer(bytes(data), dtype=np.uint8) if not isinstance(data, np.ndarray) else data
+    n = len(vec)
+    if n < 4 or vec[0] != 0xFF or vec[1] != SOI:
+        raise JPEGError("not a JPEG: missing SOI marker")
+
+    quant = np.zeros((4, 64), dtype=np.uint16)
+    dc_tables: list[HuffmanTable] = [empty_table() for _ in range(4)]
+    ac_tables: list[HuffmanTable] = [empty_table() for _ in range(4)]
+    components: list[ComponentInfo] = []
+    width = height = 0
+    restart_interval = 0
+    comment = None
+    jfif_version = jfif_units = jfif_density = None
+    scan_data = np.zeros(0, np.uint8)
+    segments: list[Segment] = []
+    got_frame = False
+
+    i = 2
+    while i < n - 1:
+        if vec[i] != 0xFF:
+            raise JPEGError(f"expected marker at {i}, got {vec[i]:#04x}")
+        marker = int(vec[i + 1])
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in (SOI, EOI) or RST0 <= marker <= RST7:
+            if marker == EOI:
+                break
+            i += 2
+            continue
+        seg_len = _u16(vec, i + 2)
+        if seg_len < 2:
+            raise JPEGError(f"bad segment length {seg_len} at {i}")
+        body = i + 4
+        body_len = seg_len - 2
+
+        if marker == COM:
+            try:
+                comment = bytes(vec[body : body + body_len]).decode("utf-8")
+            except UnicodeDecodeError:
+                comment = None
+        elif marker == DQT:
+            # JPEG B.2.4.1; parity src/jpeg/mod.rs:228-261 incl. 16-bit entries.
+            idx = body
+            while idx < body + body_len:
+                precision = (int(vec[idx]) & 0xF0) >> 4
+                ident = int(vec[idx]) & 0x0F
+                if precision == 0:
+                    quant[ident] = vec[idx + 1 : idx + 65].astype(np.uint16)
+                    idx += 65
+                elif precision == 1:
+                    raw = vec[idx + 1 : idx + 129].astype(np.uint16)
+                    quant[ident] = (raw[0::2] << 8) | raw[1::2]
+                    idx += 129
+                else:
+                    raise JPEGError(f"bad quant table precision {precision}")
+        elif marker == DHT:
+            # JPEG B.2.4.2; parity src/jpeg/mod.rs:299-335.
+            idx = body
+            while idx < body + body_len:
+                table_class = (int(vec[idx]) & 0xF0) >> 4
+                dest = int(vec[idx]) & 0x0F
+                idx += 1
+                bits = vec[idx : idx + 16]
+                idx += 16
+                count = int(bits.sum())
+                values = vec[idx : idx + count]
+                idx += count
+                table = HuffmanTable.from_bits_values(bits, values)
+                (dc_tables if table_class == 0 else ac_tables)[dest] = table
+        elif marker == DRI:
+            # JPEG B.2.4.4 — reference panics here (src/jpeg/mod.rs:424-428).
+            restart_interval = _u16(vec, body)
+        elif marker == SOF0:
+            # JPEG B.2.2; parity src/jpeg/mod.rs:262-298.
+            height = _u16(vec, body + 1)
+            width = _u16(vec, body + 3)
+            ncomp = int(vec[body + 5])
+            idx = body + 6
+            for _ in range(ncomp):
+                cid = int(vec[idx])
+                h = (int(vec[idx + 1]) & 0xF0) >> 4
+                v = int(vec[idx + 1]) & 0x0F
+                if not (1 <= h <= 4 and 1 <= v <= 4):
+                    raise JPEGError(f"bad sampling factors {h}x{v}")
+                components.append(ComponentInfo(cid, h, v, quant_id=int(vec[idx + 2])))
+                idx += 3
+            got_frame = True
+        elif SOF_MIN <= marker <= SOF_MAX and marker not in (0xC4, 0xC8, 0xCC):
+            raise JPEGError(
+                f"unsupported SOF type {marker:#04x}: only baseline sequential "
+                "DCT (SOF0) is supported (matches reference feature set)"
+            )
+        elif marker == SOS:
+            # JPEG B.2.3; parity src/jpeg/mod.rs:337-362 (without its i+=2
+            # indexing quirk — we read each component's own bytes).
+            if not got_frame:
+                raise JPEGError("SOS before SOF0")
+            ncomp_scan = int(vec[body])
+            idx = body + 1
+            for _ in range(ncomp_scan):
+                cid = int(vec[idx])
+                dc_id = (int(vec[idx + 1]) & 0xF0) >> 4
+                ac_id = int(vec[idx + 1]) & 0x0F
+                matched = [c for c in components if c.component_id == cid]
+                if not matched:
+                    raise JPEGError(f"scan component {cid} not in frame")
+                matched[0].dc_id = dc_id
+                matched[0].ac_id = ac_id
+                idx += 2
+            # spectral selection / approximation bytes (baseline: 0, 63, 0).
+            idx += 3
+            scan_data, bounds, _ = _unstuff_and_segment(vec, idx)
+            h_max = max(c.h for c in components)
+            v_max = max(c.v for c in components)
+            mcus_x = (width + 8 * h_max - 1) // (8 * h_max)
+            mcus_y = (height + 8 * v_max - 1) // (8 * v_max)
+            n_mcus = mcus_x * mcus_y
+            ri = restart_interval or n_mcus
+            segments = []
+            for k, (s, e) in enumerate(bounds):
+                mcu_start = k * ri
+                if mcu_start >= n_mcus:
+                    break
+                segments.append(
+                    Segment(s, e, mcu_start, min(ri, n_mcus - mcu_start))
+                )
+            plan = DecodePlan(
+                width=width,
+                height=height,
+                components=components,
+                quant_tables=quant,
+                dc_tables=dc_tables,
+                ac_tables=ac_tables,
+                scan_data=scan_data,
+                segments=segments,
+                restart_interval=restart_interval,
+                h_max=h_max,
+                v_max=v_max,
+                mcus_x=mcus_x,
+                mcus_y=mcus_y,
+                comment=comment,
+                jfif_version=jfif_version,
+                jfif_units=jfif_units,
+                jfif_density=jfif_density,
+            )
+            # Like the reference (src/jpeg/mod.rs:417): first scan only.
+            return plan
+        elif APP0 <= marker <= APP15:
+            if marker == APP0 and body_len >= 14:
+                # JFIF APP0 (reference parses-and-discards with absolute-
+                # offset bugs, src/jpeg/mod.rs:429-444; we parse correctly).
+                ident = bytes(vec[body : body + 5])
+                if ident == b"JFIF\x00":
+                    jfif_version = (int(vec[body + 5]), int(vec[body + 6]))
+                    jfif_units = int(vec[body + 7])
+                    jfif_density = (_u16(vec, body + 8), _u16(vec, body + 10))
+            # other APPn: skip (reference panics on APP12/APP14).
+        else:
+            raise JPEGError(f"unhandled marker 0xff{marker:02x} at {i}")
+        i = body + body_len
+    raise JPEGError("no SOS marker found (no image data)")

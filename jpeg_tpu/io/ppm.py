@@ -1,0 +1,46 @@
+"""PPM image writer/reader.
+
+Parity: reference CLI PPM P3 output (``src/main.rs:34-39``): ASCII header
+``P3\\n<w> <h>\\n255\\n`` then one ``r g b`` line per pixel. Also provides the
+binary P6 variant for large corpora (the reference only has P3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def write_ppm(path, rgb: np.ndarray, binary: bool = True) -> None:
+    """Write [H, W, 3] u8 to PPM. ``binary=False`` gives reference-identical
+    P3 text output (one pixel per line, src/main.rs:36-39)."""
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    h, w, _ = rgb.shape
+    if binary:
+        with open(path, "wb") as f:
+            f.write(f"P6\n{w} {h}\n255\n".encode())
+            f.write(rgb.tobytes())
+    else:
+        flat = rgb.reshape(-1, 3)
+        lines = [f"P3\n{w} {h}\n255\n"]
+        lines += [f"{r} {g} {b}\n" for r, g, b in flat.tolist()]
+        with open(path, "w") as f:
+            f.write("".join(lines))
+
+
+def read_ppm(path) -> np.ndarray:
+    """Read P3 or P6 PPM -> [H, W, 3] u8."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:2] == b"P6":
+        parts = data.split(maxsplit=4)
+        w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+        assert maxval == 255
+        raw = parts[4][: w * h * 3]
+        return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+    if data[:2] == b"P3":
+        tokens = data.split()
+        w, h, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
+        assert maxval == 255
+        vals = np.array([int(t) for t in tokens[4 : 4 + w * h * 3]], dtype=np.uint8)
+        return vals.reshape(h, w, 3)
+    raise ValueError("not a PPM file")

@@ -1,0 +1,174 @@
+"""The flagship model: end-to-end baseline-JPEG decode pipeline.
+
+Replaces reference ``JPEGDecoder::decode`` (``src/jpeg/decoder.rs:162-343``)
+with a two-stage TPU-native design (SURVEY.md §7):
+
+1. **Entropy stage** (host C++/NumPy or device lane-decoder): bitstream ->
+   ``[total_blocks, 64]`` int32 coefficient tensor, zigzag order, DC
+   prediction applied, MCU stream order.
+2. **Dense device stage** (one jitted function): per component, a single
+   ``[N, 64] @ [64, 64]`` MXU matmul performs dequant + unzigzag + IDCT
+   (see :mod:`jpeg_tpu.ops.idct`), then reshape/transpose assembly, chroma
+   upsample, and YCbCr->RGB — all fused by XLA.
+
+The jit cache is keyed on *geometry* only (shapes, sampling factors); the
+fused quant matrices are runtime arguments, so decoding a corpus of
+same-sized images compiles exactly once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jpeg_tpu.io.container import DecodePlan, parse_jpeg
+from jpeg_tpu.ops.color import grayscale_to_rgb, ycbcr_to_rgb
+from jpeg_tpu.ops.idct import fused_idct_matrix
+from jpeg_tpu.ops.upsample import component_plane
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineGeometry:
+    """Static shape info for one image class — the jit cache key."""
+
+    width: int
+    height: int
+    mcus_x: int
+    mcus_y: int
+    h_max: int
+    v_max: int
+    sampling: tuple[tuple[int, int], ...]  # (h, v) per component, scan order
+
+    @staticmethod
+    def of(plan: DecodePlan) -> "PipelineGeometry":
+        return PipelineGeometry(
+            width=plan.width,
+            height=plan.height,
+            mcus_x=plan.mcus_x,
+            mcus_y=plan.mcus_y,
+            h_max=plan.h_max,
+            v_max=plan.v_max,
+            sampling=tuple((c.h, c.v) for c in plan.components),
+        )
+
+    @property
+    def blocks_per_mcu(self) -> int:
+        return sum(h * v for h, v in self.sampling)
+
+    @property
+    def n_mcus(self) -> int:
+        return self.mcus_x * self.mcus_y
+
+    @property
+    def total_blocks(self) -> int:
+        return self.n_mcus * self.blocks_per_mcu
+
+    def component_gather_indices(self) -> list[np.ndarray]:
+        """Static index arrays: for each component, the rows of the stream-
+        ordered coefficient tensor belonging to it (MCU-major, sub-block
+        minor). Replaces the reference's interleave bookkeeping
+        (``src/jpeg/decoder.rs:195-215``)."""
+        bpm = self.blocks_per_mcu
+        base = np.arange(self.n_mcus, dtype=np.int32)[:, None] * bpm
+        out = []
+        offset = 0
+        for h, v in self.sampling:
+            k = h * v
+            sub = np.arange(offset, offset + k, dtype=np.int32)[None, :]
+            out.append((base + sub).reshape(-1))
+            offset += k
+        return out
+
+
+def _pipeline(coeffs, matrices, geom: PipelineGeometry, rounding: str,
+              gather_idx: tuple):
+    """coeffs [total_blocks, 64] i32/f32, matrices [ncomp, 64, 64] f32
+    -> RGB [H, W, 3] u8. Pure function of tensors; jitted via _compiled()."""
+    planes = []
+    coeffs = coeffs.astype(jnp.float32)
+    for ci, (h, v) in enumerate(geom.sampling):
+        comp_coeffs = coeffs[gather_idx[ci]]  # [n_mcu*h*v, 64]
+        # Fused dequant+unzigzag+IDCT: one MXU matmul (f32, full precision
+        # for bit-exactness vs the scalar oracle).
+        pixels = jax.lax.dot(
+            comp_coeffs,
+            matrices[ci],
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [n, 64]
+        plane = component_plane(
+            pixels.reshape(-1, 8, 8), geom.mcus_y, geom.mcus_x, v, h,
+            geom.v_max, geom.h_max, geom.height, geom.width,
+        )
+        planes.append(plane)
+    if len(planes) == 1:
+        return grayscale_to_rgb(planes[0], rounding)
+    if len(planes) == 3:
+        return ycbcr_to_rgb(planes[0], planes[1], planes[2], rounding)
+    raise ValueError(f"unsupported component count {len(planes)} "
+                     "(reference supports 1 or 3, src/jpeg/decoder.rs:317-331)")
+
+
+@lru_cache(maxsize=256)
+def _compiled(geom: PipelineGeometry, rounding: str):
+    gather_idx = tuple(jnp.asarray(g) for g in geom.component_gather_indices())
+    return jax.jit(
+        partial(_pipeline, geom=geom, rounding=rounding, gather_idx=gather_idx)
+    )
+
+
+def plan_matrices(plan: DecodePlan) -> np.ndarray:
+    """[ncomp, 64, 64] f32 fused dequant+unzigzag+IDCT matrices."""
+    return np.stack(
+        [fused_idct_matrix(plan.quant_tables[c.quant_id]) for c in plan.components]
+    )
+
+
+def decode_coefficients_host(plan: DecodePlan, engine: str = "auto") -> np.ndarray:
+    """Entropy-decode on host -> [total_blocks, 64] i32.
+
+    ``engine``: "native" (threaded C++ runtime), "oracle" (NumPy reference
+    semantics), or "auto" (native if built, else oracle).
+    """
+    if engine in ("auto", "native"):
+        try:
+            from jpeg_tpu.runtime import native_decode_coefficients
+
+            return native_decode_coefficients(plan)
+        except (ImportError, OSError):
+            if engine == "native":
+                raise
+    from jpeg_tpu.entropy.oracle import decode_coefficients
+
+    return decode_coefficients(plan)
+
+
+def decode_plan(plan: DecodePlan, rounding: str = "truncate",
+                engine: str = "auto", coefficients: np.ndarray | None = None):
+    """DecodePlan -> RGB [H, W, 3] u8 (jax array)."""
+    if coefficients is None:
+        coefficients = decode_coefficients_host(plan, engine)
+    geom = PipelineGeometry.of(plan)
+    fn = _compiled(geom, rounding)
+    return fn(jnp.asarray(coefficients), jnp.asarray(plan_matrices(plan)))
+
+
+def decode_bytes(data: bytes, rounding: str = "truncate",
+                 engine: str = "auto") -> np.ndarray:
+    """JPEG bytes -> RGB [H, W, 3] u8 numpy array.
+
+    Library-surface parity with reference ``JPEGImage::parse`` +
+    ``image_data()`` (``src/jpeg/mod.rs:202,467-477``) — but returns an
+    [H, W, 3] tensor rather than a Vec of tuples.
+    """
+    plan = parse_jpeg(data)
+    return np.asarray(decode_plan(plan, rounding=rounding, engine=engine))
+
+
+def decode_file(path, rounding: str = "truncate", engine: str = "auto") -> np.ndarray:
+    """Parity with the reference CLI input path (``src/main.rs:16-31``)."""
+    with open(path, "rb") as f:
+        return decode_bytes(f.read(), rounding=rounding, engine=engine)

@@ -1,0 +1,229 @@
+"""Baseline JPEG encoder.
+
+A capability the reference never finished (its forward DCT and zigzag are
+``#[allow(dead_code)]``, ``src/transform.rs:18-53`` /
+``src/jpeg/decoder.rs:409-421``). Needed here as a first-class component: it
+generates restart-interval test streams for the parallel entropy decoder and
+enables encode->decode property tests independent of libjpeg.
+
+Dense math (color convert, downsample, forward DCT, quantization) is
+vectorized NumPy mirroring the device pipeline's matrix formulation; the
+entropy pass is host bit-packing (irregular, stays on host by design).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from jpeg_tpu.entropy import annex_k
+from jpeg_tpu.entropy.tables import HuffmanTable
+from jpeg_tpu.ops.idct import forward_dct_matrix
+from jpeg_tpu.ops.zigzag import zigzag
+
+
+def _build_encode_maps(table: HuffmanTable):
+    """symbol -> (code, length) arrays for fast lookup."""
+    code = np.zeros(256, dtype=np.uint32)
+    length = np.zeros(256, dtype=np.uint8)
+    code[table.values] = table.codes.astype(np.uint32)
+    length[table.values] = table.lengths
+    return code, length
+
+
+class BitWriter:
+    """MSB-first bit packer with 0xFF00 byte stuffing (JPEG B.1.1.5)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        """Pad the final partial byte with 1-bits (spec F.1.2.3)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+
+
+def _magnitude(v: np.ndarray) -> np.ndarray:
+    """Bit size of |v| (0 -> 0)."""
+    out = np.zeros(v.shape, dtype=np.int32)
+    a = np.abs(v)
+    nz = a > 0
+    out[nz] = np.floor(np.log2(a[nz])).astype(np.int32) + 1
+    return out
+
+
+def _encode_block(writer: BitWriter, coeffs_zz: np.ndarray, dc_delta: int,
+                  dc_maps, ac_maps) -> None:
+    dc_code, dc_len = dc_maps
+    ac_code, ac_len = ac_maps
+    size = int(_magnitude(np.array([dc_delta]))[0])
+    writer.put(int(dc_code[size]), int(dc_len[size]))
+    if size:
+        v = dc_delta if dc_delta >= 0 else dc_delta + (1 << size) - 1
+        writer.put(v, size)
+    ac = coeffs_zz[1:]
+    nz = np.flatnonzero(ac)
+    pos = 0
+    for idx in nz.tolist():
+        run = idx - pos
+        while run >= 16:
+            writer.put(int(ac_code[0xF0]), int(ac_len[0xF0]))  # ZRL
+            run -= 16
+        v = int(ac[idx])
+        size = int(_magnitude(np.array([v]))[0])
+        sym = (run << 4) | size
+        writer.put(int(ac_code[sym]), int(ac_len[sym]))
+        writer.put(v if v >= 0 else v + (1 << size) - 1, size)
+        pos = idx + 1
+    if pos < 63:
+        writer.put(int(ac_code[0x00]), int(ac_len[0x00]))  # EOB
+
+
+def _pad_to(x: np.ndarray, rows: int, cols: int) -> np.ndarray:
+    return np.pad(x, ((0, rows - x.shape[0]), (0, cols - x.shape[1])), mode="edge")
+
+
+def _plane_to_blocks(plane: np.ndarray) -> np.ndarray:
+    """[R*8, C*8] -> [R*C, 64] natural-order blocks, row-major block order."""
+    r, c = plane.shape[0] // 8, plane.shape[1] // 8
+    return plane.reshape(r, 8, c, 8).transpose(0, 2, 1, 3).reshape(r * c, 64)
+
+
+def encode_rgb(rgb: np.ndarray, quality: int = 85,
+               subsampling: tuple[int, int] = (2, 2),
+               restart_interval_mcus: int = 0,
+               grayscale: bool = False) -> bytes:
+    """Encode [H, W, 3] u8 RGB (or [H, W] gray) to baseline JFIF bytes.
+
+    ``subsampling`` is the luma sampling factor (h, v): (1,1)=4:4:4,
+    (2,1)=4:2:2, (2,2)=4:2:0 — the same matrix the reference decodes
+    (SURVEY.md §2 feature matrix).
+    """
+    rgb = np.asarray(rgb)
+    if rgb.ndim == 2:
+        grayscale = True
+    h_s, v_s = (1, 1) if grayscale else subsampling
+
+    if grayscale:
+        y = rgb.astype(np.float32) - 128.0
+        planes = [y]
+        samplings = [(1, 1)]
+    else:
+        r = rgb[..., 0].astype(np.float32)
+        g = rgb[..., 1].astype(np.float32)
+        b = rgb[..., 2].astype(np.float32)
+        y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+        cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b
+        cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b
+        planes = [y, cb, cr]
+        samplings = [(h_s, v_s), (1, 1), (1, 1)]
+
+    height, width = planes[0].shape
+    h_max = max(s[0] for s in samplings)
+    v_max = max(s[1] for s in samplings)
+    mcus_x = -(-width // (8 * h_max))
+    mcus_y = -(-height // (8 * v_max))
+
+    q_luma = annex_k.scaled_quant_table(annex_k.QUANT_LUMA, quality)
+    q_chroma = annex_k.scaled_quant_table(annex_k.QUANT_CHROMA, quality)
+    quant_zz = [q_luma] + ([] if grayscale else [q_chroma])
+
+    fwd = forward_dct_matrix()
+    comp_blocks_zz = []  # per component: [rows, cols, 64] quantized zigzag
+    for ci, (plane, (h, v)) in enumerate(zip(planes, samplings)):
+        if (h, v) != (h_max, v_max):
+            fy, fx = v_max // v, h_max // h
+            hh = -(-plane.shape[0] // fy) * fy
+            ww = -(-plane.shape[1] // fx) * fx
+            plane = _pad_to(plane, hh, ww)
+            plane = plane.reshape(hh // fy, fy, ww // fx, fx).mean(axis=(1, 3))
+        rows, cols = mcus_y * v, mcus_x * h
+        plane = _pad_to(plane, rows * 8, cols * 8)
+        blocks = _plane_to_blocks(plane)  # [rows*cols, 64]
+        coeffs = blocks @ fwd  # forward DCT on all blocks at once
+        q = quant_zz[min(ci, len(quant_zz) - 1)].astype(np.float32)
+        zz = np.round(zigzag(coeffs) / q).astype(np.int32)
+        comp_blocks_zz.append(zz.reshape(rows, cols, 64))
+
+    dc_t = [HuffmanTable.from_bits_values(annex_k.DC_LUMA_BITS, annex_k.DC_LUMA_VALS)]
+    ac_t = [HuffmanTable.from_bits_values(annex_k.AC_LUMA_BITS, annex_k.AC_LUMA_VALS)]
+    if not grayscale:
+        dc_t.append(HuffmanTable.from_bits_values(annex_k.DC_CHROMA_BITS, annex_k.DC_CHROMA_VALS))
+        ac_t.append(HuffmanTable.from_bits_values(annex_k.AC_CHROMA_BITS, annex_k.AC_CHROMA_VALS))
+    dc_maps = [_build_encode_maps(t) for t in dc_t]
+    ac_maps = [_build_encode_maps(t) for t in ac_t]
+
+    # --- entropy-coded scan with optional restart markers ---
+    scan = bytearray()
+    writer = BitWriter()
+    prev_dc = [0] * len(planes)
+    n_mcus = mcus_x * mcus_y
+    rst = 0
+    for mi in range(n_mcus):
+        if restart_interval_mcus and mi > 0 and mi % restart_interval_mcus == 0:
+            writer.flush()
+            scan += writer.out
+            scan += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            writer = BitWriter()
+            prev_dc = [0] * len(planes)
+        my, mx = divmod(mi, mcus_x)
+        for ci, (h, v) in enumerate(samplings):
+            ti = min(ci, 1)
+            for vi in range(v):
+                for hi in range(h):
+                    blk = comp_blocks_zz[ci][my * v + vi, mx * h + hi]
+                    delta = int(blk[0]) - prev_dc[ci]
+                    prev_dc[ci] = int(blk[0])
+                    _encode_block(writer, blk, delta, dc_maps[ti], ac_maps[ti])
+    writer.flush()
+    scan += writer.out
+
+    # --- container ---
+    out = bytearray(b"\xff\xd8")  # SOI
+    # APP0 JFIF
+    app0 = b"JFIF\x00\x01\x01\x00" + (1).to_bytes(2, "big") * 2 + b"\x00\x00"
+    out += b"\xff\xe0" + (len(app0) + 2).to_bytes(2, "big") + app0
+    # DQT
+    for tid, q in enumerate(quant_zz):
+        body = bytes([tid]) + bytes(q.astype(np.uint8).tolist())
+        out += b"\xff\xdb" + (len(body) + 2).to_bytes(2, "big") + body
+    # SOF0
+    ncomp = len(planes)
+    sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big") + bytes([ncomp])
+    for ci, (h, v) in enumerate(samplings):
+        sof += bytes([ci + 1, (h << 4) | v, min(ci, 1)])
+    out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
+    # DHT
+    for cls, tables in ((0, dc_t), (1, ac_t)):
+        for tid, t in enumerate(tables):
+            body = bytes([(cls << 4) | tid]) + bytes(t.bits.tolist()) + bytes(t.values.tolist())
+            out += b"\xff\xc4" + (len(body) + 2).to_bytes(2, "big") + body
+    # DRI
+    if restart_interval_mcus:
+        out += b"\xff\xdd\x00\x04" + restart_interval_mcus.to_bytes(2, "big")
+    # SOS
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        ti = min(ci, 1)
+        sos += bytes([ci + 1, (ti << 4) | ti])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

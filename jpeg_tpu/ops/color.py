@@ -1,0 +1,85 @@
+"""Colorspace conversion and sample quantization, as fused elementwise ops.
+
+Parity: reference ``y_cb_cr_to_rgb`` + ``f32_to_u8``
+(``src/jpeg/decoder.rs:382-402``) and the grayscale replicate path
+(``src/jpeg/decoder.rs:317-324``). The reference derives G from the already
+computed R and B; algebraically that IS the standard JFIF inverse of
+Y = 0.299R + 0.587G + 0.114B — so a single matrix covers both modes, and the
+only behavioral difference is final rounding:
+
+- ``rounding="truncate"``: Rust ``as u8`` truncation after clamping (bit-exact
+  reference compatibility).
+- ``rounding="round"``: round-half-away like libjpeg (higher PSNR vs PIL).
+
+These run inside the jitted decode pipeline; XLA fuses them with the
+surrounding reshapes so they are HBM-bandwidth-bound, not launch-bound.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+C_RED = 0.299
+C_GREEN = 0.587
+C_BLUE = 0.114
+
+
+def ycbcr_to_rgb_matrix(dtype=np.float32) -> np.ndarray:
+    """[3, 3] M with rgb = M @ (y, cb, cr) for *centered* (un-level-shifted)
+    planes; add 128 afterwards. Mirrors the reference's exact algebra:
+    r = (2-2*cr_w)*cr + y; b = (2-2*cb_w)*cb + y; g = (y - cb_w*b - cr_w*r)/g_w.
+    """
+    r_cr = 2.0 - 2.0 * C_RED
+    b_cb = 2.0 - 2.0 * C_BLUE
+    # g = (y - C_BLUE*b - C_RED*r)/C_GREEN with r, b substituted:
+    g_y = (1.0 - C_BLUE - C_RED) / C_GREEN
+    g_cb = -C_BLUE * b_cb / C_GREEN
+    g_cr = -C_RED * r_cr / C_GREEN
+    m = np.array(
+        [
+            [1.0, 0.0, r_cr],
+            [g_y, g_cb, g_cr],
+            [1.0, b_cb, 0.0],
+        ],
+        dtype=np.float64,
+    )
+    return m.astype(dtype)
+
+
+def quantize_u8(x: jnp.ndarray, rounding: str = "truncate") -> jnp.ndarray:
+    """Clamp to [0, 255] and convert to uint8.
+
+    ``truncate`` reproduces reference ``f32_to_u8``
+    (``src/jpeg/decoder.rs:382-390``): guard <0 / >255 then Rust ``as u8``
+    (toward-zero truncation). ``round`` is round-half-away (libjpeg-like).
+    """
+    if rounding == "round":
+        x = jnp.floor(x + 0.5)
+    x = jnp.clip(x, 0.0, 255.0)
+    return x.astype(jnp.uint8)
+
+
+def ycbcr_to_rgb(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray,
+                 rounding: str = "truncate") -> jnp.ndarray:
+    """Centered planes [H, W] -> RGB [H, W, 3] u8.
+
+    Follows the reference's exact operation order
+    (``src/jpeg/decoder.rs:392-402``): compute r, b, derive g from them, then
+    +128 level shift, then clamp/convert — so float rounding matches bit-exact
+    in compat mode.
+    """
+    r = cr * np.float32(2.0 - 2.0 * C_RED) + y
+    b = cb * np.float32(2.0 - 2.0 * C_BLUE) + y
+    g = (y - np.float32(C_BLUE) * b - np.float32(C_RED) * r) / np.float32(C_GREEN)
+    rgb = jnp.stack([r + 128.0, g + 128.0, b + 128.0], axis=-1)
+    return quantize_u8(rgb, rounding)
+
+
+def grayscale_to_rgb(y: jnp.ndarray, rounding: str = "truncate") -> jnp.ndarray:
+    """Centered gray plane [H, W] -> replicated RGB [H, W, 3] u8.
+
+    Parity: reference grayscale path (``src/jpeg/decoder.rs:317-324``).
+    """
+    u = quantize_u8(y + 128.0, rounding)
+    return jnp.stack([u, u, u], axis=-1)

@@ -1,0 +1,56 @@
+"""Plane assembly and chroma upsampling as pure reshape/transpose/repeat.
+
+Parity: reference block placement + pixel-replication upsample
+(``src/jpeg/decoder.rs:259-312`` ``get_indices`` block reorder and
+``fill_block_in_array`` ``src/jpeg/decoder.rs:347-379``). The reference walks
+blocks one scalar write at a time with a quirky index remap (and known OOB
+bugs, SURVEY.md §2); here the MCU-interleaved block stream maps onto the
+component plane with a single reshape/transpose, and 2x upsampling is
+``jnp.repeat`` — all statically-shaped, fusible XLA ops.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def assemble_plane(blocks: jnp.ndarray, mcus_y: int, mcus_x: int,
+                   v: int, h: int) -> jnp.ndarray:
+    """[n_mcu * v * h, 8, 8] blocks in MCU stream order -> plane
+    [mcus_y*v*8, mcus_x*h*8].
+
+    Stream order (JPEG A.2.3): MCUs row-major; within an MCU a component's
+    v*h blocks are row-major (top-to-bottom, left-to-right) — the order the
+    reference reads them in its sampling-rep loop
+    (``src/jpeg/decoder.rs:200-213``).
+    """
+    x = blocks.reshape(mcus_y, mcus_x, v, h, 8, 8)
+    x = x.transpose(0, 2, 4, 1, 3, 5)  # [mcus_y, v, 8, mcus_x, h, 8]
+    return x.reshape(mcus_y * v * 8, mcus_x * h * 8)
+
+
+def upsample_replicate(plane: jnp.ndarray, fy: int, fx: int) -> jnp.ndarray:
+    """Pixel-replication upsample by integer factors.
+
+    Parity: reference x-repeat ``src/jpeg/decoder.rs:355-356`` and y-repeat
+    ``src/jpeg/decoder.rs:370-374`` (which replicate each chroma sample
+    fx x fy times).
+    """
+    if fy > 1:
+        plane = jnp.repeat(plane, fy, axis=0)
+    if fx > 1:
+        plane = jnp.repeat(plane, fx, axis=1)
+    return plane
+
+
+def component_plane(blocks: jnp.ndarray, mcus_y: int, mcus_x: int,
+                    v: int, h: int, v_max: int, h_max: int,
+                    height: int, width: int) -> jnp.ndarray:
+    """Full per-component path: assemble, upsample to full resolution, crop.
+
+    Replaces reference decode() step 2 placement
+    (``src/jpeg/decoder.rs:238-312``) including the JPEG A.1.1 sampling math.
+    """
+    plane = assemble_plane(blocks, mcus_y, mcus_x, v, h)
+    plane = upsample_replicate(plane, v_max // v, h_max // h)
+    return plane[:height, :width]

@@ -1,0 +1,45 @@
+"""Zigzag permutation constants and helpers.
+
+Parity: reference ``src/jpeg/decoder.rs:404-437`` (``ZIGZAG_INDICES``,
+``zigzag``, ``zigzag_inverse``). Here the permutation is a constant index
+tensor used either as a gather or folded into the fused IDCT matrix
+(:mod:`jpeg_tpu.ops.idct`); no per-block scalar loop exists anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ZIGZAG_INDICES[j] = natural (row-major) index of the j-th coefficient in
+# zigzag scan order. Identical table to reference src/jpeg/decoder.rs:404-407.
+ZIGZAG_INDICES = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int32,
+)
+
+# INVERSE: NATURAL_TO_ZIGZAG[k] = position in zigzag order of natural index k.
+NATURAL_TO_ZIGZAG = np.argsort(ZIGZAG_INDICES).astype(np.int32)
+
+
+def unzigzag(block_zz: np.ndarray) -> np.ndarray:
+    """[..., 64] zigzag-order -> natural (row-major) order."""
+    out = np.empty_like(block_zz)
+    out[..., ZIGZAG_INDICES] = block_zz
+    return out
+
+
+def zigzag(block_nat: np.ndarray) -> np.ndarray:
+    """[..., 64] natural order -> zigzag order."""
+    return block_nat[..., ZIGZAG_INDICES]
+
+
+def permutation_matrix() -> np.ndarray:
+    """P such that ``natural = zigzag_vec @ P`` (P[j, ZIGZAG_INDICES[j]] = 1)."""
+    p = np.zeros((64, 64), dtype=np.float32)
+    p[np.arange(64), ZIGZAG_INDICES] = 1.0
+    return p

@@ -1,0 +1,98 @@
+"""Container/marker parser tests over the reference corpus.
+
+Expected per-image facts verified independently in SURVEY.md §2 (C10).
+"""
+
+import numpy as np
+import pytest
+
+from jpeg_tpu.io.container import JPEGError, parse_jpeg
+
+
+def test_huff_simple0(corpus):
+    plan = parse_jpeg(corpus["huff_simple0"])
+    assert (plan.width, plan.height) == (16, 8)
+    assert len(plan.components) == 3
+    assert all((c.h, c.v) == (1, 1) for c in plan.components)
+    assert plan.h_max == plan.v_max == 1
+    assert (plan.mcus_x, plan.mcus_y) == (2, 1)
+    assert plan.blocks_per_mcu == 3
+    assert plan.total_blocks == 6
+    assert len(plan.segments) == 1
+    assert plan.restart_interval == 0
+
+
+def test_lena_bw(corpus):
+    plan = parse_jpeg(corpus["lena-bw"])
+    assert (plan.width, plan.height) == (512, 512)
+    assert len(plan.components) == 1
+    assert (plan.mcus_x, plan.mcus_y) == (64, 64)
+    assert plan.total_blocks == 64 * 64
+
+
+def test_lena_422(corpus):
+    plan = parse_jpeg(corpus["lena"])
+    assert (plan.width, plan.height) == (512, 512)
+    assert [(c.h, c.v) for c in plan.components] == [(2, 1), (1, 1), (1, 1)]
+    assert (plan.h_max, plan.v_max) == (2, 1)
+    assert (plan.mcus_x, plan.mcus_y) == (32, 64)
+    assert plan.blocks_per_mcu == 4
+
+
+def test_2x2_chroma(corpus):
+    plan = parse_jpeg(corpus["2x2-chroma"])
+    assert (plan.width, plan.height) == (750, 595)
+    assert [(c.h, c.v) for c in plan.components] == [(2, 2), (1, 1), (1, 1)]
+    # Spec-correct MCU geometry (the reference under-counts here; SURVEY §2).
+    assert (plan.mcus_x, plan.mcus_y) == (47, 38)
+    assert plan.blocks_per_mcu == 6
+
+
+def test_tables_registered(corpus):
+    plan = parse_jpeg(corpus["lena"])
+    for c in plan.components:
+        assert plan.dc_tables[c.dc_id].values.size > 0
+        assert plan.ac_tables[c.ac_id].values.size > 0
+        assert plan.quant_tables[c.quant_id].max() > 0
+
+
+def test_not_a_jpeg():
+    with pytest.raises(JPEGError):
+        parse_jpeg(b"\x89PNG\r\n\x1a\n" + b"\x00" * 100)
+
+
+def test_truncated_stream(corpus):
+    with pytest.raises(JPEGError):
+        parse_jpeg(corpus["lena"][:20])
+
+
+def test_progressive_rejected_cleanly(corpus):
+    # Flip SOF0 (0xC0) to progressive (0xC2) in a copy of the stream.
+    data = bytearray(corpus["lena-bw"])
+    idx = bytes(data).find(b"\xff\xc0")
+    assert idx > 0
+    data[idx + 1] = 0xC2
+    with pytest.raises(JPEGError, match="SOF"):
+        parse_jpeg(bytes(data))
+
+
+def test_unstuffing_synthetic():
+    from jpeg_tpu.io.container import _unstuff_and_segment
+
+    # Entropy data: FF(stuffed) 12, FF(stuffed) 00(real data), then RST0
+    # splitting segments, then AB CD, terminated by EOI.
+    raw = np.array(
+        [0xFF, 0x00, 0x12, 0xFF, 0x00, 0x00, 0xFF, 0xD0, 0xAB, 0xCD, 0xFF, 0xD9],
+        dtype=np.uint8,
+    )
+    data, bounds, end = _unstuff_and_segment(raw, 0)
+    assert data.tolist() == [0xFF, 0x12, 0xFF, 0x00, 0xAB, 0xCD]
+    assert bounds == [(0, 4), (4, 6)]
+    assert raw[end:].tolist() == [0xFF, 0xD9]
+
+
+def test_unstuffing_counts(corpus):
+    plan = parse_jpeg(corpus["lena"])
+    # Every 0xFF in the unstuffed entropy stream was a stuffed data byte;
+    # total length shrinks by exactly the number of FF00 pairs in the raw scan.
+    assert plan.scan_data.size > 0
