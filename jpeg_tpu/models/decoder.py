@@ -67,31 +67,44 @@ class PipelineGeometry:
     def total_blocks(self) -> int:
         return self.n_mcus * self.blocks_per_mcu
 
-    def component_gather_indices(self) -> list[np.ndarray]:
-        """Static index arrays: for each component, the rows of the stream-
-        ordered coefficient tensor belonging to it (MCU-major, sub-block
-        minor). Replaces the reference's interleave bookkeeping
+    def component_slot_ranges(self) -> list[tuple[int, int]]:
+        """Per component: (offset, count) of its block slots within one MCU.
+
+        The MCU-interleaved stream (JPEG A.2.3) keeps each component's v*h
+        blocks contiguous inside the MCU, so de-interleaving is a reshape to
+        [n_mcu, blocks_per_mcu, 64] plus a static slice — no gather. Replaces
+        the reference's interleave bookkeeping
         (``src/jpeg/decoder.rs:195-215``)."""
-        bpm = self.blocks_per_mcu
-        base = np.arange(self.n_mcus, dtype=np.int32)[:, None] * bpm
         out = []
         offset = 0
         for h, v in self.sampling:
-            k = h * v
-            sub = np.arange(offset, offset + k, dtype=np.int32)[None, :]
-            out.append((base + sub).reshape(-1))
-            offset += k
+            out.append((offset, h * v))
+            offset += h * v
         return out
+
+    def component_gather_indices(self) -> list[np.ndarray]:
+        """Flat stream-row indices per component (used by host-side code and
+        tests; the device pipeline uses :meth:`component_slot_ranges`)."""
+        bpm = self.blocks_per_mcu
+        base = np.arange(self.n_mcus, dtype=np.int32)[:, None] * bpm
+        return [
+            (base + np.arange(off, off + k, dtype=np.int32)[None, :]).reshape(-1)
+            for off, k in self.component_slot_ranges()
+        ]
 
 
 def _pipeline(coeffs, matrices, geom: PipelineGeometry, rounding: str,
-              gather_idx: tuple):
+              gather_idx: tuple = ()):
     """coeffs [total_blocks, 64] i32/f32, matrices [ncomp, 64, 64] f32
     -> RGB [H, W, 3] u8. Pure function of tensors; jitted via _compiled()."""
+    del gather_idx  # de-interleave is a reshape+slice, no gather needed
     planes = []
     coeffs = coeffs.astype(jnp.float32)
-    for ci, (h, v) in enumerate(geom.sampling):
-        comp_coeffs = coeffs[gather_idx[ci]]  # [n_mcu*h*v, 64]
+    mcu_view = coeffs.reshape(geom.n_mcus, geom.blocks_per_mcu, 64)
+    for ci, ((h, v), (off, k)) in enumerate(
+        zip(geom.sampling, geom.component_slot_ranges())
+    ):
+        comp_coeffs = mcu_view[:, off : off + k].reshape(-1, 64)  # [n_mcu*h*v, 64]
         # Fused dequant+unzigzag+IDCT: one MXU matmul (f32, full precision
         # for bit-exactness vs the scalar oracle).
         pixels = jax.lax.dot(
@@ -114,10 +127,7 @@ def _pipeline(coeffs, matrices, geom: PipelineGeometry, rounding: str,
 
 @lru_cache(maxsize=256)
 def _compiled(geom: PipelineGeometry, rounding: str):
-    gather_idx = tuple(jnp.asarray(g) for g in geom.component_gather_indices())
-    return jax.jit(
-        partial(_pipeline, geom=geom, rounding=rounding, gather_idx=gather_idx)
-    )
+    return jax.jit(partial(_pipeline, geom=geom, rounding=rounding))
 
 
 def plan_matrices(plan: DecodePlan) -> np.ndarray:

@@ -1,0 +1,117 @@
+"""Sharded batch decode: the scale-out decode step.
+
+Design (SURVEY.md §5 "long-context" mapping): a batch of same-geometry images
+is the common production case (e.g. a 10k-image 4K corpus). Coefficients are
+sharded over the ``data`` mesh axis; each device runs the fused
+dequant+IDCT+assembly+color pipeline on its shard; the only cross-device
+traffic is a ``psum`` of per-device metrics (frames, blocks, bytes) — decode
+itself needs no collectives, which is what makes >=80%% scaling achievable.
+
+Within-image segment parallelism (``seg`` axis) lives in
+:mod:`jpeg_tpu.entropy.device_decode`; the combination is exercised by
+``__graft_entry__.dryrun_multichip``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+try:
+    from jax import shard_map  # jax >= 0.7
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from jpeg_tpu.models.decoder import PipelineGeometry, _pipeline
+
+
+def _batched_pipeline(coeffs, matrices, geom: PipelineGeometry, rounding: str):
+    """[B, total_blocks, 64] x [B, ncomp, 64, 64] -> [B, H, W, 3] u8."""
+    fn = partial(_pipeline, geom=geom, rounding=rounding)
+    return jax.vmap(fn)(coeffs, matrices)
+
+
+@lru_cache(maxsize=64)
+def _compiled_batch(geom: PipelineGeometry, rounding: str, mesh: Mesh | None):
+    def step(coeffs, matrices):
+        rgb = _batched_pipeline(coeffs, matrices, geom, rounding)
+        return rgb
+
+    if mesh is None:
+        return jax.jit(step)
+
+    in_shard = NamedSharding(mesh, P("data"))
+    out_shard = NamedSharding(mesh, P("data"))
+    return jax.jit(step, in_shardings=(in_shard, in_shard), out_shardings=out_shard)
+
+
+def decode_batch(coeffs, matrices, geom: PipelineGeometry,
+                 rounding: str = "truncate", mesh: Mesh | None = None):
+    """Decode a same-geometry batch, optionally sharded over ``mesh``'s data
+    axis. coeffs [B, total_blocks, 64] i32; matrices [B, ncomp, 64, 64] f32."""
+    fn = _compiled_batch(geom, rounding, mesh)
+    return fn(jnp.asarray(coeffs), jnp.asarray(matrices))
+
+
+def decode_batch_with_metrics(coeffs, matrices, geom: PipelineGeometry,
+                              mesh: Mesh, rounding: str = "truncate"):
+    """shard_map variant that also psums per-device metrics over the mesh —
+    the collective pattern multi-host runs use for frames/s accounting
+    (SURVEY.md §5 distributed backend mapping)."""
+    def shard_step(coeffs_s, matrices_s):
+        rgb = _batched_pipeline(coeffs_s, matrices_s, geom, rounding)
+        frames = jax.lax.psum(
+            jnp.asarray(coeffs_s.shape[0], jnp.int32), axis_name="data")
+        blocks = jax.lax.psum(
+            jnp.asarray(coeffs_s.shape[0] * geom.total_blocks, jnp.int32),
+            axis_name="data")
+        return rgb, frames, blocks
+
+    fn = shard_map(
+        shard_step,
+        mesh=mesh,
+        in_specs=(P("data"), P("data")),
+        out_specs=(P("data"), P(), P()),
+    )
+    return jax.jit(fn)(jnp.asarray(coeffs), jnp.asarray(matrices))
+
+
+def decode_batch_rows_sp(coeffs, matrices, geom: PipelineGeometry, mesh: Mesh,
+                         rounding: str = "truncate"):
+    """Batch decode sharded over BOTH mesh axes: images over ``data`` and MCU
+    rows of each image over ``seg`` (the sequence-parallel analogue from the
+    north star: "shard MCU rows / images across chips").
+
+    JPEG MCU rows are independent in pixel space — chroma upsampling never
+    crosses an MCU-row boundary — so each seg shard decodes a horizontal band
+    with a *local* pipeline geometry and the output stays row-sharded; the
+    only collective is the metrics psum. Requires ``mcus_y %% n_seg == 0`` and
+    no partial bottom MCU row (pad images otherwise).
+    """
+    n_seg = mesh.shape["seg"]
+    if geom.mcus_y % n_seg or geom.height != geom.mcus_y * 8 * geom.v_max:
+        raise ValueError(
+            f"row sharding needs mcus_y ({geom.mcus_y}) divisible by n_seg "
+            f"({n_seg}) and full MCU rows (height {geom.height})"
+        )
+    local = dataclasses.replace(
+        geom, mcus_y=geom.mcus_y // n_seg, height=geom.height // n_seg
+    )
+    def shard_step(coeffs_s, matrices_s):
+        rgb = _batched_pipeline(coeffs_s, matrices_s, local, rounding)
+        frames = jax.lax.psum(
+            jnp.asarray(coeffs_s.shape[0], jnp.int32), axis_name="data")
+        return rgb, frames
+
+    fn = shard_map(
+        shard_step,
+        mesh=mesh,
+        # coeffs stream order is MCU-row-major, so an even split of the block
+        # axis over "seg" is exactly an MCU-row-band split.
+        in_specs=(P("data", "seg"), P("data")),
+        out_specs=(P("data", "seg"), P()),
+    )
+    return jax.jit(fn)(jnp.asarray(coeffs), jnp.asarray(matrices))

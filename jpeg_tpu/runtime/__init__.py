@@ -1,0 +1,129 @@
+"""Native runtime bindings: threaded C++ entropy decode via ctypes.
+
+The runtime role the reference fills with Rust (``src/jpeg/huffman.rs``)
+implemented as a C++ shared library (see ``native/jpegtpu.cpp``), built on
+first use with g++ and bound with ctypes (no pybind11 in this image). Falls
+back cleanly: importers catch ImportError/OSError and use the NumPy oracle.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "build", "libjpegtpu.so")
+
+_lib = None
+
+
+class NativeDecodeError(RuntimeError):
+    """Entropy decode failed (invalid Huffman prefix) in a segment."""
+
+    def __init__(self, segment: int):
+        super().__init__(
+            f"native entropy decode failed in restart segment {segment} "
+            "(invalid Huffman prefix; reference panics here, "
+            "src/jpeg/huffman.rs:151-156)"
+        )
+        self.segment = segment
+
+
+def _build() -> None:
+    src = os.path.join(_NATIVE_DIR, "jpegtpu.cpp")
+    if os.path.exists(_SO_PATH) and os.path.getmtime(_SO_PATH) >= os.path.getmtime(src):
+        return
+    subprocess.run(
+        ["make", "-s", "-C", _NATIVE_DIR, "build/libjpegtpu.so"],
+        check=True,
+        capture_output=True,
+    )
+
+
+def _load() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    _build()
+    lib = ctypes.CDLL(_SO_PATH)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.jt_decode_scan.restype = ctypes.c_int64
+    lib.jt_decode_scan.argtypes = [
+        u8p, ctypes.c_int64,  # data, n_bytes
+        i64p, i64p, i64p, i64p, ctypes.c_int64,  # seg arrays, n_segs
+        u8p, ctypes.c_int32,  # slot_comp, blocks_per_mcu
+        u8p, u8p, ctypes.c_int32,  # comp dc/ac ids, n_comp
+        u8p, u8p, u8p, u8p,  # dc/ac LUTs
+        i32p, ctypes.c_int32,  # out, n_threads
+    ]
+    lib.jt_unstuff_scan.restype = ctypes.c_int64
+    lib.jt_unstuff_scan.argtypes = [
+        u8p, ctypes.c_int64, u8p, i64p, i64p, i64p, ctypes.c_int64, i64p,
+    ]
+    _lib = lib
+    return lib
+
+
+def _p(arr: np.ndarray, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def native_available() -> bool:
+    try:
+        _load()
+        return True
+    except (OSError, subprocess.CalledProcessError):
+        return False
+
+
+def native_decode_coefficients(plan, n_threads: int | None = None) -> np.ndarray:
+    """Threaded LUT entropy decode -> [total_blocks, 64] int32.
+
+    Output contract identical to :func:`jpeg_tpu.entropy.oracle.
+    decode_coefficients` (equivalence-tested); restart segments decode in
+    parallel across ``n_threads`` (default: cpu count).
+    """
+    lib = _load()
+    if n_threads is None:
+        n_threads = os.cpu_count() or 1
+
+    data = np.ascontiguousarray(plan.scan_data, dtype=np.uint8)
+    seg_start = np.array([s.byte_start for s in plan.segments], dtype=np.int64)
+    seg_end = np.array([s.byte_end for s in plan.segments], dtype=np.int64)
+    seg_mcu_start = np.array([s.mcu_start for s in plan.segments], dtype=np.int64)
+    seg_mcu_count = np.array([s.mcu_count for s in plan.segments], dtype=np.int64)
+    slot_comp = np.array(
+        [ci for ci, _ in plan.component_block_slots()], dtype=np.uint8
+    )
+    comp_dc = np.array([c.dc_id for c in plan.components], dtype=np.uint8)
+    comp_ac = np.array([c.ac_id for c in plan.components], dtype=np.uint8)
+    dc_val = np.ascontiguousarray(
+        np.stack([t.lut_value for t in plan.dc_tables]))
+    dc_len = np.ascontiguousarray(
+        np.stack([t.lut_length for t in plan.dc_tables]))
+    ac_val = np.ascontiguousarray(
+        np.stack([t.lut_value for t in plan.ac_tables]))
+    ac_len = np.ascontiguousarray(
+        np.stack([t.lut_length for t in plan.ac_tables]))
+
+    out = np.zeros((plan.total_blocks, 64), dtype=np.int32)
+    err = lib.jt_decode_scan(
+        _p(data, ctypes.c_uint8), data.size,
+        _p(seg_start, ctypes.c_int64), _p(seg_end, ctypes.c_int64),
+        _p(seg_mcu_start, ctypes.c_int64), _p(seg_mcu_count, ctypes.c_int64),
+        len(plan.segments),
+        _p(slot_comp, ctypes.c_uint8), plan.blocks_per_mcu,
+        _p(comp_dc, ctypes.c_uint8), _p(comp_ac, ctypes.c_uint8),
+        len(plan.components),
+        _p(dc_val, ctypes.c_uint8), _p(dc_len, ctypes.c_uint8),
+        _p(ac_val, ctypes.c_uint8), _p(ac_len, ctypes.c_uint8),
+        _p(out, ctypes.c_int32), n_threads,
+    )
+    if err >= 0:
+        raise NativeDecodeError(int(err))
+    return out

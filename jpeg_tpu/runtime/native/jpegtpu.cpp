@@ -1,0 +1,243 @@
+// jpeg_tpu native runtime: threaded LUT-based entropy decode + scan utilities.
+//
+// TPU-native replacement for the runtime role the reference implements in
+// Rust (HuffmanDecoder, src/jpeg/huffman.rs:109-268, and the MCU interleave
+// loop, src/jpeg/decoder.rs:195-215): the irregular, bit-granular work stays
+// on host but becomes O(1)-per-symbol via flat 16-bit LUTs and parallel
+// across restart segments via a thread pool. The dense coefficient->pixel
+// math lives on the TPU (jpeg_tpu.ops); this library only produces the
+// [total_blocks, 64] coefficient tensor the device pipeline consumes.
+//
+// Build: see build.py / Makefile (g++ -O3 -shared). C ABI, driven via ctypes.
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr int kLutBits = 16;
+
+// 64-bit sliding-window MSB-first bit reader.
+// Contract parity: reference HuffmanDecoder (src/jpeg/huffman.rs:124-254)
+// including the 0xAA fill byte past end-of-segment.
+struct BitReader {
+  const uint8_t* p;
+  const uint8_t* end;
+  uint64_t buf = 0;
+  int n = 0;  // valid low bits in buf
+
+  BitReader(const uint8_t* data, int64_t len) : p(data), end(data + len) {}
+
+  inline void fill() {
+    while (n <= 56) {
+      uint64_t b = (p < end) ? *p : 0xAA;
+      ++p;
+      buf = (buf << 8) | b;
+      n += 8;
+    }
+  }
+  inline uint32_t peek16() {
+    if (n < 16) fill();
+    return (uint32_t)((buf >> (n - 16)) & 0xFFFF);
+  }
+  inline void consume(int k) { n -= k; }
+  inline uint32_t read(int k) {
+    if (k == 0) return 0;
+    if (n < k) fill();
+    uint32_t v = (uint32_t)((buf >> (n - k)) & ((1u << k) - 1));
+    n -= k;
+    return v;
+  }
+};
+
+// JPEG Table F.2 sign extension (reference src/jpeg/huffman.rs:256-268).
+inline int32_t value_correction(uint32_t v, int nbits) {
+  if (nbits == 0) return 0;
+  int32_t base = 1 << (nbits - 1);
+  int32_t val = (int32_t)v;
+  return (val < base) ? val - 2 * base + 1 : val;
+}
+
+struct Tables {
+  const uint8_t* dc_val;  // [4][65536]
+  const uint8_t* dc_len;
+  const uint8_t* ac_val;
+  const uint8_t* ac_len;
+};
+
+// Decode one 64-coef block in zigzag order (DC as raw delta).
+// Contract parity: reference next_block (src/jpeg/huffman.rs:146-195).
+// Returns 0 ok, 1 invalid DC prefix, 2 invalid AC prefix.
+inline int next_block(BitReader& br, const uint8_t* dc_val,
+                      const uint8_t* dc_len, const uint8_t* ac_val,
+                      const uint8_t* ac_len, int32_t* out) {
+  std::memset(out, 0, 64 * sizeof(int32_t));
+  uint32_t peek = br.peek16();
+  int len = dc_len[peek];
+  if (len == 0) return 1;
+  br.consume(len);
+  int nbits = dc_val[peek];
+  out[0] = value_correction(br.read(nbits), nbits);
+  int k = 1;
+  while (k < 64) {
+    peek = br.peek16();
+    len = ac_len[peek];
+    if (len == 0) return 2;
+    br.consume(len);
+    int sym = ac_val[peek];
+    if (sym == 0x00) break;  // EOB
+    if (sym == 0xF0) {       // ZRL, capped at block end
+      k += (64 - k < 16) ? (64 - k) : 16;
+      continue;
+    }
+    int run = (sym >> 4) & 0xF;
+    int size = sym & 0xF;
+    int32_t v = value_correction(br.read(size), size);
+    int cap = 64 - k - 1;
+    k += (run < cap) ? run : cap;
+    out[k++] = v;
+  }
+  return 0;
+}
+
+struct ScanJob {
+  const uint8_t* data;
+  const int64_t* seg_start;
+  const int64_t* seg_end;
+  const int64_t* seg_mcu_start;
+  const int64_t* seg_mcu_count;
+  int64_t n_segs;
+  const uint8_t* slot_comp;  // [blocks_per_mcu] component index per slot
+  int32_t blocks_per_mcu;
+  const uint8_t* comp_dc_id;  // [n_comp]
+  const uint8_t* comp_ac_id;
+  int32_t n_comp;
+  Tables tables;
+  int32_t* out;  // [total_blocks * 64]
+};
+
+// Decode segments [lo, hi). Each restart segment is independent: byte-aligned
+// start, DC predictors reset (JPEG F.2.1.3.1) — this is what makes host
+// entropy decode parallel (the reference is strictly sequential).
+void decode_segments(const ScanJob& job, int64_t lo, int64_t hi,
+                     std::atomic<int64_t>* first_error) {
+  const int64_t lut = (int64_t)1 << kLutBits;
+  for (int64_t s = lo; s < hi; ++s) {
+    BitReader br(job.data + job.seg_start[s],
+                 job.seg_end[s] - job.seg_start[s]);
+    int32_t prev_dc[4] = {0, 0, 0, 0};
+    int64_t block_i = job.seg_mcu_start[s] * job.blocks_per_mcu;
+    for (int64_t m = 0; m < job.seg_mcu_count[s]; ++m) {
+      for (int32_t slot = 0; slot < job.blocks_per_mcu; ++slot) {
+        int comp = job.slot_comp[slot];
+        const uint8_t* dc_val = job.tables.dc_val + job.comp_dc_id[comp] * lut;
+        const uint8_t* dc_len = job.tables.dc_len + job.comp_dc_id[comp] * lut;
+        const uint8_t* ac_val = job.tables.ac_val + job.comp_ac_id[comp] * lut;
+        const uint8_t* ac_len = job.tables.ac_len + job.comp_ac_id[comp] * lut;
+        int32_t* out = job.out + block_i * 64;
+        int err = next_block(br, dc_val, dc_len, ac_val, ac_len, out);
+        if (err) {
+          int64_t expect = -1;
+          first_error->compare_exchange_strong(expect, s);
+          return;  // abandon this segment; others unaffected
+        }
+        out[0] += prev_dc[comp];
+        prev_dc[comp] = out[0];
+        ++block_i;
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns -1 on success, else the index of the first failed segment.
+int64_t jt_decode_scan(const uint8_t* data, int64_t /*n_bytes*/,
+                       const int64_t* seg_start, const int64_t* seg_end,
+                       const int64_t* seg_mcu_start,
+                       const int64_t* seg_mcu_count, int64_t n_segs,
+                       const uint8_t* slot_comp, int32_t blocks_per_mcu,
+                       const uint8_t* comp_dc_id, const uint8_t* comp_ac_id,
+                       int32_t n_comp, const uint8_t* dc_lut_val,
+                       const uint8_t* dc_lut_len, const uint8_t* ac_lut_val,
+                       const uint8_t* ac_lut_len, int32_t* out,
+                       int32_t n_threads) {
+  ScanJob job{data,     seg_start, seg_end,    seg_mcu_start,
+              seg_mcu_count, n_segs,    slot_comp,  blocks_per_mcu,
+              comp_dc_id,    comp_ac_id, n_comp,
+              Tables{dc_lut_val, dc_lut_len, ac_lut_val, ac_lut_len},
+              out};
+  std::atomic<int64_t> first_error(-1);
+  if (n_threads <= 1 || n_segs <= 1) {
+    decode_segments(job, 0, n_segs, &first_error);
+    return first_error.load();
+  }
+  int nt = (int)std::min<int64_t>(n_threads, n_segs);
+  std::vector<std::thread> threads;
+  threads.reserve(nt);
+  // Contiguous partition: segments of one image have similar cost.
+  for (int t = 0; t < nt; ++t) {
+    int64_t lo = n_segs * t / nt;
+    int64_t hi = n_segs * (t + 1) / nt;
+    threads.emplace_back(decode_segments, std::cref(job), lo, hi, &first_error);
+  }
+  for (auto& th : threads) th.join();
+  return first_error.load();
+}
+
+// Byte-unstuffing + restart-segment scan in one pass.
+// Parity: reference unstuff loop (src/jpeg/mod.rs:371-385) + the RST
+// handling it lacks. Writes unstuffed bytes to `out` (same size or smaller
+// than input), segment bounds to seg_start/seg_end (capacity max_segs).
+// Returns number of segments, or -(position+1) on unexpected marker... 0
+// segments means empty scan. `consumed` gets the raw length scanned
+// (up to but excluding the terminating marker).
+int64_t jt_unstuff_scan(const uint8_t* data, int64_t n, uint8_t* out,
+                        int64_t* out_len, int64_t* seg_start,
+                        int64_t* seg_end, int64_t max_segs,
+                        int64_t* consumed) {
+  int64_t o = 0;
+  int64_t n_segs = 0;
+  int64_t cur_start = 0;
+  int64_t i = 0;
+  for (; i < n; ++i) {
+    uint8_t b = data[i];
+    if (b != 0xFF) {
+      out[o++] = b;
+      continue;
+    }
+    if (i + 1 >= n) break;
+    uint8_t nxt = data[i + 1];
+    if (nxt == 0x00) {  // stuffed data byte
+      out[o++] = 0xFF;
+      ++i;
+      continue;
+    }
+    if (nxt >= 0xD0 && nxt <= 0xD7) {  // RSTn: close segment
+      if (n_segs < max_segs) {
+        seg_start[n_segs] = cur_start;
+        seg_end[n_segs] = o;
+        ++n_segs;
+      }
+      cur_start = o;
+      ++i;
+      continue;
+    }
+    break;  // real marker terminates the scan
+  }
+  if (n_segs < max_segs) {
+    seg_start[n_segs] = cur_start;
+    seg_end[n_segs] = o;
+    ++n_segs;
+  }
+  *out_len = o;
+  *consumed = i;
+  return n_segs;
+}
+
+}  // extern "C"

@@ -1,0 +1,77 @@
+"""Encoder tests: spec conformance via PIL and decode round-trips."""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from conftest import psnr
+from jpeg_tpu.io.container import parse_jpeg
+from jpeg_tpu.models.decoder import decode_bytes
+from jpeg_tpu.models.encoder import encode_rgb
+
+
+def _test_image(h=64, w=96, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.stack(
+        [
+            128 + 90 * np.sin(xx / 9.0) * np.cos(yy / 7.0),
+            128 + 90 * np.cos(xx / 13.0),
+            128 + 90 * np.sin(yy / 11.0),
+        ],
+        axis=-1,
+    )
+    img += rng.normal(0, 3, img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("sub", [(1, 1), (2, 1), (2, 2)])
+def test_pil_can_decode_our_streams(sub):
+    """Our encoder output must be a conformant baseline JPEG: libjpeg decodes
+    it and the pixels match the source."""
+    img = _test_image()
+    data = encode_rgb(img, quality=92, subsampling=sub)
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert pil.shape == img.shape
+    assert psnr(pil, img) > 30.0
+
+
+@pytest.mark.parametrize("sub", [(1, 1), (2, 1), (2, 2)])
+@pytest.mark.parametrize("ri", [0, 2])
+def test_roundtrip_through_our_decoder(sub, ri):
+    img = _test_image()
+    data = encode_rgb(img, quality=92, subsampling=sub, restart_interval_mcus=ri)
+    dec = decode_bytes(data, rounding="round", engine="oracle")
+    assert psnr(dec, img) > 30.0
+
+
+def test_restart_interval_structure():
+    img = _test_image(48, 48)
+    data = encode_rgb(img, quality=85, subsampling=(2, 2), restart_interval_mcus=1)
+    plan = parse_jpeg(data)
+    # 48x48 with 4:2:0 -> 3x3 = 9 MCUs -> 9 segments of 1 MCU.
+    assert plan.restart_interval == 1
+    assert len(plan.segments) == 9
+    assert all(s.mcu_count == 1 for s in plan.segments)
+    # PIL agrees on the pixels despite restart markers.
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert psnr(pil, img) > 30.0
+
+
+def test_grayscale_roundtrip():
+    img = _test_image()[..., 0]
+    data = encode_rgb(img, quality=92)
+    dec = decode_bytes(data, rounding="round", engine="oracle")
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert psnr(dec, pil) > 45.0
+
+
+def test_odd_dimensions():
+    """Non-multiple-of-MCU sizes must pad on encode and crop on decode."""
+    img = _test_image(37, 53)
+    data = encode_rgb(img, quality=92, subsampling=(2, 2))
+    dec = decode_bytes(data, rounding="round", engine="oracle")
+    assert dec.shape == (37, 53, 3)
+    assert psnr(dec, img) > 28.0

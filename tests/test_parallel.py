@@ -1,0 +1,96 @@
+"""Sharded batch decode tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from jpeg_tpu.io.container import parse_jpeg
+from jpeg_tpu.models.decoder import (
+    PipelineGeometry,
+    decode_bytes,
+    decode_coefficients_host,
+    plan_matrices,
+)
+from jpeg_tpu.parallel.batch import (
+    decode_batch,
+    decode_batch_rows_sp,
+    decode_batch_with_metrics,
+)
+from jpeg_tpu.parallel.mesh import make_mesh
+
+
+@pytest.fixture(scope="module")
+def lena_batch(corpus=None):
+    data = open("/root/reference/lena.jpeg", "rb").read()
+    plan = parse_jpeg(data)
+    coeffs = decode_coefficients_host(plan)
+    geom = PipelineGeometry.of(plan)
+    B = 8
+    cb = np.broadcast_to(coeffs, (B,) + coeffs.shape).copy()
+    mb = np.broadcast_to(plan_matrices(plan), (B, 3, 64, 64)).copy()
+    single = decode_bytes(data)
+    return geom, cb, mb, np.asarray(single)
+
+
+def test_mesh_shape():
+    mesh = make_mesh(n_data=4, n_seg=2)
+    assert mesh.shape == {"data": 4, "seg": 2}
+
+
+def test_batch_matches_single(lena_batch):
+    geom, cb, mb, single = lena_batch
+    out = np.asarray(decode_batch(cb, mb, geom))
+    assert out.shape[0] == 8
+    for i in range(8):
+        np.testing.assert_array_equal(out[i], single)
+
+
+def test_batch_sharded_matches_single(lena_batch):
+    geom, cb, mb, single = lena_batch
+    mesh = make_mesh(n_data=8, n_seg=1)
+    out = np.asarray(decode_batch(cb, mb, geom, mesh=mesh))
+    for i in range(8):
+        np.testing.assert_array_equal(out[i], single)
+
+
+def test_batch_metrics_psum(lena_batch):
+    geom, cb, mb, single = lena_batch
+    mesh = make_mesh(n_data=8, n_seg=1)
+    out, frames, blocks = decode_batch_with_metrics(cb, mb, geom, mesh)
+    assert int(frames) == 8
+    assert int(blocks) == 8 * geom.total_blocks
+    np.testing.assert_array_equal(np.asarray(out)[3], single)
+
+
+def test_rows_sp_matches_single(lena_batch):
+    """Images over data axis AND MCU rows over seg axis."""
+    geom, cb, mb, single = lena_batch
+    mesh = make_mesh(n_data=4, n_seg=2)
+    out, frames = decode_batch_rows_sp(cb[:4], mb[:4], geom, mesh)
+    assert int(frames) == 4
+    out = np.asarray(out)
+    for i in range(4):
+        np.testing.assert_array_equal(out[i], single)
+
+
+def test_rows_sp_rejects_bad_geometry(lena_batch):
+    geom, cb, mb, _ = lena_batch
+    mesh = make_mesh(n_data=2, n_seg=4)
+    import dataclasses
+
+    bad = dataclasses.replace(geom, mcus_y=geom.mcus_y - 1)
+    with pytest.raises(ValueError, match="row sharding"):
+        decode_batch_rows_sp(cb[:2], mb[:2], bad, mesh)
+
+
+def test_graft_entry_dryrun():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (128, 128, 3)
+    ge.dryrun_multichip(8)
