@@ -1,0 +1,222 @@
+"""Device-side parallel entropy decode: one lane per restart segment.
+
+The reference's entropy decode is strictly sequential — one global bit cursor
+(``src/jpeg/huffman.rs:231-254``) and cross-scan DC prediction
+(``src/jpeg/decoder.rs:207-210``). Restart markers break both chains (JPEG
+F.2.1.3.1): every segment starts byte-aligned with DC predictors reset. This
+module exploits that the TPU-native way (SURVEY.md §7 layer 4, after
+"Accelerating JPEG Decompression on GPUs", arXiv 2111.09219): all segments
+decode *in lockstep*, one Huffman symbol per lane per step, vectorized over
+[S]-shaped state — no data-dependent Python control flow, static shapes,
+everything on device.
+
+Loop structure (chosen for TPU lowering — vector scatters with data-dependent
+indices are pathologically slow on TPU, measured ~1000x worse than
+elementwise; see project memory):
+
+  fori over MCUs
+    static Python unroll over the MCU's block slots  (component/table ids
+      become compile-time constants -> LUT row index is static)
+      while any lane still inside this block: decode ONE symbol per lane
+        - peek16: three [S] byte gathers (fast path)
+        - symbol: one [S] gather from the slot's static LUT row
+        - coefficient write: one-hot(pos) accumulate into a [S, 64] block
+          accumulator (pure elementwise)
+      flush accumulator into out[:, mcu*bpm+slot] via dynamic_update_slice
+      (scalar index -> fast path)
+
+Economics: cost scales with max symbols per segment, so this path wins for
+restart-dense streams (restart_interval ~ 1-16 MCUs, thousands of lanes) and
+batches; for sparse streams the threaded C++ host decoder
+(:mod:`jpeg_tpu.runtime`) wins. ``choose_engine`` picks per plan.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jpeg_tpu.io.container import DecodePlan
+
+# Combined LUT layout: row t = table, t in [0..3] DC, [4..7] AC.
+# Entry packs (value << 8) | code_length; length 0 = invalid prefix.
+
+
+def packed_luts(plan: DecodePlan) -> np.ndarray:
+    """[8, 65536] int32 packed (value<<8)|length for DC0-3, AC0-3."""
+    rows = []
+    for t in list(plan.dc_tables) + list(plan.ac_tables):
+        rows.append(
+            (t.lut_value.astype(np.int32) << 8) | t.lut_length.astype(np.int32)
+        )
+    return np.stack(rows)
+
+
+@lru_cache(maxsize=64)
+def _compiled_kernel(n_comp: int, max_mcus: int,
+                     slot_comp: tuple, slot_dc: tuple, slot_ac: tuple):
+    """Build the jitted lockstep decoder for a (geometry, table-binding)
+    class. slot_* are static per-MCU-slot component/table ids, so all LUT row
+    selections below are compile-time."""
+    bpm = len(slot_comp)
+    blocks_per_seg = max_mcus * bpm
+    # Termination backstop for corrupt streams: a block never needs more than
+    # 1 DC + 63 AC symbols + 1 EOB.
+    max_block_steps = 65
+
+    def kernel(data_u32, luts, bit_start, bit_end, n_blocks_seg):
+        """data_u32: [n_bytes] i32 (0xAA-padded tail); luts: [8, 65536] i32;
+        bit_start/bit_end/n_blocks_seg: [S] i32. Returns (coeffs
+        [S, blocks_per_seg, 64] i32 zigzag, DC-predicted; error [S] bool)."""
+        S = bit_start.shape[0]
+        n_data = data_u32.shape[0]
+        pos_iota = jax.lax.broadcasted_iota(jnp.int32, (S, 64), 1)
+
+        def peek16(cursor):
+            byte_i = jnp.clip(cursor >> 3, 0, n_data - 3)
+            b0 = data_u32[byte_i]
+            b1 = data_u32[byte_i + 1]
+            b2 = data_u32[byte_i + 2]
+            w = (b0 << 16) | (b1 << 8) | b2  # 24 bits
+            return (w >> (8 - (cursor & 7))) & 0xFFFF
+
+        def sign_extend(v, n):
+            base = jnp.where(n > 0, 1 << jnp.maximum(n - 1, 0), 0)
+            return jnp.where((n > 0) & (v < base), v - 2 * base + 1, v)
+
+        def decode_block(cursor, err, active, lut_dc, lut_ac):
+            """Lockstep-decode one block on all active lanes.
+
+            Returns (block [S, 64] with raw DC delta at 0, cursor, err).
+            """
+            acc = jnp.zeros((S, 64), jnp.int32)
+            # coef: 0 = expect DC, 1..63 next AC position, >=64 done.
+            state = dict(
+                cursor=cursor, err=err, coef=jnp.zeros((S,), jnp.int32),
+                acc=acc, step=jnp.int32(0),
+            )
+
+            def cond(st):
+                busy = active & ~st["err"] & (st["coef"] < 64)
+                return (st["step"] < max_block_steps) & jnp.any(busy)
+
+            def body(st):
+                busy = active & ~st["err"] & (st["coef"] < 64)
+                is_dc = st["coef"] == 0
+                peek = peek16(st["cursor"])
+                e_dc = lut_dc[peek]
+                e_ac = lut_ac[peek]
+                entry = jnp.where(is_dc, e_dc, e_ac)
+                length = entry & 0xFF
+                sym = (entry >> 8) & 0xFF
+                bad = busy & (length == 0)
+                cur1 = st["cursor"] + length
+
+                is_eob = (~is_dc) & (sym == 0x00)
+                is_zrl = (~is_dc) & (sym == 0xF0)
+                run = (sym >> 4) & 0xF
+                size = jnp.where(is_dc, sym, sym & 0xF)
+                nbits = jnp.where(is_eob | is_zrl, 0, size)
+                raw = jnp.where(nbits > 0, peek16(cur1) >> (16 - nbits), 0)
+                val = sign_extend(raw, nbits)
+                cur2 = cur1 + nbits
+
+                run_cap = jnp.minimum(run, 64 - st["coef"] - 1)
+                pos = jnp.where(is_dc, 0, st["coef"] + run_cap)
+                coef_next = jnp.where(
+                    is_dc, 1,
+                    jnp.where(
+                        is_eob, 64,
+                        jnp.where(is_zrl, jnp.minimum(st["coef"] + 16, 64),
+                                  pos + 1)))
+                do_write = busy & ~bad & ~is_eob & ~is_zrl
+                # One-hot coefficient write: pure elementwise, no scatter.
+                acc = st["acc"] + jnp.where(
+                    do_write[:, None] & (pos_iota == pos[:, None]),
+                    val[:, None], 0)
+                return dict(
+                    cursor=jnp.where(busy & ~bad, cur2, st["cursor"]),
+                    err=st["err"] | bad,
+                    coef=jnp.where(busy & ~bad, coef_next, st["coef"]),
+                    acc=acc,
+                    step=st["step"] + 1,
+                )
+
+            st = jax.lax.while_loop(cond, body, state)
+            # A lane that exhausted the step budget mid-block is corrupt.
+            err2 = st["err"] | (active & (st["coef"] < 64) & ~st["err"] & (
+                st["step"] >= max_block_steps))
+            return st["acc"], st["cursor"], err2
+
+        def mcu_body(m, carry):
+            cursor, err, prev_dc, out = carry
+            base = m * bpm
+            for slot in range(bpm):
+                comp = slot_comp[slot]
+                lut_dc = luts[slot_dc[slot]]
+                lut_ac = luts[4 + slot_ac[slot]]
+                active = ~err & (base + slot < n_blocks_seg)
+                block, cursor, err = decode_block(
+                    cursor, err, active, lut_dc, lut_ac)
+                dc = jnp.where(active, block[:, 0] + prev_dc[comp], prev_dc[comp])
+                prev_dc = tuple(
+                    dc if c == comp else prev_dc[c] for c in range(n_comp)
+                )
+                block = block.at[:, 0].set(jnp.where(active, dc, 0))
+                block = jnp.where(active[:, None], block, 0)
+                out = jax.lax.dynamic_update_slice(
+                    out, block[:, None, :], (0, base + slot, 0))
+            return cursor, err, prev_dc, out
+
+        out = jnp.zeros((S, blocks_per_seg, 64), jnp.int32)
+        prev_dc = tuple(jnp.zeros((S,), jnp.int32) for _ in range(n_comp))
+        cursor = bit_start
+        err = jnp.zeros((S,), bool)
+        cursor, err, prev_dc, out = jax.lax.fori_loop(
+            0, max_mcus, mcu_body, (cursor, err, prev_dc, out))
+        # Cursor overrun check: a well-formed segment never reads more than a
+        # whole padding byte past its end.
+        err = err | (cursor > bit_end + 8)
+        return out, err
+
+    return jax.jit(kernel)
+
+
+def decode_coefficients_device(plan: DecodePlan, luts=None):
+    """Entropy-decode the scan on the TPU -> ([total_blocks, 64] i32, err [S]).
+
+    Output contract identical to the oracle/C++ decoders (zigzag order, DC
+    prediction applied, MCU stream order). Segments must be uniform
+    (``restart_interval`` MCUs each, last possibly short) — guaranteed by
+    :func:`jpeg_tpu.io.container.parse_jpeg`.
+    """
+    segs = plan.segments
+    S = len(segs)
+    bpm = plan.blocks_per_mcu
+    max_mcus = max(s.mcu_count for s in segs)
+    slots = plan.component_block_slots()
+    slot_comp = tuple(ci for ci, _ in slots)
+    slot_dc = tuple(plan.components[ci].dc_id for ci, _ in slots)
+    slot_ac = tuple(plan.components[ci].ac_id for ci, _ in slots)
+
+    kernel = _compiled_kernel(
+        len(plan.components), max_mcus, slot_comp, slot_dc, slot_ac)
+    data = np.concatenate([plan.scan_data, np.full(4, 0xAA, np.uint8)])
+    luts_arr = jnp.asarray(packed_luts(plan)) if luts is None else luts
+    out, err = kernel(
+        jnp.asarray(data.astype(np.int32)),
+        luts_arr,
+        jnp.asarray(np.array([s.byte_start * 8 for s in segs], np.int32)),
+        jnp.asarray(np.array([s.byte_end * 8 for s in segs], np.int32)),
+        jnp.asarray(np.array([s.mcu_count * bpm for s in segs], np.int32)),
+    )
+    coeffs = out.reshape(S * max_mcus * bpm, 64)[: plan.total_blocks]
+    return coeffs, err
+
+
+def device_path_profitable(plan: DecodePlan, min_segments: int = 512) -> bool:
+    """Heuristic: lane-parallel decode needs enough lanes to beat the host."""
+    return len(plan.segments) >= min_segments

@@ -18,6 +18,7 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
 _SO_PATH = os.path.join(_NATIVE_DIR, "build", "libjpegtpu.so")
 
 _lib = None
+_out_buffers: dict = {}  # (total_blocks,) -> reusable int32 output buffer
 
 
 class NativeDecodeError(RuntimeError):
@@ -52,13 +53,14 @@ def _load() -> ctypes.CDLL:
     u8p = ctypes.POINTER(ctypes.c_uint8)
     i64p = ctypes.POINTER(ctypes.c_int64)
     i32p = ctypes.POINTER(ctypes.c_int32)
+    u16p = ctypes.POINTER(ctypes.c_uint16)
     lib.jt_decode_scan.restype = ctypes.c_int64
     lib.jt_decode_scan.argtypes = [
         u8p, ctypes.c_int64,  # data, n_bytes
         i64p, i64p, i64p, i64p, ctypes.c_int64,  # seg arrays, n_segs
         u8p, ctypes.c_int32,  # slot_comp, blocks_per_mcu
         u8p, u8p, ctypes.c_int32,  # comp dc/ac ids, n_comp
-        u8p, u8p, u8p, u8p,  # dc/ac LUTs
+        u16p, u16p,  # packed dc/ac LUTs (value<<8|length)
         i32p, ctypes.c_int32,  # out, n_threads
     ]
     lib.jt_unstuff_scan.restype = ctypes.c_int64
@@ -81,12 +83,17 @@ def native_available() -> bool:
         return False
 
 
-def native_decode_coefficients(plan, n_threads: int | None = None) -> np.ndarray:
+def native_decode_coefficients(plan, n_threads: int | None = None,
+                               reuse_buffer: bool = True) -> np.ndarray:
     """Threaded LUT entropy decode -> [total_blocks, 64] int32.
 
     Output contract identical to :func:`jpeg_tpu.entropy.oracle.
     decode_coefficients` (equivalence-tested); restart segments decode in
     parallel across ``n_threads`` (default: cpu count).
+
+    With ``reuse_buffer`` (default) the returned array is a shared scratch
+    buffer, overwritten by the next same-geometry call — consume or copy it
+    before then. Pass ``reuse_buffer=False`` for a private array.
     """
     lib = _load()
     if n_threads is None:
@@ -102,16 +109,27 @@ def native_decode_coefficients(plan, n_threads: int | None = None) -> np.ndarray
     )
     comp_dc = np.array([c.dc_id for c in plan.components], dtype=np.uint8)
     comp_ac = np.array([c.ac_id for c in plan.components], dtype=np.uint8)
-    dc_val = np.ascontiguousarray(
-        np.stack([t.lut_value for t in plan.dc_tables]))
-    dc_len = np.ascontiguousarray(
-        np.stack([t.lut_length for t in plan.dc_tables]))
-    ac_val = np.ascontiguousarray(
-        np.stack([t.lut_value for t in plan.ac_tables]))
-    ac_len = np.ascontiguousarray(
-        np.stack([t.lut_length for t in plan.ac_tables]))
+    # Packed (value<<8)|length LUTs, cached on the plan across calls.
+    cached = getattr(plan, "_native_luts", None)
+    if cached is None:
+        dc_luts = np.ascontiguousarray(np.stack(
+            [(t.lut_value.astype(np.uint16) << 8) | t.lut_length
+             for t in plan.dc_tables]))
+        ac_luts = np.ascontiguousarray(np.stack(
+            [(t.lut_value.astype(np.uint16) << 8) | t.lut_length
+             for t in plan.ac_tables]))
+        cached = (dc_luts, ac_luts)
+        plan._native_luts = cached
+    dc_luts, ac_luts = cached
 
-    out = np.zeros((plan.total_blocks, 64), dtype=np.int32)
+    # Reuse the output buffer: fresh np.zeros every call costs ~50MB of
+    # first-touch page faults inside the decode loop (measured ~2x slowdown
+    # on 4K frames). The C++ side zeroes each block as it decodes.
+    out = _out_buffers.get(plan.total_blocks)
+    if out is None or reuse_buffer is False:
+        out = np.empty((plan.total_blocks, 64), dtype=np.int32)
+        if reuse_buffer:
+            _out_buffers[plan.total_blocks] = out
     err = lib.jt_decode_scan(
         _p(data, ctypes.c_uint8), data.size,
         _p(seg_start, ctypes.c_int64), _p(seg_end, ctypes.c_int64),
@@ -120,8 +138,7 @@ def native_decode_coefficients(plan, n_threads: int | None = None) -> np.ndarray
         _p(slot_comp, ctypes.c_uint8), plan.blocks_per_mcu,
         _p(comp_dc, ctypes.c_uint8), _p(comp_ac, ctypes.c_uint8),
         len(plan.components),
-        _p(dc_val, ctypes.c_uint8), _p(dc_len, ctypes.c_uint8),
-        _p(ac_val, ctypes.c_uint8), _p(ac_len, ctypes.c_uint8),
+        _p(dc_luts, ctypes.c_uint16), _p(ac_luts, ctypes.c_uint16),
         _p(out, ctypes.c_int32), n_threads,
     )
     if err >= 0:

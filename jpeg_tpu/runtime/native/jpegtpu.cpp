@@ -8,6 +8,12 @@
 // math lives on the TPU (jpeg_tpu.ops); this library only produces the
 // [total_blocks, 64] coefficient tensor the device pipeline consumes.
 //
+// Hot-loop design: 64-bit left-aligned bit buffer with branch-predicted
+// 8-byte bswap refill (libjpeg-turbo style), one packed (value<<8|length)
+// uint16 LUT load per symbol. Tail reads past end-of-segment supply 0xAA
+// fill bytes — bit-exact parity with the reference's padding
+// (src/jpeg/huffman.rs:240-250).
+//
 // Build: see build.py / Makefile (g++ -O3 -shared). C ABI, driven via ctypes.
 
 #include <atomic>
@@ -19,36 +25,49 @@
 namespace {
 
 constexpr int kLutBits = 16;
+constexpr int64_t kLutSize = (int64_t)1 << kLutBits;
 
-// 64-bit sliding-window MSB-first bit reader.
-// Contract parity: reference HuffmanDecoder (src/jpeg/huffman.rs:124-254)
-// including the 0xAA fill byte past end-of-segment.
+// Left-aligned 64-bit bit reader: top `count` bits of `bits` are valid.
 struct BitReader {
   const uint8_t* p;
   const uint8_t* end;
-  uint64_t buf = 0;
-  int n = 0;  // valid low bits in buf
+  uint64_t bits = 0;
+  int count = 0;
 
   BitReader(const uint8_t* data, int64_t len) : p(data), end(data + len) {}
 
-  inline void fill() {
-    while (n <= 56) {
-      uint64_t b = (p < end) ? *p : 0xAA;
-      ++p;
-      buf = (buf << 8) | b;
-      n += 8;
+  inline void refill() {
+    if (__builtin_expect(p + 8 <= end, 1)) {
+      uint64_t w;
+      std::memcpy(&w, p, 8);
+      w = __builtin_bswap64(w);
+      bits |= w >> count;
+      int bytes = (63 - count) >> 3;
+      p += bytes;
+      count += bytes << 3;
+    } else {
+      while (count <= 56) {
+        uint64_t b = (p < end) ? *p : 0xAA;  // reference 0xAA tail fill
+        ++p;
+        bits |= b << (56 - count);
+        count += 8;
+      }
     }
   }
   inline uint32_t peek16() {
-    if (n < 16) fill();
-    return (uint32_t)((buf >> (n - 16)) & 0xFFFF);
+    if (count < 16) refill();
+    return (uint32_t)(bits >> 48);
   }
-  inline void consume(int k) { n -= k; }
-  inline uint32_t read(int k) {
-    if (k == 0) return 0;
-    if (n < k) fill();
-    uint32_t v = (uint32_t)((buf >> (n - k)) & ((1u << k) - 1));
-    n -= k;
+  inline void consume(int n) {
+    bits <<= n;
+    count -= n;
+  }
+  inline uint32_t read(int n) {
+    if (n == 0) return 0;
+    if (count < n) refill();
+    uint32_t v = (uint32_t)(bits >> (64 - n));
+    bits <<= n;
+    count -= n;
     return v;
   }
 };
@@ -61,35 +80,29 @@ inline int32_t value_correction(uint32_t v, int nbits) {
   return (val < base) ? val - 2 * base + 1 : val;
 }
 
-struct Tables {
-  const uint8_t* dc_val;  // [4][65536]
-  const uint8_t* dc_len;
-  const uint8_t* ac_val;
-  const uint8_t* ac_len;
-};
-
 // Decode one 64-coef block in zigzag order (DC as raw delta).
 // Contract parity: reference next_block (src/jpeg/huffman.rs:146-195).
-// Returns 0 ok, 1 invalid DC prefix, 2 invalid AC prefix.
-inline int next_block(BitReader& br, const uint8_t* dc_val,
-                      const uint8_t* dc_len, const uint8_t* ac_val,
-                      const uint8_t* ac_len, int32_t* out) {
+// Returns 0 ok, 1/2 invalid DC/AC prefix.
+inline int next_block(BitReader& br, const uint16_t* dc_lut,
+                      const uint16_t* ac_lut, int32_t* out) {
   std::memset(out, 0, 64 * sizeof(int32_t));
   uint32_t peek = br.peek16();
-  int len = dc_len[peek];
-  if (len == 0) return 1;
+  uint32_t e = dc_lut[peek];
+  int len = e & 0xFF;
+  if (__builtin_expect(len == 0, 0)) return 1;
   br.consume(len);
-  int nbits = dc_val[peek];
+  int nbits = e >> 8;
   out[0] = value_correction(br.read(nbits), nbits);
   int k = 1;
   while (k < 64) {
     peek = br.peek16();
-    len = ac_len[peek];
-    if (len == 0) return 2;
+    e = ac_lut[peek];
+    len = e & 0xFF;
+    if (__builtin_expect(len == 0, 0)) return 2;
     br.consume(len);
-    int sym = ac_val[peek];
+    int sym = e >> 8;
     if (sym == 0x00) break;  // EOB
-    if (sym == 0xF0) {       // ZRL, capped at block end
+    if (__builtin_expect(sym == 0xF0, 0)) {  // ZRL, capped at block end
       k += (64 - k < 16) ? (64 - k) : 16;
       continue;
     }
@@ -115,8 +128,9 @@ struct ScanJob {
   const uint8_t* comp_dc_id;  // [n_comp]
   const uint8_t* comp_ac_id;
   int32_t n_comp;
-  Tables tables;
-  int32_t* out;  // [total_blocks * 64]
+  const uint16_t* dc_luts;  // [4][65536] packed (value<<8)|length
+  const uint16_t* ac_luts;
+  int32_t* out;  // [total_blocks * 64], pre-zeroed by caller
 };
 
 // Decode segments [lo, hi). Each restart segment is independent: byte-aligned
@@ -124,29 +138,34 @@ struct ScanJob {
 // entropy decode parallel (the reference is strictly sequential).
 void decode_segments(const ScanJob& job, int64_t lo, int64_t hi,
                      std::atomic<int64_t>* first_error) {
-  const int64_t lut = (int64_t)1 << kLutBits;
+  const int bpm = job.blocks_per_mcu;
+  // Per-slot table pointers, hoisted out of the MCU loop.
+  const uint16_t* slot_dc[64];
+  const uint16_t* slot_ac[64];
+  int slot_ci[64];
+  for (int s = 0; s < bpm; ++s) {
+    int c = job.slot_comp[s];
+    slot_ci[s] = c;
+    slot_dc[s] = job.dc_luts + job.comp_dc_id[c] * kLutSize;
+    slot_ac[s] = job.ac_luts + job.comp_ac_id[c] * kLutSize;
+  }
   for (int64_t s = lo; s < hi; ++s) {
     BitReader br(job.data + job.seg_start[s],
                  job.seg_end[s] - job.seg_start[s]);
     int32_t prev_dc[4] = {0, 0, 0, 0};
-    int64_t block_i = job.seg_mcu_start[s] * job.blocks_per_mcu;
+    int32_t* out = job.out + job.seg_mcu_start[s] * bpm * 64;
     for (int64_t m = 0; m < job.seg_mcu_count[s]; ++m) {
-      for (int32_t slot = 0; slot < job.blocks_per_mcu; ++slot) {
-        int comp = job.slot_comp[slot];
-        const uint8_t* dc_val = job.tables.dc_val + job.comp_dc_id[comp] * lut;
-        const uint8_t* dc_len = job.tables.dc_len + job.comp_dc_id[comp] * lut;
-        const uint8_t* ac_val = job.tables.ac_val + job.comp_ac_id[comp] * lut;
-        const uint8_t* ac_len = job.tables.ac_len + job.comp_ac_id[comp] * lut;
-        int32_t* out = job.out + block_i * 64;
-        int err = next_block(br, dc_val, dc_len, ac_val, ac_len, out);
-        if (err) {
+      for (int slot = 0; slot < bpm; ++slot) {
+        int err = next_block(br, slot_dc[slot], slot_ac[slot], out);
+        if (__builtin_expect(err != 0, 0)) {
           int64_t expect = -1;
           first_error->compare_exchange_strong(expect, s);
           return;  // abandon this segment; others unaffected
         }
-        out[0] += prev_dc[comp];
-        prev_dc[comp] = out[0];
-        ++block_i;
+        int c = slot_ci[slot];
+        out[0] += prev_dc[c];
+        prev_dc[c] = out[0];
+        out += 64;
       }
     }
   }
@@ -163,15 +182,13 @@ int64_t jt_decode_scan(const uint8_t* data, int64_t /*n_bytes*/,
                        const int64_t* seg_mcu_count, int64_t n_segs,
                        const uint8_t* slot_comp, int32_t blocks_per_mcu,
                        const uint8_t* comp_dc_id, const uint8_t* comp_ac_id,
-                       int32_t n_comp, const uint8_t* dc_lut_val,
-                       const uint8_t* dc_lut_len, const uint8_t* ac_lut_val,
-                       const uint8_t* ac_lut_len, int32_t* out,
+                       int32_t n_comp, const uint16_t* dc_luts,
+                       const uint16_t* ac_luts, int32_t* out,
                        int32_t n_threads) {
-  ScanJob job{data,     seg_start, seg_end,    seg_mcu_start,
-              seg_mcu_count, n_segs,    slot_comp,  blocks_per_mcu,
-              comp_dc_id,    comp_ac_id, n_comp,
-              Tables{dc_lut_val, dc_lut_len, ac_lut_val, ac_lut_len},
-              out};
+  ScanJob job{data,          seg_start,  seg_end, seg_mcu_start,
+              seg_mcu_count, n_segs,     slot_comp, blocks_per_mcu,
+              comp_dc_id,    comp_ac_id, n_comp,    dc_luts,
+              ac_luts,       out};
   std::atomic<int64_t> first_error(-1);
   if (n_threads <= 1 || n_segs <= 1) {
     decode_segments(job, 0, n_segs, &first_error);
@@ -184,7 +201,8 @@ int64_t jt_decode_scan(const uint8_t* data, int64_t /*n_bytes*/,
   for (int t = 0; t < nt; ++t) {
     int64_t lo = n_segs * t / nt;
     int64_t hi = n_segs * (t + 1) / nt;
-    threads.emplace_back(decode_segments, std::cref(job), lo, hi, &first_error);
+    threads.emplace_back(decode_segments, std::cref(job), lo, hi,
+                         &first_error);
   }
   for (auto& th : threads) th.join();
   return first_error.load();
@@ -194,8 +212,7 @@ int64_t jt_decode_scan(const uint8_t* data, int64_t /*n_bytes*/,
 // Parity: reference unstuff loop (src/jpeg/mod.rs:371-385) + the RST
 // handling it lacks. Writes unstuffed bytes to `out` (same size or smaller
 // than input), segment bounds to seg_start/seg_end (capacity max_segs).
-// Returns number of segments, or -(position+1) on unexpected marker... 0
-// segments means empty scan. `consumed` gets the raw length scanned
+// Returns number of segments. `consumed` gets the raw length scanned
 // (up to but excluding the terminating marker).
 int64_t jt_unstuff_scan(const uint8_t* data, int64_t n, uint8_t* out,
                         int64_t* out_len, int64_t* seg_start,
@@ -207,7 +224,7 @@ int64_t jt_unstuff_scan(const uint8_t* data, int64_t n, uint8_t* out,
   int64_t i = 0;
   for (; i < n; ++i) {
     uint8_t b = data[i];
-    if (b != 0xFF) {
+    if (__builtin_expect(b != 0xFF, 1)) {
       out[o++] = b;
       continue;
     }

@@ -1,0 +1,91 @@
+"""Device lane-parallel entropy decoder: equivalence vs the oracle.
+
+SURVEY.md §7 layer 4 requirement: "Equivalence-test against layer 2 on
+random streams." Runs on the CPU backend (same XLA lowering family).
+"""
+
+import numpy as np
+import pytest
+
+from jpeg_tpu.entropy.device_decode import (
+    decode_coefficients_device,
+    device_path_profitable,
+    packed_luts,
+)
+from jpeg_tpu.entropy.oracle import decode_coefficients
+from jpeg_tpu.io.container import parse_jpeg
+from jpeg_tpu.models.encoder import encode_rgb
+
+
+@pytest.mark.parametrize(
+    "sub,ri,size",
+    [
+        ((1, 1), 1, (32, 48)),
+        ((2, 1), 2, (48, 64)),
+        ((2, 2), 3, (64, 80)),
+        ((2, 2), 1, (40, 56)),
+        ((1, 2), 2, (48, 48)),
+    ],
+)
+def test_matches_oracle_restart_streams(sub, ri, size):
+    rng = np.random.default_rng(hash((sub, ri)) % 2**31)
+    img = rng.integers(0, 256, size + (3,), dtype=np.uint8)
+    data = encode_rgb(img, quality=80, subsampling=sub, restart_interval_mcus=ri)
+    plan = parse_jpeg(data)
+    assert len(plan.segments) > 1
+    got, err = decode_coefficients_device(plan)
+    assert not np.asarray(err).any()
+    np.testing.assert_array_equal(np.asarray(got), decode_coefficients(plan))
+
+
+def test_matches_oracle_no_restarts():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    data = encode_rgb(img, quality=80, subsampling=(1, 1))
+    plan = parse_jpeg(data)
+    assert len(plan.segments) == 1
+    got, err = decode_coefficients_device(plan)
+    assert not np.asarray(err).any()
+    np.testing.assert_array_equal(np.asarray(got), decode_coefficients(plan))
+
+
+def test_matches_oracle_reference_corpus(corpus):
+    plan = parse_jpeg(corpus["huff_simple0"])
+    got, err = decode_coefficients_device(plan)
+    assert not np.asarray(err).any()
+    np.testing.assert_array_equal(np.asarray(got), decode_coefficients(plan))
+
+
+def test_invalid_prefix_sets_error_flag():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    data = encode_rgb(img, quality=80, subsampling=(1, 1), restart_interval_mcus=1)
+    plan = parse_jpeg(data)
+    # Zero out the LUTs: every prefix invalid -> all segments flag errors.
+    luts = packed_luts(plan)
+    luts[:, :] = 0
+    import jax.numpy as jnp
+
+    _, err = decode_coefficients_device(plan, luts=jnp.asarray(luts))
+    assert np.asarray(err).all()
+
+
+def test_grayscale_stream():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (40, 40), dtype=np.uint8)
+    data = encode_rgb(img, quality=85, restart_interval_mcus=2)
+    plan = parse_jpeg(data)
+    got, err = decode_coefficients_device(plan)
+    assert not np.asarray(err).any()
+    np.testing.assert_array_equal(np.asarray(got), decode_coefficients(plan))
+
+
+def test_profitability_heuristic():
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    plan = parse_jpeg(
+        encode_rgb(img, quality=80, subsampling=(1, 1), restart_interval_mcus=1)
+    )
+    assert len(plan.segments) == 4
+    assert not device_path_profitable(plan)  # far below the 512 default
+    assert device_path_profitable(plan, min_segments=2)
