@@ -81,55 +81,57 @@ def _dispatch_latency():
     return (time.perf_counter() - t0) / 5
 
 
-def bench_device_pipeline(plan, coeffs, batch=4, iters=16):
-    """Steady-state frames/s of the jitted coefficient->RGB pipeline.
+def bench_device_pipeline(plan, planes, iters=32):
+    """Steady-state frames/s of the fused Pallas plane-decode kernel.
 
-    Runs ``iters`` dependency-chained pipeline invocations inside ONE device
+    Runs ``iters`` dependency-chained kernel invocations inside ONE device
     dispatch (lax.fori_loop) and ends with a full reduction, so async dispatch
     and the axon tunnel latency cannot fake throughput; the single dispatch
     round trip is measured separately and subtracted.
     """
     import jax
     import jax.numpy as jnp
-    from functools import partial
 
-    from jpeg_tpu.models.decoder import PipelineGeometry, _pipeline, plan_matrices
-
-    geom = PipelineGeometry.of(plan)
-    pipe = jax.vmap(partial(_pipeline, geom=geom, rounding="truncate"))
-    c = jnp.asarray(np.broadcast_to(coeffs, (batch,) + coeffs.shape).copy())
-    m = jnp.asarray(
-        np.broadcast_to(plan_matrices(plan), (batch, len(plan.components), 64, 64)).copy()
+    from jpeg_tpu.models.decoder import PipelineGeometry
+    from jpeg_tpu.ops.pallas_kernels import (
+        fused_plane_decoder,
+        plan_quant_patterns,
     )
 
+    geom = PipelineGeometry.of(plan)
+    fn = fused_plane_decoder(geom, "truncate")
+    args = [jnp.asarray(p) for p in planes] + [
+        jnp.asarray(q) for q in plan_quant_patterns(plan, geom)
+    ]
+
     @jax.jit
-    def loop(c, m):
+    def loop(p0, *rest):
         def body(i, acc):
             # acc feedback makes every iteration data-dependent on the last.
-            rgb = pipe(c + (acc % 2), m)
-            return acc + rgb.astype(jnp.int32)[0, 0, 0, 0]
+            out = fn(p0 + (acc % 2).astype(jnp.int16), *rest)
+            return acc + out.astype(jnp.int32)[0, 0, 0]
         return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
 
-    int(loop(c, m))  # compile + warmup
+    int(loop(*args))  # compile + warmup
     overhead = _dispatch_latency()
     t0 = time.perf_counter()
-    int(loop(c, m))
+    int(loop(*args))
     dt = time.perf_counter() - t0 - overhead
-    frames_per_s = batch * iters / dt
+    frames_per_s = iters / dt
     blocks_per_s = frames_per_s * geom.total_blocks
     return frames_per_s, blocks_per_s
 
 
-def bench_host_entropy(plan, iters=3):
-    """frames/s of the threaded C++ entropy decoder (None if not built)."""
+def bench_host_entropy(plan, iters=10):
+    """frames/s of the threaded C++ plane-entropy decoder (None if absent)."""
     try:
-        from jpeg_tpu.runtime import native_decode_coefficients
+        from jpeg_tpu.runtime import native_decode_planes
     except (ImportError, OSError):
         return None
-    native_decode_coefficients(plan)  # warmup
+    native_decode_planes(plan)  # warmup
     t0 = time.perf_counter()
     for _ in range(iters):
-        native_decode_coefficients(plan)
+        native_decode_planes(plan)
     return iters / (time.perf_counter() - t0)
 
 
@@ -138,7 +140,6 @@ def main():
     log(f"4K jpeg: {len(data)/1e6:.2f} MB")
 
     from jpeg_tpu.io.container import parse_jpeg
-    from jpeg_tpu.models.decoder import decode_coefficients_host
 
     plan = parse_jpeg(data)
     log(f"plan: {plan.width}x{plan.height}, {len(plan.segments)} segments, "
@@ -147,12 +148,16 @@ def main():
     lib_fps = bench_libjpeg(data)
     log(f"libjpeg single-thread: {lib_fps:.1f} frames/s")
 
-    t0 = time.perf_counter()
-    coeffs = decode_coefficients_host(plan, engine="auto")
-    log(f"host entropy decode: {time.perf_counter()-t0:.1f}s")
-
     entropy_fps = bench_host_entropy(plan)
-    dev_fps, blocks_per_s = bench_device_pipeline(plan, coeffs)
+    if entropy_fps is not None:
+        from jpeg_tpu.runtime import native_decode_planes
+
+        planes = native_decode_planes(plan)
+        dev_fps, blocks_per_s = bench_device_pipeline(plan, planes)
+    else:
+        from jpeg_tpu.models.decoder import decode_coefficients_host  # noqa
+
+        raise SystemExit("native runtime required for bench")
     log(f"device pipeline: {dev_fps:.1f} frames/s, {blocks_per_s/1e9:.2f} Gblocks/s")
 
     if entropy_fps is not None:

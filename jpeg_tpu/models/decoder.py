@@ -166,15 +166,39 @@ def decode_plan(plan: DecodePlan, rounding: str = "truncate",
     return fn(jnp.asarray(coefficients), jnp.asarray(plan_matrices(plan)))
 
 
+def decode_plan_fast(plan: DecodePlan, rounding: str = "truncate",
+                     interpret: bool | None = None):
+    """The fast decode path: C++ plane-layout entropy + fused Pallas kernel.
+
+    ~3x faster than the compat pipeline on TPU (plane layout kills the
+    block->plane relayout; see ops/pallas_kernels.py). Not bit-exact vs the
+    oracle: the sandwich IDCT's float summation order differs from the fused
+    [64,64] matmul, giving occasional +-1 u8 differences. Use the default
+    compat path when bit-exactness vs the reference semantics matters.
+    """
+    import jax
+
+    from jpeg_tpu.ops.pallas_kernels import decode_planes_fused
+    from jpeg_tpu.runtime import native_decode_planes
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    planes = native_decode_planes(plan)
+    return decode_planes_fused(planes, plan, rounding, interpret)
+
+
 def decode_bytes(data: bytes, rounding: str = "truncate",
-                 engine: str = "auto") -> np.ndarray:
+                 engine: str = "auto", path: str = "compat") -> np.ndarray:
     """JPEG bytes -> RGB [H, W, 3] u8 numpy array.
 
     Library-surface parity with reference ``JPEGImage::parse`` +
     ``image_data()`` (``src/jpeg/mod.rs:202,467-477``) — but returns an
-    [H, W, 3] tensor rather than a Vec of tuples.
+    [H, W, 3] tensor rather than a Vec of tuples. ``path="fast"`` selects
+    the plane-layout Pallas pipeline (see :func:`decode_plan_fast`).
     """
     plan = parse_jpeg(data)
+    if path == "fast":
+        return np.asarray(decode_plan_fast(plan, rounding=rounding))
     return np.asarray(decode_plan(plan, rounding=rounding, engine=engine))
 
 

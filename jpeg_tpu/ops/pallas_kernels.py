@@ -1,0 +1,210 @@
+"""Pallas TPU kernels: the fused plane-decode kernel (SURVEY.md §7 layer 5).
+
+The XLA pipeline (models/decoder._pipeline) works on stream-ordered
+``[N, 64]`` blocks and pays ~60%% of its time in block->plane relayouts whose
+minor dimension is 8 (6.25%% lane efficiency). This module takes a different
+route made possible by the C++ runtime's *plane layout* output
+(``jpeg_tpu.runtime.native_decode_planes``): coefficients arrive already
+de-zigzagged into per-component natural-order planes, so the only remaining
+work is dense linear algebra — and this Mosaic version supports no vector
+reshapes at all, so the kernel is built purely from matmuls + elementwise:
+
+- dequant: elementwise multiply with a tiled quant pattern (runtime arg, so
+  one compiled kernel serves all images of a geometry);
+- 8x8 IDCT on a [rows, cols] tile: sandwich product
+  ``kron(I, A^T) @ F @ kron(I, A)`` — block-diagonal constants make the
+  per-block transform a plain MXU matmul over the whole tile;
+- chroma upsample: replication matrices ``kron(I, [1,1]^T)`` (rows) and
+  ``kron(I, [1,1])`` (cols) — the MXU does pixel replication;
+- YCbCr->RGB + level shift + clamp + u8 narrowing (VPU).
+
+Grid = (MCU row bands, 256-column tiles). One HBM read of the int16
+coefficient planes and one HBM write of the planar u8 band per cell — the
+minimum possible traffic for this stage.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from jpeg_tpu.ops.color import C_BLUE, C_GREEN, C_RED
+from jpeg_tpu.ops.idct import dct_basis_1d
+from jpeg_tpu.ops.zigzag import unzigzag
+
+TILE_W = 256  # Y-resolution column-tile width (2 MXU lane groups)
+
+
+def _kron_eye(m: np.ndarray, n: int) -> np.ndarray:
+    return np.kron(np.eye(n, dtype=np.float64), m.astype(np.float64)).astype(
+        np.float32
+    )
+
+
+def _row_repeat_matrix(rows: int, f: int) -> np.ndarray:
+    """R [rows*f, rows] with R @ x repeating each row f times."""
+    return np.kron(np.eye(rows), np.ones((f, 1))).astype(np.float32)
+
+
+def _col_repeat_matrix(cols: int, f: int) -> np.ndarray:
+    """R [cols, cols*f] with x @ R repeating each column f times."""
+    return np.kron(np.eye(cols), np.ones((1, f))).astype(np.float32)
+
+
+def quant_pattern(quant_zz: np.ndarray, rows: int, cols: int) -> np.ndarray:
+    """Tile the natural-order 8x8 quant table over a [rows, cols] tile."""
+    qnat = unzigzag(np.asarray(quant_zz, dtype=np.float32).reshape(64)).reshape(8, 8)
+    return np.tile(qnat, (rows // 8, cols // 8))
+
+
+def padded_plane_shapes(geom) -> list[tuple[int, int]]:
+    """[rows, stride] per component, strides aligned so a TILE_W Y-tile maps
+    to whole chroma tiles (Y stride is a multiple of TILE_W). Must match
+    ``jpeg_tpu.runtime.plane_shapes``."""
+    base = -(-geom.mcus_x * geom.h_max * 8 // TILE_W) * TILE_W
+    return [
+        (geom.mcus_y * v * 8, base * h // geom.h_max)
+        for (h, v) in geom.sampling
+    ]
+
+
+def _plane_kernel(*refs, geom, rounding: str):
+    """One (band, col-tile) cell. refs order: [comp planes i16 x n] [qpat x n]
+    [per-comp static aux: bd_at, bd_a (+ rrep? + crep?)] [out u8]."""
+    n_comp = len(geom.sampling)
+    out_ref = refs[-1]
+    comp_refs = refs[:n_comp]
+    qpat_refs = refs[n_comp : 2 * n_comp]
+    aux = list(refs[2 * n_comp : -1])
+
+    planes = []
+    for ci, (h, v) in enumerate(geom.sampling):
+        fy, fx = geom.v_max // v, geom.h_max // h
+        f = comp_refs[ci][:].astype(jnp.float32) * qpat_refs[ci][:]
+        bd_at = aux.pop(0)
+        bd_a = aux.pop(0)
+        # Sandwich IDCT over the whole tile: block-diagonal kron constants.
+        t = jnp.dot(bd_at[:], f, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        spatial = jnp.dot(t, bd_a[:], preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+        if fy > 1:
+            spatial = jnp.dot(aux.pop(0)[:], spatial,
+                              preferred_element_type=jnp.float32)
+        if fx > 1:
+            spatial = jnp.dot(spatial, aux.pop(0)[:],
+                              preferred_element_type=jnp.float32)
+        planes.append(spatial)
+
+    if n_comp == 1:
+        rgb = [planes[0] + 128.0] * 3
+    else:
+        y, cb, cr = planes
+        # Reference operation order (src/jpeg/decoder.rs:392-402) for
+        # bit-exact truncate-mode parity.
+        r = cr * np.float32(2.0 - 2.0 * C_RED) + y
+        b = cb * np.float32(2.0 - 2.0 * C_BLUE) + y
+        g = (y - np.float32(C_BLUE) * b - np.float32(C_RED) * r) / np.float32(
+            C_GREEN
+        )
+        rgb = [r + 128.0, g + 128.0, b + 128.0]
+
+    for c, chan in enumerate(rgb):
+        if rounding == "round":
+            chan = jnp.floor(chan + 0.5)
+        # Mosaic has no f32->u8 cast; clamp, truncate to i32, then narrow.
+        out_ref[c, :, :] = jnp.clip(chan, 0.0, 255.0).astype(jnp.int32).astype(
+            jnp.uint8
+        )
+
+
+def _const_spec(shape):
+    return pl.BlockSpec(shape, lambda i, j: (0,) * len(shape),
+                        memory_space=pltpu.VMEM)
+
+
+@lru_cache(maxsize=256)
+def fused_plane_decoder(geom, rounding: str = "truncate",
+                        interpret: bool = False):
+    """Build jitted fn: (*comp_planes int16, *qpat f32) -> planar u8
+    [3, H_pad, W_pad]. Plane shapes per :func:`padded_plane_shapes`; qpat
+    tiles per :func:`quant_pattern` with that component's (rows, cols)."""
+    n_comp = len(geom.sampling)
+    band_h = 8 * geom.v_max
+    shapes = padded_plane_shapes(geom)
+    w_pad = shapes[0][1]
+    grid = (geom.mcus_y, w_pad // TILE_W)
+
+    plane_specs = []
+    qpat_specs = []
+    static_aux = []
+    a = dct_basis_1d()  # A[u, x]
+    for (h, v) in geom.sampling:
+        fy, fx = geom.v_max // v, geom.h_max // h
+        rows, cols = 8 * v, TILE_W // fx
+        plane_specs.append(
+            pl.BlockSpec((rows, cols), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM)
+        )
+        qpat_specs.append(_const_spec((rows, cols)))
+        static_aux.append(_kron_eye(a.T, rows // 8))
+        static_aux.append(_kron_eye(a, cols // 8))
+        if fy > 1:
+            static_aux.append(_row_repeat_matrix(rows, fy))
+        if fx > 1:
+            static_aux.append(_col_repeat_matrix(cols, fx))
+    aux_specs = [_const_spec(arr.shape) for arr in static_aux]
+
+    call = pl.pallas_call(
+        partial(_plane_kernel, geom=geom, rounding=rounding),
+        grid=grid,
+        in_specs=plane_specs + qpat_specs + aux_specs,
+        out_specs=pl.BlockSpec(
+            (3, band_h, TILE_W), lambda i, j: (0, i, j),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (3, geom.mcus_y * band_h, w_pad), jnp.uint8
+        ),
+        interpret=interpret,
+    )
+    aux_jnp = [jnp.asarray(x) for x in static_aux]
+
+    @jax.jit
+    def run(*planes_and_qpats):
+        return call(*planes_and_qpats, *aux_jnp)
+
+    return run
+
+
+def plan_quant_patterns(plan, geom) -> list[np.ndarray]:
+    """Per-component dequant tiles for :func:`fused_plane_decoder` inputs."""
+    out = []
+    for (h, v) in geom.sampling:
+        fx = geom.h_max // h
+        rows, cols = 8 * v, TILE_W // fx
+        ci = len(out)
+        q = plan.quant_tables[plan.components[ci].quant_id]
+        out.append(quant_pattern(q, rows, cols))
+    return out
+
+
+def decode_planes_fused(planes, plan, rounding: str = "truncate",
+                        interpret: bool = False):
+    """int16 coefficient planes (native_decode_planes layout) -> [H, W, 3] u8.
+
+    The fast decode path: C++ entropy (plane layout) + this kernel.
+    """
+    from jpeg_tpu.models.decoder import PipelineGeometry
+
+    geom = PipelineGeometry.of(plan)
+    fn = fused_plane_decoder(geom, rounding, interpret)
+    qpats = plan_quant_patterns(plan, geom)
+    planar = fn(*[jnp.asarray(p) for p in planes],
+                *[jnp.asarray(q) for q in qpats])
+    return planar[:, : geom.height, : geom.width].transpose(1, 2, 0)

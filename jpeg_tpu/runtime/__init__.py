@@ -63,6 +63,18 @@ def _load() -> ctypes.CDLL:
         u16p, u16p,  # packed dc/ac LUTs (value<<8|length)
         i32p, ctypes.c_int32,  # out, n_threads
     ]
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    lib.jt_decode_scan_planes.restype = ctypes.c_int64
+    lib.jt_decode_scan_planes.argtypes = [
+        u8p, ctypes.c_int64,  # data, n_bytes
+        i64p, i64p, i64p, i64p, ctypes.c_int64,  # seg arrays, n_segs
+        u8p, u8p, u8p, ctypes.c_int32,  # slot comp/vi/hi, blocks_per_mcu
+        u8p, u8p, u8p, u8p, ctypes.c_int32,  # comp dc/ac/h/v ids, n_comp
+        ctypes.c_int32,  # mcus_x
+        u16p, u16p,  # packed dc/ac LUTs
+        ctypes.POINTER(i16p), i64p,  # plane ptrs, strides
+        ctypes.c_int32,  # n_threads
+    ]
     lib.jt_unstuff_scan.restype = ctypes.c_int64
     lib.jt_unstuff_scan.argtypes = [
         u8p, ctypes.c_int64, u8p, i64p, i64p, i64p, ctypes.c_int64, i64p,
@@ -144,3 +156,93 @@ def native_decode_coefficients(plan, n_threads: int | None = None,
     if err >= 0:
         raise NativeDecodeError(int(err))
     return out
+
+
+_PLANE_TILE_W = 256  # must match jpeg_tpu.ops.pallas_kernels.TILE_W
+
+
+def plane_shapes(plan) -> list[tuple[int, int]]:
+    """Padded [rows, stride] of each component's coefficient plane.
+
+    The luma stride is padded to the fused kernel's column-tile width so one
+    Y tile always maps to whole chroma tiles (matches
+    ``jpeg_tpu.ops.pallas_kernels.padded_plane_shapes``); pad region is zero.
+    """
+    h_max = max(c.h for c in plan.components)
+    base = -(-plan.mcus_x * h_max * 8 // _PLANE_TILE_W) * _PLANE_TILE_W
+    return [
+        (plan.mcus_y * c.v * 8, base * c.h // h_max) for c in plan.components
+    ]
+
+
+def native_decode_planes(plan, n_threads: int | None = None,
+                         reuse_buffer: bool = True) -> list[np.ndarray]:
+    """Threaded entropy decode into per-component natural-order int16 planes.
+
+    The fast path (SURVEY.md §7 layers 4-5): de-zigzag happens during the
+    C++ scatter writes (free), so the device IDCT runs as plane-tiled
+    matmuls with no relayout (:mod:`jpeg_tpu.ops.pallas_kernels`). Quantized
+    coefficients (dequant is folded into the device stage); strides padded
+    to 128 lanes; pad region stays zero.
+
+    Same ``reuse_buffer`` contract as :func:`native_decode_coefficients`.
+    """
+    lib = _load()
+    if n_threads is None:
+        n_threads = os.cpu_count() or 1
+
+    data = np.ascontiguousarray(plan.scan_data, dtype=np.uint8)
+    seg_start = np.array([s.byte_start for s in plan.segments], dtype=np.int64)
+    seg_end = np.array([s.byte_end for s in plan.segments], dtype=np.int64)
+    seg_mcu_start = np.array([s.mcu_start for s in plan.segments], dtype=np.int64)
+    seg_mcu_count = np.array([s.mcu_count for s in plan.segments], dtype=np.int64)
+    slots = plan.component_block_slots()
+    slot_comp = np.array([ci for ci, _ in slots], dtype=np.uint8)
+    slot_vi = np.array(
+        [sub // plan.components[ci].h for ci, sub in slots], dtype=np.uint8)
+    slot_hi = np.array(
+        [sub % plan.components[ci].h for ci, sub in slots], dtype=np.uint8)
+    comp_dc = np.array([c.dc_id for c in plan.components], dtype=np.uint8)
+    comp_ac = np.array([c.ac_id for c in plan.components], dtype=np.uint8)
+    comp_h = np.array([c.h for c in plan.components], dtype=np.uint8)
+    comp_v = np.array([c.v for c in plan.components], dtype=np.uint8)
+
+    cached = getattr(plan, "_native_luts", None)
+    if cached is None:
+        dc_luts = np.ascontiguousarray(np.stack(
+            [(t.lut_value.astype(np.uint16) << 8) | t.lut_length
+             for t in plan.dc_tables]))
+        ac_luts = np.ascontiguousarray(np.stack(
+            [(t.lut_value.astype(np.uint16) << 8) | t.lut_length
+             for t in plan.ac_tables]))
+        cached = (dc_luts, ac_luts)
+        plan._native_luts = cached
+    dc_luts, ac_luts = cached
+
+    shapes = plane_shapes(plan)
+    key = ("planes", tuple(shapes))
+    planes = _out_buffers.get(key) if reuse_buffer else None
+    if planes is None:
+        planes = [np.zeros(s, dtype=np.int16) for s in shapes]
+        if reuse_buffer:
+            _out_buffers[key] = planes
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    ptrs = (i16p * len(planes))(*[_p(p, ctypes.c_int16) for p in planes])
+    strides = np.array([s[1] for s in shapes], dtype=np.int64)
+
+    err = lib.jt_decode_scan_planes(
+        _p(data, ctypes.c_uint8), data.size,
+        _p(seg_start, ctypes.c_int64), _p(seg_end, ctypes.c_int64),
+        _p(seg_mcu_start, ctypes.c_int64), _p(seg_mcu_count, ctypes.c_int64),
+        len(plan.segments),
+        _p(slot_comp, ctypes.c_uint8), _p(slot_vi, ctypes.c_uint8),
+        _p(slot_hi, ctypes.c_uint8), plan.blocks_per_mcu,
+        _p(comp_dc, ctypes.c_uint8), _p(comp_ac, ctypes.c_uint8),
+        _p(comp_h, ctypes.c_uint8), _p(comp_v, ctypes.c_uint8),
+        len(plan.components), plan.mcus_x,
+        _p(dc_luts, ctypes.c_uint16), _p(ac_luts, ctypes.c_uint16),
+        ptrs, _p(strides, ctypes.c_int64), n_threads,
+    )
+    if err >= 0:
+        raise NativeDecodeError(int(err))
+    return planes

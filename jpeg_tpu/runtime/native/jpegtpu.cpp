@@ -116,6 +116,127 @@ inline int next_block(BitReader& br, const uint16_t* dc_lut,
   return 0;
 }
 
+// Zigzag index -> (row, col) within an 8x8 block (JPEG spec scan order;
+// same table as reference ZIGZAG_INDICES, src/jpeg/decoder.rs:404-407).
+constexpr uint8_t kZigRow[64] = {
+    0, 0, 1, 2, 1, 0, 0, 1, 2, 3, 4, 3, 2, 1, 0, 0, 1, 2, 3, 4, 5, 6,
+    5, 4, 3, 2, 1, 0, 0, 1, 2, 3, 4, 5, 6, 7, 7, 6, 5, 4, 3, 2, 1, 2,
+    3, 4, 5, 6, 7, 7, 6, 5, 4, 3, 4, 5, 6, 7, 7, 6, 5, 6, 7, 7};
+constexpr uint8_t kZigCol[64] = {
+    0, 1, 0, 0, 1, 2, 3, 2, 1, 0, 0, 1, 2, 3, 4, 5, 4, 3, 2, 1, 0, 0,
+    1, 2, 3, 4, 5, 6, 7, 6, 5, 4, 3, 2, 1, 0, 1, 2, 3, 4, 5, 6, 7, 7,
+    6, 5, 4, 3, 2, 3, 4, 5, 6, 7, 7, 6, 5, 4, 5, 6, 7, 7, 6, 7};
+
+// Decode one block directly into a natural-order int16 component plane at
+// (row0, col0): the de-zigzag "relayout" costs nothing extra here (the
+// scatter writes happen anyway), which is what lets the TPU IDCT run as
+// plane-tiled matmuls with no reshape at all (ops/pallas_kernels.py).
+inline int next_block_plane(BitReader& br, const uint16_t* dc_lut,
+                            const uint16_t* ac_lut, int16_t* plane,
+                            int64_t stride, const int32_t* zoff,
+                            int32_t* prev_dc) {
+  // Zero the 8x8 destination tile.
+  for (int r = 0; r < 8; ++r) {
+    std::memset(plane + r * stride, 0, 8 * sizeof(int16_t));
+  }
+  uint32_t peek = br.peek16();
+  uint32_t e = dc_lut[peek];
+  int len = e & 0xFF;
+  if (__builtin_expect(len == 0, 0)) return 1;
+  br.consume(len);
+  int nbits = e >> 8;
+  int32_t dc = value_correction(br.read(nbits), nbits) + *prev_dc;
+  *prev_dc = dc;
+  plane[0] = (int16_t)dc;
+  int k = 1;
+  while (k < 64) {
+    peek = br.peek16();
+    e = ac_lut[peek];
+    len = e & 0xFF;
+    if (__builtin_expect(len == 0, 0)) return 2;
+    br.consume(len);
+    int sym = e >> 8;
+    if (sym == 0x00) break;  // EOB
+    if (__builtin_expect(sym == 0xF0, 0)) {  // ZRL
+      k += (64 - k < 16) ? (64 - k) : 16;
+      continue;
+    }
+    int run = (sym >> 4) & 0xF;
+    int size = sym & 0xF;
+    int32_t v = value_correction(br.read(size), size);
+    int cap = 64 - k - 1;
+    k += (run < cap) ? run : cap;
+    plane[zoff[k++]] = (int16_t)v;
+  }
+  return 0;
+}
+
+struct PlaneJob {
+  const uint8_t* data;
+  const int64_t* seg_start;
+  const int64_t* seg_end;
+  const int64_t* seg_mcu_start;
+  const int64_t* seg_mcu_count;
+  int64_t n_segs;
+  const uint8_t* slot_comp;  // [bpm]
+  const uint8_t* slot_vi;    // [bpm] vertical sub-block index within MCU
+  const uint8_t* slot_hi;    // [bpm]
+  int32_t blocks_per_mcu;
+  const uint8_t* comp_dc_id;
+  const uint8_t* comp_ac_id;
+  const uint8_t* comp_h;  // [n_comp] sampling factors
+  const uint8_t* comp_v;
+  int32_t n_comp;
+  int32_t mcus_x;
+  const uint16_t* dc_luts;
+  const uint16_t* ac_luts;
+  int16_t* const* planes;      // [n_comp] plane base pointers
+  const int64_t* plane_stride;  // [n_comp] row stride (elements)
+};
+
+void decode_segments_planes(const PlaneJob& job, int64_t lo, int64_t hi,
+                            std::atomic<int64_t>* first_error) {
+  const int bpm = job.blocks_per_mcu;
+  const uint16_t* slot_dc[64];
+  const uint16_t* slot_ac[64];
+  int slot_ci[64];
+  int32_t zoff[8][64];  // per component: zigzag k -> plane offset
+  for (int c = 0; c < job.n_comp; ++c) {
+    int64_t st = job.plane_stride[c];
+    for (int k = 0; k < 64; ++k) zoff[c][k] = (int32_t)(kZigRow[k] * st + kZigCol[k]);
+  }
+  for (int s = 0; s < bpm; ++s) {
+    int c = job.slot_comp[s];
+    slot_ci[s] = c;
+    slot_dc[s] = job.dc_luts + job.comp_dc_id[c] * kLutSize;
+    slot_ac[s] = job.ac_luts + job.comp_ac_id[c] * kLutSize;
+  }
+  for (int64_t s = lo; s < hi; ++s) {
+    BitReader br(job.data + job.seg_start[s],
+                 job.seg_end[s] - job.seg_start[s]);
+    int32_t prev_dc[4] = {0, 0, 0, 0};
+    int64_t mcu = job.seg_mcu_start[s];
+    for (int64_t m = 0; m < job.seg_mcu_count[s]; ++m, ++mcu) {
+      int64_t my = mcu / job.mcus_x;
+      int64_t mx = mcu % job.mcus_x;
+      for (int slot = 0; slot < bpm; ++slot) {
+        int c = slot_ci[slot];
+        int64_t st = job.plane_stride[c];
+        int64_t by = my * job.comp_v[c] + job.slot_vi[slot];
+        int64_t bx = mx * job.comp_h[c] + job.slot_hi[slot];
+        int16_t* dst = job.planes[c] + by * 8 * st + bx * 8;
+        int err = next_block_plane(br, slot_dc[slot], slot_ac[slot], dst, st,
+                                   zoff[c], &prev_dc[c]);
+        if (__builtin_expect(err != 0, 0)) {
+          int64_t expect = -1;
+          first_error->compare_exchange_strong(expect, s);
+          return;
+        }
+      }
+    }
+  }
+}
+
 struct ScanJob {
   const uint8_t* data;
   const int64_t* seg_start;
@@ -202,6 +323,44 @@ int64_t jt_decode_scan(const uint8_t* data, int64_t /*n_bytes*/,
     int64_t lo = n_segs * t / nt;
     int64_t hi = n_segs * (t + 1) / nt;
     threads.emplace_back(decode_segments, std::cref(job), lo, hi,
+                         &first_error);
+  }
+  for (auto& th : threads) th.join();
+  return first_error.load();
+}
+
+// Plane-layout variant: decodes straight into per-component natural-order
+// int16 planes (de-zigzag + DC prediction included). `planes` is an array of
+// n_comp pointers; each plane [mcus_y*v*8, stride] must be allocated by the
+// caller (only the 8x8 tiles written here are touched; callers pad strides).
+// Returns -1 on success, else the first failed segment index.
+int64_t jt_decode_scan_planes(
+    const uint8_t* data, int64_t /*n_bytes*/, const int64_t* seg_start,
+    const int64_t* seg_end, const int64_t* seg_mcu_start,
+    const int64_t* seg_mcu_count, int64_t n_segs, const uint8_t* slot_comp,
+    const uint8_t* slot_vi, const uint8_t* slot_hi, int32_t blocks_per_mcu,
+    const uint8_t* comp_dc_id, const uint8_t* comp_ac_id,
+    const uint8_t* comp_h, const uint8_t* comp_v, int32_t n_comp,
+    int32_t mcus_x, const uint16_t* dc_luts, const uint16_t* ac_luts,
+    int16_t* const* planes, const int64_t* plane_stride, int32_t n_threads) {
+  PlaneJob job{data,       seg_start, seg_end,   seg_mcu_start,
+               seg_mcu_count, n_segs,  slot_comp, slot_vi,
+               slot_hi,    blocks_per_mcu,       comp_dc_id,
+               comp_ac_id, comp_h,    comp_v,    n_comp,
+               mcus_x,     dc_luts,   ac_luts,   planes,
+               plane_stride};
+  std::atomic<int64_t> first_error(-1);
+  if (n_threads <= 1 || n_segs <= 1) {
+    decode_segments_planes(job, 0, n_segs, &first_error);
+    return first_error.load();
+  }
+  int nt = (int)std::min<int64_t>(n_threads, n_segs);
+  std::vector<std::thread> threads;
+  threads.reserve(nt);
+  for (int t = 0; t < nt; ++t) {
+    int64_t lo = n_segs * t / nt;
+    int64_t hi = n_segs * (t + 1) / nt;
+    threads.emplace_back(decode_segments_planes, std::cref(job), lo, hi,
                          &first_error);
   }
   for (auto& th : threads) th.join();
