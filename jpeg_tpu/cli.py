@@ -1,0 +1,148 @@
+"""Command-line interface.
+
+Parity: reference CLI ``src/main.rs:24-40`` (``decode <in.jpeg> <out.ppm>``)
+plus the subcommands the TPU framework adds: encode, corpus decode with
+resume manifest, and visual diff (the reference Makefile's eyeball loop,
+``Makefile:4-7``, automated).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def cmd_decode(args) -> int:
+    from jpeg_tpu.io.ppm import write_ppm
+    from jpeg_tpu.models.decoder import decode_file
+
+    rgb = decode_file(args.input, rounding=args.rounding, engine=args.engine)
+    write_ppm(args.output, rgb, binary=not args.p3)
+    print(f"{args.input}: {rgb.shape[1]}x{rgb.shape[0]} -> {args.output}")
+    return 0
+
+
+def cmd_encode(args) -> int:
+    import numpy as np
+    from PIL import Image
+
+    from jpeg_tpu.models.encoder import encode_rgb
+
+    img = np.asarray(Image.open(args.input).convert("RGB"))
+    sub = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[args.subsampling]
+    data = encode_rgb(img, quality=args.quality, subsampling=sub,
+                      restart_interval_mcus=args.restart_interval)
+    with open(args.output, "wb") as f:
+        f.write(data)
+    print(f"{args.input} -> {args.output} ({len(data)} bytes)")
+    return 0
+
+
+def cmd_corpus(args) -> int:
+    """Decode a corpus directory with resume manifest + JSON metrics."""
+    from jpeg_tpu.io.corpus import list_corpus, shard_items
+    from jpeg_tpu.models.decoder import decode_file
+    from jpeg_tpu.utils.manifest import Manifest
+    from jpeg_tpu.utils.profiling import StageTimer
+
+    paths = list_corpus(args.directory)
+    paths = shard_items(paths, args.process_index, args.process_count)
+    manifest = Manifest(args.manifest, args.process_index) if args.manifest else None
+    if manifest:
+        paths = manifest.pending(paths)
+    timer = StageTimer()
+    done = failed = 0
+    t0 = time.perf_counter()
+    for p in paths:
+        try:
+            with timer.stage("decode", frames=1):
+                rgb = decode_file(p, rounding=args.rounding, engine=args.engine)
+            done += 1
+            if manifest:
+                manifest.mark_done(p, h=int(rgb.shape[0]), w=int(rgb.shape[1]))
+        except Exception as e:  # per-image error isolation (SURVEY.md §5)
+            failed += 1
+            print(f"FAILED {p}: {e}", file=sys.stderr)
+    wall = time.perf_counter() - t0
+    print(json.dumps({
+        "decoded": done,
+        "failed": failed,
+        "wall_s": round(wall, 3),
+        "frames_per_s": round(done / wall, 2) if wall > 0 else None,
+        "process_index": args.process_index,
+        "stages": timer.report(),
+    }))
+    return 1 if failed and args.strict else 0
+
+
+def cmd_diff(args) -> int:
+    """Decode + compare against PIL/libjpeg; print PSNR (Makefile:4-7 role)."""
+    import numpy as np
+    from PIL import Image
+
+    from jpeg_tpu.models.decoder import decode_file
+
+    ours = decode_file(args.input, rounding=args.rounding)
+    pil = np.asarray(Image.open(args.input).convert("RGB"))
+    mse = ((ours.astype(np.float64) - pil.astype(np.float64)) ** 2).mean()
+    psnr = float("inf") if mse == 0 else 10 * np.log10(255.0**2 / mse)
+    print(json.dumps({
+        "input": args.input,
+        "shape": list(ours.shape),
+        "psnr_vs_libjpeg_db": round(psnr, 2),
+        "max_abs_diff": int(np.abs(ours.astype(int) - pil.astype(int)).max()),
+    }))
+    if args.diff_output:
+        diff = np.abs(ours.astype(int) - pil.astype(int)).astype(np.uint8)
+        Image.fromarray(diff * args.amplify).save(args.diff_output)
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="jpeg_tpu",
+                                description="TPU-native JPEG engine")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("decode", help="decode JPEG to PPM (reference CLI parity)")
+    d.add_argument("input")
+    d.add_argument("output")
+    d.add_argument("--rounding", choices=["truncate", "round"], default="truncate")
+    d.add_argument("--engine", choices=["auto", "native", "oracle"], default="auto")
+    d.add_argument("--p3", action="store_true",
+                   help="ASCII P3 output (reference main.rs format); default P6")
+    d.set_defaults(fn=cmd_decode)
+
+    e = sub.add_parser("encode", help="encode image to baseline JPEG")
+    e.add_argument("input")
+    e.add_argument("output")
+    e.add_argument("--quality", type=int, default=85)
+    e.add_argument("--subsampling", choices=["444", "422", "420"], default="420")
+    e.add_argument("--restart-interval", type=int, default=0,
+                   help="MCUs per restart segment (0 = none)")
+    e.set_defaults(fn=cmd_encode)
+
+    c = sub.add_parser("corpus", help="decode a corpus directory (resumable)")
+    c.add_argument("directory")
+    c.add_argument("--manifest", default=None, help="resume manifest path stem")
+    c.add_argument("--rounding", choices=["truncate", "round"], default="truncate")
+    c.add_argument("--engine", choices=["auto", "native", "oracle"], default="auto")
+    c.add_argument("--process-index", type=int, default=0)
+    c.add_argument("--process-count", type=int, default=1)
+    c.add_argument("--strict", action="store_true", help="exit 1 on any failure")
+    c.set_defaults(fn=cmd_corpus)
+
+    f = sub.add_parser("diff", help="PSNR vs libjpeg (visual-diff harness)")
+    f.add_argument("input")
+    f.add_argument("--rounding", choices=["truncate", "round"], default="round")
+    f.add_argument("--diff-output", default=None)
+    f.add_argument("--amplify", type=int, default=16)
+    f.set_defaults(fn=cmd_diff)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,103 @@
+"""CLI, manifest, corpus, and profiling utility tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from conftest import CORPUS
+from jpeg_tpu.cli import main as cli_main
+from jpeg_tpu.io.corpus import generate_corpus, list_corpus, shard_items
+from jpeg_tpu.io.ppm import read_ppm
+from jpeg_tpu.utils.manifest import Manifest
+from jpeg_tpu.utils.profiling import StageTimer
+
+
+def test_cli_decode_p3(tmp_path, capsys):
+    out = tmp_path / "out.ppm"
+    rc = cli_main(["decode", CORPUS["huff_simple0"], str(out), "--p3"])
+    assert rc == 0
+    img = read_ppm(out)
+    assert img.shape == (8, 16, 3)
+    # Reference-identical header (src/main.rs:35).
+    assert out.read_bytes().startswith(b"P3\n16 8\n255\n")
+
+
+def test_cli_encode_decode_roundtrip(tmp_path):
+    from PIL import Image
+
+    src = tmp_path / "src.png"
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (40, 48, 3), dtype=np.uint8)
+    Image.fromarray(img).save(src)
+    jpg = tmp_path / "a.jpg"
+    ppm = tmp_path / "a.ppm"
+    assert cli_main(["encode", str(src), str(jpg), "--quality", "95",
+                     "--subsampling", "444", "--restart-interval", "2"]) == 0
+    assert cli_main(["decode", str(jpg), str(ppm)]) == 0
+    dec = read_ppm(ppm)
+    assert dec.shape == img.shape
+
+
+def test_cli_corpus_with_manifest_resume(tmp_path, capsys):
+    corpus_dir = tmp_path / "corpus"
+    generate_corpus(str(corpus_dir), 4, width=64, height=48)
+    manifest = str(tmp_path / "manifest")
+    rc = cli_main(["corpus", str(corpus_dir), "--manifest", manifest])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["decoded"] == 4 and rep["failed"] == 0
+    # Resume: nothing left to do.
+    rc = cli_main(["corpus", str(corpus_dir), "--manifest", manifest])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["decoded"] == 0
+
+
+def test_cli_corpus_error_isolation(tmp_path, capsys):
+    corpus_dir = tmp_path / "corpus"
+    generate_corpus(str(corpus_dir), 2, width=64, height=48)
+    (corpus_dir / "broken.jpg").write_bytes(b"\xff\xd8garbage")
+    rc = cli_main(["corpus", str(corpus_dir)])
+    assert rc == 0  # non-strict: batch survives the bad image
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["decoded"] == 2 and rep["failed"] == 1
+
+
+def test_cli_diff(capsys):
+    rc = cli_main(["diff", CORPUS["lena"]])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["psnr_vs_libjpeg_db"] > 40
+
+
+def test_manifest_crash_safety(tmp_path):
+    path = str(tmp_path / "m")
+    m = Manifest(path)
+    m.mark_done("a", n=1)
+    m.mark_done("b")
+    m.close()
+    # Simulate a torn write from a crash.
+    with open(path + ".0.jsonl", "a") as f:
+        f.write('{"item": "c", "trunc')
+    m2 = Manifest(path)
+    assert m2.is_done("a") and m2.is_done("b") and not m2.is_done("c")
+    assert m2.pending(["a", "b", "c"]) == ["c"]
+    m2.close()
+
+
+def test_shard_items_partition():
+    items = list(range(10))
+    shards = [shard_items(items, i, 3) for i in range(3)]
+    assert sorted(sum(shards, [])) == items
+    assert all(abs(len(s) - 10 / 3) < 1.5 for s in shards)
+
+
+def test_stage_timer_rates():
+    t = StageTimer()
+    with t.stage("x", bytes=1000, frames=2):
+        pass
+    rep = t.report()
+    assert rep["x"]["calls"] == 1
+    assert "GB_per_s" in rep["x"] and "frames_per_s" in rep["x"]
+    json.loads(t.dump())
