@@ -27,6 +27,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache — remote compiles through the axon
+    tunnel take minutes; cache them across bench runs."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+_enable_compile_cache()
+
+
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 
 import numpy as np
 
@@ -18,7 +19,7 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
 _SO_PATH = os.path.join(_NATIVE_DIR, "build", "libjpegtpu.so")
 
 _lib = None
-_out_buffers: dict = {}  # (total_blocks,) -> reusable int32 output buffer
+_out_buffers: dict = {}  # (thread id, shape key) -> reusable output buffer
 
 
 class NativeDecodeError(RuntimeError):
@@ -137,11 +138,12 @@ def native_decode_coefficients(plan, n_threads: int | None = None,
     # Reuse the output buffer: fresh np.zeros every call costs ~50MB of
     # first-touch page faults inside the decode loop (measured ~2x slowdown
     # on 4K frames). The C++ side zeroes each block as it decodes.
-    out = _out_buffers.get(plan.total_blocks)
+    key = (threading.get_ident(), plan.total_blocks)
+    out = _out_buffers.get(key)
     if out is None or reuse_buffer is False:
         out = np.empty((plan.total_blocks, 64), dtype=np.int32)
         if reuse_buffer:
-            _out_buffers[plan.total_blocks] = out
+            _out_buffers[key] = out
     err = lib.jt_decode_scan(
         _p(data, ctypes.c_uint8), data.size,
         _p(seg_start, ctypes.c_int64), _p(seg_end, ctypes.c_int64),
@@ -220,7 +222,7 @@ def native_decode_planes(plan, n_threads: int | None = None,
     dc_luts, ac_luts = cached
 
     shapes = plane_shapes(plan)
-    key = ("planes", tuple(shapes))
+    key = ("planes", threading.get_ident(), tuple(shapes))
     planes = _out_buffers.get(key) if reuse_buffer else None
     if planes is None:
         planes = [np.zeros(s, dtype=np.int16) for s in shapes]

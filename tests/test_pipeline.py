@@ -1,0 +1,46 @@
+"""Pipelined corpus decoder + distributed helpers tests."""
+
+import numpy as np
+
+from jpeg_tpu.io.corpus import synthetic_jpeg
+from jpeg_tpu.models.decoder import decode_bytes
+from jpeg_tpu.parallel.distributed import (
+    aggregate_metrics,
+    initialize,
+    scaling_efficiency,
+)
+from jpeg_tpu.parallel.pipeline import CorpusDecoder
+
+
+def test_corpus_decoder_matches_single():
+    items = [synthetic_jpeg(96, 64, seed=i, quality=88) for i in range(6)]
+    dec = CorpusDecoder(workers=3)
+    results = dec.decode_all(items)
+    assert all(r.ok for r in results)
+    for data, r in zip(items, results):
+        np.testing.assert_array_equal(r.rgb, decode_bytes(data))
+
+
+def test_corpus_decoder_error_isolation():
+    items = [synthetic_jpeg(64, 48, seed=1), b"\xff\xd8 not a jpeg",
+             synthetic_jpeg(64, 48, seed=2)]
+    results = CorpusDecoder(workers=2).decode_all(items)
+    assert results[0].ok and results[2].ok
+    assert not results[1].ok and "JPEGError" in results[1].error
+
+
+def test_corpus_decoder_fast_path():
+    items = [synthetic_jpeg(96, 64, seed=3)]
+    (r,) = CorpusDecoder(workers=1, path="fast").decode_all(items)
+    assert r.ok
+    compat = decode_bytes(items[0])
+    assert np.abs(r.rgb.astype(int) - compat.astype(int)).max() <= 1
+
+
+def test_distributed_single_process():
+    idx, count = initialize()
+    assert (idx, count) == (0, 1)
+    m = aggregate_metrics({"frames": 7.0, "bytes": 100.0})
+    assert m == {"frames": 7.0, "bytes": 100.0}
+    assert scaling_efficiency(160.0, 2, 100.0) == 0.8
+    assert scaling_efficiency(0, 0, 0) == 0.0
