@@ -35,6 +35,10 @@ def make_code_table(code_lengths: np.ndarray) -> np.ndarray:
         while size > current_size:
             code <<= 1
             current_size += 1
+        if code > 0xFFFF:
+            # Over-subscribed BITS list (violates Kraft inequality) — only
+            # reachable from a malformed DHT segment.
+            raise ValueError("invalid Huffman table: code space exhausted")
         codes[i] = code
         if current_size > 16 or code == 0xFFFF:
             codes = codes[: i + 1]
@@ -70,9 +74,15 @@ class HuffmanTable:
         """
         bits = np.asarray(bits, dtype=np.uint8)
         values = np.asarray(values, dtype=np.uint8)
-        assert bits.shape == (16,), bits.shape
+        if bits.shape != (16,):
+            raise ValueError(f"DHT BITS list must have 16 entries, got {bits.shape}")
         lengths = np.repeat(np.arange(1, 17, dtype=np.uint8), bits)
-        assert len(lengths) == len(values), (len(lengths), len(values))
+        if len(lengths) != len(values):
+            # Truncated/corrupt DHT segment (counts disagree with HUFFVAL).
+            raise ValueError(
+                f"DHT mismatch: {len(lengths)} codes declared, "
+                f"{len(values)} values present"
+            )
         codes = make_code_table(lengths)
         n = len(codes)
         lengths = lengths[:n]

@@ -260,7 +260,11 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
             # JPEG B.2.2; parity src/jpeg/mod.rs:262-298.
             height = _u16(vec, body + 1)
             width = _u16(vec, body + 3)
+            if width == 0 or height == 0:
+                raise JPEGError(f"invalid frame dimensions {width}x{height}")
             ncomp = int(vec[body + 5])
+            if ncomp == 0 or ncomp > 4:
+                raise JPEGError(f"unsupported component count {ncomp}")
             idx = body + 6
             for _ in range(ncomp):
                 cid = int(vec[idx])
