@@ -6,9 +6,14 @@ A capability the reference never finished (its forward DCT and zigzag are
 generates restart-interval test streams for the parallel entropy decoder and
 enables encode->decode property tests independent of libjpeg.
 
+Two entropy engines:
+- ``engine="python"``: pure-Python bit packing (slow, obviously correct);
+- ``engine="native"``: the C++ runtime's per-restart-segment parallel
+  encoder (``runtime/native/jpegtpu_enc.cpp``) fed with natural-order
+  coefficient planes — the same layout the TPU forward-DCT path emits.
+
 Dense math (color convert, downsample, forward DCT, quantization) is
-vectorized NumPy mirroring the device pipeline's matrix formulation; the
-entropy pass is host bit-packing (irregular, stays on host by design).
+vectorized NumPy mirroring the device pipeline's matrix formulation.
 """
 
 from __future__ import annotations
@@ -18,7 +23,7 @@ import numpy as np
 from jpeg_tpu.entropy import annex_k
 from jpeg_tpu.entropy.tables import HuffmanTable
 from jpeg_tpu.ops.idct import forward_dct_matrix
-from jpeg_tpu.ops.zigzag import zigzag
+from jpeg_tpu.ops.zigzag import unzigzag, zigzag
 
 
 def _build_encode_maps(table: HuffmanTable):
@@ -104,24 +109,15 @@ def _plane_to_blocks(plane: np.ndarray) -> np.ndarray:
     return plane.reshape(r, 8, c, 8).transpose(0, 2, 1, 3).reshape(r * c, 64)
 
 
-def encode_rgb(rgb: np.ndarray, quality: int = 85,
-               subsampling: tuple[int, int] = (2, 2),
-               restart_interval_mcus: int = 0,
-               grayscale: bool = False) -> bytes:
-    """Encode [H, W, 3] u8 RGB (or [H, W] gray) to baseline JFIF bytes.
-
-    ``subsampling`` is the luma sampling factor (h, v): (1,1)=4:4:4,
-    (2,1)=4:2:2, (2,2)=4:2:0 — the same matrix the reference decodes
-    (SURVEY.md §2 feature matrix).
-    """
+def _forward_transform(rgb, quality, subsampling, grayscale):
+    """RGB/gray -> per-component quantized zigzag blocks + geometry."""
     rgb = np.asarray(rgb)
     if rgb.ndim == 2:
         grayscale = True
     h_s, v_s = (1, 1) if grayscale else subsampling
 
     if grayscale:
-        y = rgb.astype(np.float32) - 128.0
-        planes = [y]
+        planes = [rgb.astype(np.float32) - 128.0]
         samplings = [(1, 1)]
     else:
         r = rgb[..., 0].astype(np.float32)
@@ -160,18 +156,25 @@ def encode_rgb(rgb: np.ndarray, quality: int = 85,
         zz = np.round(zigzag(coeffs) / q).astype(np.int32)
         comp_blocks_zz.append(zz.reshape(rows, cols, 64))
 
-    dc_t = [HuffmanTable.from_bits_values(annex_k.DC_LUMA_BITS, annex_k.DC_LUMA_VALS)]
-    ac_t = [HuffmanTable.from_bits_values(annex_k.AC_LUMA_BITS, annex_k.AC_LUMA_VALS)]
-    if not grayscale:
-        dc_t.append(HuffmanTable.from_bits_values(annex_k.DC_CHROMA_BITS, annex_k.DC_CHROMA_VALS))
-        ac_t.append(HuffmanTable.from_bits_values(annex_k.AC_CHROMA_BITS, annex_k.AC_CHROMA_VALS))
-    dc_maps = [_build_encode_maps(t) for t in dc_t]
-    ac_maps = [_build_encode_maps(t) for t in ac_t]
+    return (comp_blocks_zz, samplings, quant_zz, height, width,
+            mcus_x, mcus_y, grayscale)
 
-    # --- entropy-coded scan with optional restart markers ---
+
+def _slots(samplings):
+    """MCU slot order: (component, vi, hi), vi-major (JPEG A.2.3)."""
+    out = []
+    for ci, (h, v) in enumerate(samplings):
+        for vi in range(v):
+            for hi in range(h):
+                out.append((ci, vi, hi))
+    return out
+
+
+def _entropy_python(comp_blocks_zz, samplings, dc_maps, ac_maps,
+                    mcus_x, mcus_y, restart_interval_mcus):
     scan = bytearray()
     writer = BitWriter()
-    prev_dc = [0] * len(planes)
+    prev_dc = [0] * len(samplings)
     n_mcus = mcus_x * mcus_y
     rst = 0
     for mi in range(n_mcus):
@@ -181,43 +184,105 @@ def encode_rgb(rgb: np.ndarray, quality: int = 85,
             scan += bytes([0xFF, 0xD0 + rst])
             rst = (rst + 1) % 8
             writer = BitWriter()
-            prev_dc = [0] * len(planes)
+            prev_dc = [0] * len(samplings)
         my, mx = divmod(mi, mcus_x)
-        for ci, (h, v) in enumerate(samplings):
+        for ci, vi, hi in _slots(samplings):
+            h, v = samplings[ci]
             ti = min(ci, 1)
-            for vi in range(v):
-                for hi in range(h):
-                    blk = comp_blocks_zz[ci][my * v + vi, mx * h + hi]
-                    delta = int(blk[0]) - prev_dc[ci]
-                    prev_dc[ci] = int(blk[0])
-                    _encode_block(writer, blk, delta, dc_maps[ti], ac_maps[ti])
+            blk = comp_blocks_zz[ci][my * v + vi, mx * h + hi]
+            delta = int(blk[0]) - prev_dc[ci]
+            prev_dc[ci] = int(blk[0])
+            _encode_block(writer, blk, delta, dc_maps[ti], ac_maps[ti])
     writer.flush()
     scan += writer.out
+    return bytes(scan)
+
+
+def _entropy_native(comp_blocks_zz, samplings, dc_maps, ac_maps,
+                    mcus_x, mcus_y, restart_interval_mcus):
+    from jpeg_tpu.runtime import native_encode_scan
+
+    # Natural-order int16 planes (the TPU forward path's output layout).
+    planes = []
+    for blocks_zz in comp_blocks_zz:
+        rows, cols, _ = blocks_zz.shape
+        nat = unzigzag(blocks_zz.reshape(-1, 64)).reshape(rows, cols, 8, 8)
+        planes.append(
+            nat.transpose(0, 2, 1, 3).reshape(rows * 8, cols * 8).astype(np.int16)
+        )
+    def _pack(maps):
+        if len(maps) == 1:
+            maps = maps * 2  # grayscale: duplicate luma into slot 1
+        return np.stack([m[0] for m in maps]), np.stack([m[1] for m in maps])
+
+    dc_code, dc_len = _pack(dc_maps)
+    ac_code, ac_len = _pack(ac_maps)
+    segs = native_encode_scan(
+        planes, _slots(samplings),
+        [h for h, _ in samplings], [v for _, v in samplings],
+        mcus_x, mcus_x * mcus_y, restart_interval_mcus,
+        dc_code, dc_len, ac_code, ac_len,
+        [min(ci, 1) for ci in range(len(samplings))],
+    )
+    scan = bytearray(segs[0])
+    for i, seg in enumerate(segs[1:]):
+        scan += bytes([0xFF, 0xD0 + (i % 8)])
+        scan += seg
+    return bytes(scan)
+
+
+def encode_rgb(rgb: np.ndarray, quality: int = 85,
+               subsampling: tuple[int, int] = (2, 2),
+               restart_interval_mcus: int = 0,
+               grayscale: bool = False,
+               engine: str = "native") -> bytes:
+    """Encode [H, W, 3] u8 RGB (or [H, W] gray) to baseline JFIF bytes.
+
+    ``subsampling`` is the luma sampling factor (h, v): (1,1)=4:4:4,
+    (2,1)=4:2:2, (2,2)=4:2:0 — the same matrix the reference decodes
+    (SURVEY.md §2 feature matrix). ``engine``: "native" (threaded C++
+    entropy pack, parallel over restart segments) or "python".
+    """
+    (comp_blocks_zz, samplings, quant_zz, height, width,
+     mcus_x, mcus_y, grayscale) = _forward_transform(
+        rgb, quality, subsampling, grayscale)
+
+    dc_t = [HuffmanTable.from_bits_values(annex_k.DC_LUMA_BITS, annex_k.DC_LUMA_VALS)]
+    ac_t = [HuffmanTable.from_bits_values(annex_k.AC_LUMA_BITS, annex_k.AC_LUMA_VALS)]
+    if not grayscale:
+        dc_t.append(HuffmanTable.from_bits_values(
+            annex_k.DC_CHROMA_BITS, annex_k.DC_CHROMA_VALS))
+        ac_t.append(HuffmanTable.from_bits_values(
+            annex_k.AC_CHROMA_BITS, annex_k.AC_CHROMA_VALS))
+    dc_maps = [_build_encode_maps(t) for t in dc_t]
+    ac_maps = [_build_encode_maps(t) for t in ac_t]
+
+    entropy = _entropy_native if engine == "native" else _entropy_python
+    try:
+        scan = entropy(comp_blocks_zz, samplings, dc_maps, ac_maps,
+                       mcus_x, mcus_y, restart_interval_mcus)
+    except (ImportError, OSError):
+        scan = _entropy_python(comp_blocks_zz, samplings, dc_maps, ac_maps,
+                               mcus_x, mcus_y, restart_interval_mcus)
 
     # --- container ---
     out = bytearray(b"\xff\xd8")  # SOI
-    # APP0 JFIF
     app0 = b"JFIF\x00\x01\x01\x00" + (1).to_bytes(2, "big") * 2 + b"\x00\x00"
     out += b"\xff\xe0" + (len(app0) + 2).to_bytes(2, "big") + app0
-    # DQT
     for tid, q in enumerate(quant_zz):
         body = bytes([tid]) + bytes(q.astype(np.uint8).tolist())
         out += b"\xff\xdb" + (len(body) + 2).to_bytes(2, "big") + body
-    # SOF0
-    ncomp = len(planes)
+    ncomp = len(samplings)
     sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big") + bytes([ncomp])
     for ci, (h, v) in enumerate(samplings):
         sof += bytes([ci + 1, (h << 4) | v, min(ci, 1)])
     out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
-    # DHT
     for cls, tables in ((0, dc_t), (1, ac_t)):
         for tid, t in enumerate(tables):
             body = bytes([(cls << 4) | tid]) + bytes(t.bits.tolist()) + bytes(t.values.tolist())
             out += b"\xff\xc4" + (len(body) + 2).to_bytes(2, "big") + body
-    # DRI
     if restart_interval_mcus:
         out += b"\xff\xdd\x00\x04" + restart_interval_mcus.to_bytes(2, "big")
-    # SOS
     sos = bytes([ncomp])
     for ci in range(ncomp):
         ti = min(ci, 1)

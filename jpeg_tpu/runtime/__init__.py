@@ -17,8 +17,10 @@ import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
 _SO_PATH = os.path.join(_NATIVE_DIR, "build", "libjpegtpu.so")
+_ENC_SO_PATH = os.path.join(_NATIVE_DIR, "build", "libjpegtpu_enc.so")
 
 _lib = None
+_enc_lib = None
 _out_buffers: dict = {}  # (thread id, shape key) -> reusable output buffer
 
 
@@ -82,6 +84,90 @@ def _load() -> ctypes.CDLL:
     ]
     _lib = lib
     return lib
+
+
+def _load_enc() -> ctypes.CDLL:
+    global _enc_lib
+    if _enc_lib is not None:
+        return _enc_lib
+    src = os.path.join(_NATIVE_DIR, "jpegtpu_enc.cpp")
+    if not os.path.exists(_ENC_SO_PATH) or os.path.getmtime(
+        _ENC_SO_PATH
+    ) < os.path.getmtime(src):
+        subprocess.run(
+            ["make", "-s", "-C", _NATIVE_DIR, "build/libjpegtpu_enc.so"],
+            check=True, capture_output=True,
+        )
+    lib = ctypes.CDLL(_ENC_SO_PATH)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    lib.jt_encode_scan.restype = ctypes.c_int32
+    lib.jt_encode_scan.argtypes = [
+        ctypes.POINTER(i16p), i64p,  # planes, strides
+        u8p, u8p, u8p, ctypes.c_int32,  # slot comp/vi/hi, bpm
+        u8p, u8p, ctypes.c_int32, ctypes.c_int32,  # comp h/v, n_comp, mcus_x
+        ctypes.c_int64, ctypes.c_int32,  # n_mcus, restart_interval
+        u32p, u8p, u32p, u8p,  # dc/ac code+len tables [2][256]
+        u8p,  # comp_tid
+        u8p, ctypes.c_int64, i64p,  # out, seg_capacity, seg_bytes
+        ctypes.c_int32,  # n_threads
+    ]
+    _enc_lib = lib
+    return lib
+
+
+def native_encode_scan(planes, slots, comp_h, comp_v, mcus_x, n_mcus,
+                       restart_interval, dc_code, dc_len, ac_code, ac_len,
+                       comp_tid, n_threads: int | None = None) -> list[bytes]:
+    """Entropy-encode quantized natural-order int16 planes -> per-restart-
+    segment byte strings (each byte-aligned; caller interleaves RST markers).
+
+    Parallel across segments. ``dc_code``/... are [2, 256] symbol tables
+    (uint32 codes / uint8 lengths), ``comp_tid`` the 0/1 selector per
+    component.
+    """
+    lib = _load_enc()
+    if n_threads is None:
+        n_threads = os.cpu_count() or 1
+    planes = [np.ascontiguousarray(p, dtype=np.int16) for p in planes]
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    ptrs = (i16p * len(planes))(*[_p(p, ctypes.c_int16) for p in planes])
+    strides = np.array([p.shape[1] for p in planes], dtype=np.int64)
+    slot_comp = np.array([s[0] for s in slots], dtype=np.uint8)
+    slot_vi = np.array([s[1] for s in slots], dtype=np.uint8)
+    slot_hi = np.array([s[2] for s in slots], dtype=np.uint8)
+    bpm = len(slots)
+    ri = restart_interval or n_mcus
+    n_segs = -(-n_mcus // ri)
+    # Worst case ~ stuffing-doubled 27 bits/coefficient.
+    seg_capacity = int(ri * bpm * 64 * 8 + 64)
+    for _ in range(3):
+        out = np.empty(n_segs * seg_capacity, dtype=np.uint8)
+        seg_bytes = np.zeros(n_segs, dtype=np.int64)
+        rc = lib.jt_encode_scan(
+            ptrs, _p(strides, ctypes.c_int64),
+            _p(slot_comp, ctypes.c_uint8), _p(slot_vi, ctypes.c_uint8),
+            _p(slot_hi, ctypes.c_uint8), bpm,
+            _p(np.asarray(comp_h, np.uint8), ctypes.c_uint8),
+            _p(np.asarray(comp_v, np.uint8), ctypes.c_uint8),
+            len(planes), mcus_x, n_mcus, restart_interval,
+            _p(np.ascontiguousarray(dc_code, np.uint32), ctypes.c_uint32),
+            _p(np.ascontiguousarray(dc_len, np.uint8), ctypes.c_uint8),
+            _p(np.ascontiguousarray(ac_code, np.uint32), ctypes.c_uint32),
+            _p(np.ascontiguousarray(ac_len, np.uint8), ctypes.c_uint8),
+            _p(np.asarray(comp_tid, np.uint8), ctypes.c_uint8),
+            _p(out, ctypes.c_uint8), seg_capacity,
+            _p(seg_bytes, ctypes.c_int64), n_threads,
+        )
+        if rc == 0:
+            return [
+                out[s * seg_capacity : s * seg_capacity + seg_bytes[s]].tobytes()
+                for s in range(n_segs)
+            ]
+        seg_capacity *= 4
+    raise RuntimeError("encode scan capacity overflow")
 
 
 def _p(arr: np.ndarray, ctype):

@@ -1,0 +1,194 @@
+// jpeg_tpu native runtime: baseline JPEG entropy ENCODER.
+//
+// The reference never built an encoder (its forward DCT is dead code,
+// src/transform.rs:18-53). This implements the host half of the TPU encode
+// pipeline: quantized coefficients arrive as per-component natural-order
+// int16 planes (the same layout the TPU forward-DCT kernel emits and the
+// decoder's entropy stage consumes), and this library performs zigzag
+// readout, DC prediction, run-length + magnitude coding, Huffman bit packing
+// with 0xFF00 stuffing, and restart markers — parallel across restart
+// segments (each segment is byte-aligned and DC-reset, so segments encode
+// independently and concatenate; JPEG F.2.1.3.1).
+//
+// Built as its own .so (see build.py) and driven via ctypes.
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr uint8_t kZigRow[64] = {
+    0, 0, 1, 2, 1, 0, 0, 1, 2, 3, 4, 3, 2, 1, 0, 0, 1, 2, 3, 4, 5, 6,
+    5, 4, 3, 2, 1, 0, 0, 1, 2, 3, 4, 5, 6, 7, 7, 6, 5, 4, 3, 2, 1, 2,
+    3, 4, 5, 6, 7, 7, 6, 5, 4, 3, 4, 5, 6, 7, 7, 6, 5, 6, 7, 7};
+constexpr uint8_t kZigCol[64] = {
+    0, 1, 0, 0, 1, 2, 3, 2, 1, 0, 0, 1, 2, 3, 4, 5, 4, 3, 2, 1, 0, 0,
+    1, 2, 3, 4, 5, 6, 7, 6, 5, 4, 3, 2, 1, 0, 1, 2, 3, 4, 5, 6, 7, 7,
+    6, 5, 4, 3, 2, 3, 4, 5, 6, 7, 7, 6, 5, 4, 5, 6, 7, 7, 6, 7};
+
+// MSB-first bit packer with JPEG byte stuffing (B.1.1.5).
+struct BitWriter {
+  uint8_t* out;
+  int64_t pos = 0;
+  uint64_t acc = 0;
+  int nbits = 0;
+
+  explicit BitWriter(uint8_t* buf) : out(buf) {}
+
+  inline void put(uint32_t code, int len) {
+    acc = (acc << len) | (code & ((1u << len) - 1));
+    nbits += len;
+    while (nbits >= 8) {
+      nbits -= 8;
+      uint8_t b = (uint8_t)(acc >> nbits);
+      out[pos++] = b;
+      if (b == 0xFF) out[pos++] = 0x00;  // stuffing
+    }
+    acc &= (1u << nbits) - 1;
+  }
+  inline void flush() {  // pad final byte with 1-bits (F.1.2.3)
+    if (nbits) {
+      int pad = 8 - nbits;
+      put((1u << pad) - 1, pad);
+    }
+  }
+};
+
+inline int magnitude(int32_t v) {
+  uint32_t a = v < 0 ? -v : v;
+  return a == 0 ? 0 : 32 - __builtin_clz(a);
+}
+
+struct EncJob {
+  const int16_t* const* planes;  // [n_comp] natural-order quantized coeffs
+  const int64_t* plane_stride;
+  const uint8_t* slot_comp;  // [bpm]
+  const uint8_t* slot_vi;
+  const uint8_t* slot_hi;
+  int32_t blocks_per_mcu;
+  const uint8_t* comp_h;
+  const uint8_t* comp_v;
+  int32_t n_comp;
+  int32_t mcus_x;
+  int64_t n_mcus;
+  int32_t restart_interval;  // MCUs per segment (0 = single segment)
+  // Encode tables: symbol -> (code, length), [tid][256]
+  const uint32_t* dc_code;  // [2][256] (table 0 luma, 1 chroma)
+  const uint8_t* dc_len;
+  const uint32_t* ac_code;
+  const uint8_t* ac_len;
+  const uint8_t* comp_tid;  // [n_comp] 0/1 table selector
+  uint8_t* out;             // per-segment scratch, seg_capacity each
+  int64_t seg_capacity;
+  int64_t* seg_bytes;  // [n_segs] out: bytes written per segment
+};
+
+inline void encode_block(BitWriter& bw, const int16_t* blk, int64_t stride,
+                         int32_t* prev_dc, const uint32_t* dc_code,
+                         const uint8_t* dc_len, const uint32_t* ac_code,
+                         const uint8_t* ac_len) {
+  int32_t dc = blk[0];
+  int32_t diff = dc - *prev_dc;
+  *prev_dc = dc;
+  int size = magnitude(diff);
+  bw.put(dc_code[size], dc_len[size]);
+  if (size) {
+    int32_t v = diff < 0 ? diff + (1 << size) - 1 : diff;
+    bw.put((uint32_t)v, size);
+  }
+  int run = 0;
+  for (int k = 1; k < 64; ++k) {
+    int32_t v = blk[kZigRow[k] * stride + kZigCol[k]];
+    if (v == 0) {
+      ++run;
+      continue;
+    }
+    while (run >= 16) {
+      bw.put(ac_code[0xF0], ac_len[0xF0]);  // ZRL
+      run -= 16;
+    }
+    int s = magnitude(v);
+    int sym = (run << 4) | s;
+    bw.put(ac_code[sym], ac_len[sym]);
+    int32_t m = v < 0 ? v + (1 << s) - 1 : v;
+    bw.put((uint32_t)m, s);
+    run = 0;
+  }
+  if (run) bw.put(ac_code[0x00], ac_len[0x00]);  // EOB
+}
+
+void encode_segments(const EncJob& job, int64_t seg_lo, int64_t seg_hi,
+                     int64_t ri) {
+  for (int64_t s = seg_lo; s < seg_hi; ++s) {
+    int64_t mcu0 = s * ri;
+    int64_t mcu1 = std::min<int64_t>(mcu0 + ri, job.n_mcus);
+    BitWriter bw(job.out + s * job.seg_capacity);
+    int32_t prev_dc[4] = {0, 0, 0, 0};
+    for (int64_t mcu = mcu0; mcu < mcu1; ++mcu) {
+      int64_t my = mcu / job.mcus_x;
+      int64_t mx = mcu % job.mcus_x;
+      for (int slot = 0; slot < job.blocks_per_mcu; ++slot) {
+        int c = job.slot_comp[slot];
+        int tid = job.comp_tid[c];
+        int64_t st = job.plane_stride[c];
+        int64_t by = my * job.comp_v[c] + job.slot_vi[slot];
+        int64_t bx = mx * job.comp_h[c] + job.slot_hi[slot];
+        const int16_t* blk = job.planes[c] + by * 8 * st + bx * 8;
+        encode_block(bw, blk, st, &prev_dc[c], job.dc_code + tid * 256,
+                     job.dc_len + tid * 256, job.ac_code + tid * 256,
+                     job.ac_len + tid * 256);
+      }
+    }
+    bw.flush();
+    job.seg_bytes[s] = bw.pos;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode all restart segments in parallel. `out` must hold n_segs *
+// seg_capacity bytes; per-segment lengths land in seg_bytes. Returns 0, or
+// -1 if any segment overran seg_capacity (caller retries with more room).
+int32_t jt_encode_scan(const int16_t* const* planes,
+                       const int64_t* plane_stride, const uint8_t* slot_comp,
+                       const uint8_t* slot_vi, const uint8_t* slot_hi,
+                       int32_t blocks_per_mcu, const uint8_t* comp_h,
+                       const uint8_t* comp_v, int32_t n_comp, int32_t mcus_x,
+                       int64_t n_mcus, int32_t restart_interval,
+                       const uint32_t* dc_code, const uint8_t* dc_len,
+                       const uint32_t* ac_code, const uint8_t* ac_len,
+                       const uint8_t* comp_tid, uint8_t* out,
+                       int64_t seg_capacity, int64_t* seg_bytes,
+                       int32_t n_threads) {
+  int64_t ri = restart_interval > 0 ? restart_interval : n_mcus;
+  int64_t n_segs = (n_mcus + ri - 1) / ri;
+  EncJob job{planes,  plane_stride, slot_comp, slot_vi, slot_hi,
+             blocks_per_mcu, comp_h, comp_v,   n_comp,  mcus_x,
+             n_mcus,  restart_interval,        dc_code, dc_len,
+             ac_code, ac_len,       comp_tid,  out,     seg_capacity,
+             seg_bytes};
+  int nt = (int)std::min<int64_t>(n_threads > 0 ? n_threads : 1, n_segs);
+  if (nt <= 1) {
+    encode_segments(job, 0, n_segs, ri);
+  } else {
+    std::vector<std::thread> threads;
+    threads.reserve(nt);
+    for (int t = 0; t < nt; ++t) {
+      int64_t lo = n_segs * t / nt;
+      int64_t hi = n_segs * (t + 1) / nt;
+      threads.emplace_back(encode_segments, std::cref(job), lo, hi, ri);
+    }
+    for (auto& th : threads) th.join();
+  }
+  for (int64_t s = 0; s < n_segs; ++s) {
+    if (seg_bytes[s] > seg_capacity - 2) return -1;
+  }
+  return 0;
+}
+
+}  // extern "C"

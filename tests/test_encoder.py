@@ -75,3 +75,22 @@ def test_odd_dimensions():
     dec = decode_bytes(data, rounding="round", engine="oracle")
     assert dec.shape == (37, 53, 3)
     assert psnr(dec, img) > 28.0
+
+
+@pytest.mark.parametrize("sub", [(1, 1), (2, 2)])
+@pytest.mark.parametrize("ri", [0, 3])
+def test_native_entropy_encoder_identical(sub, ri):
+    """C++ per-segment parallel encoder must be byte-identical to Python."""
+    img = _test_image(80, 112, seed=7)
+    a = encode_rgb(img, quality=88, subsampling=sub,
+                   restart_interval_mcus=ri, engine="python")
+    b = encode_rgb(img, quality=88, subsampling=sub,
+                   restart_interval_mcus=ri, engine="native")
+    assert a == b
+
+
+def test_native_entropy_encoder_grayscale_identical():
+    img = _test_image(64, 64, seed=8)[..., 0]
+    a = encode_rgb(img, quality=90, restart_interval_mcus=2, engine="python")
+    b = encode_rgb(img, quality=90, restart_interval_mcus=2, engine="native")
+    assert a == b
