@@ -18,7 +18,16 @@ def cmd_decode(args) -> int:
     from jpeg_tpu.io.ppm import write_ppm
     from jpeg_tpu.models.decoder import decode_file
 
-    rgb = decode_file(args.input, rounding=args.rounding, engine=args.engine)
+    if args.path == "fast":
+        from jpeg_tpu.io.container import parse_jpeg
+        from jpeg_tpu.models.decoder import decode_plan_fast
+        import numpy as np
+
+        with open(args.input, "rb") as f:
+            plan = parse_jpeg(f.read())
+        rgb = np.asarray(decode_plan_fast(plan, rounding=args.rounding))
+    else:
+        rgb = decode_file(args.input, rounding=args.rounding, engine=args.engine)
     write_ppm(args.output, rgb, binary=not args.p3)
     print(f"{args.input}: {rgb.shape[1]}x{rgb.shape[0]} -> {args.output}")
     return 0
@@ -110,6 +119,8 @@ def main(argv=None) -> int:
     d.add_argument("output")
     d.add_argument("--rounding", choices=["truncate", "round"], default="truncate")
     d.add_argument("--engine", choices=["auto", "native", "oracle"], default="auto")
+    d.add_argument("--path", choices=["compat", "fast"], default="compat",
+                   help="fast = plane-layout Pallas pipeline (TPU)")
     d.add_argument("--p3", action="store_true",
                    help="ASCII P3 output (reference main.rs format); default P6")
     d.set_defaults(fn=cmd_decode)

@@ -38,6 +38,8 @@ from jpeg_tpu.ops.idct import dct_basis_1d
 from jpeg_tpu.ops.zigzag import unzigzag
 
 TILE_W = 256  # Y-resolution column-tile width (2 MXU lane groups)
+BAND_ROWS = 128  # Y-resolution rows per grid cell: full-height MXU matmuls
+# (an 8- or 16-row LHS runs the MXU at 1/8 utilization; 128 rows ~ full).
 
 
 def _kron_eye(m: np.ndarray, n: int) -> np.ndarray:
@@ -62,13 +64,25 @@ def quant_pattern(quant_zz: np.ndarray, rows: int, cols: int) -> np.ndarray:
     return np.tile(qnat, (rows // 8, cols // 8))
 
 
+def band_mcus(geom) -> int:
+    """MCU rows per grid band (BAND_ROWS of Y resolution)."""
+    return BAND_ROWS // (8 * geom.v_max)
+
+
+def n_bands(geom) -> int:
+    return -(-geom.mcus_y // band_mcus(geom))
+
+
 def padded_plane_shapes(geom) -> list[tuple[int, int]]:
-    """[rows, stride] per component, strides aligned so a TILE_W Y-tile maps
-    to whole chroma tiles (Y stride is a multiple of TILE_W). Must match
-    ``jpeg_tpu.runtime.plane_shapes``."""
+    """[rows, stride] per component: strides aligned so a TILE_W Y-tile maps
+    to whole chroma tiles (Y stride multiple of TILE_W); rows padded to whole
+    BAND_ROWS bands (pad region zero -> decodes to gray, cropped off). Must
+    match ``jpeg_tpu.runtime.plane_shapes``."""
     base = -(-geom.mcus_x * geom.h_max * 8 // TILE_W) * TILE_W
+    bm = band_mcus(geom)
+    nb = n_bands(geom)
     return [
-        (geom.mcus_y * v * 8, base * h // geom.h_max)
+        (nb * bm * v * 8, base * h // geom.h_max)
         for (h, v) in geom.sampling
     ]
 
@@ -135,10 +149,11 @@ def fused_plane_decoder(geom, rounding: str = "truncate",
     [3, H_pad, W_pad]. Plane shapes per :func:`padded_plane_shapes`; qpat
     tiles per :func:`quant_pattern` with that component's (rows, cols)."""
     n_comp = len(geom.sampling)
-    band_h = 8 * geom.v_max
     shapes = padded_plane_shapes(geom)
     w_pad = shapes[0][1]
-    grid = (geom.mcus_y, w_pad // TILE_W)
+    bm = band_mcus(geom)
+    nb = n_bands(geom)
+    grid = (nb, w_pad // TILE_W)
 
     plane_specs = []
     qpat_specs = []
@@ -146,7 +161,7 @@ def fused_plane_decoder(geom, rounding: str = "truncate",
     a = dct_basis_1d()  # A[u, x]
     for (h, v) in geom.sampling:
         fy, fx = geom.v_max // v, geom.h_max // h
-        rows, cols = 8 * v, TILE_W // fx
+        rows, cols = bm * v * 8, TILE_W // fx
         plane_specs.append(
             pl.BlockSpec((rows, cols), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM)
@@ -165,11 +180,11 @@ def fused_plane_decoder(geom, rounding: str = "truncate",
         grid=grid,
         in_specs=plane_specs + qpat_specs + aux_specs,
         out_specs=pl.BlockSpec(
-            (3, band_h, TILE_W), lambda i, j: (0, i, j),
+            (3, BAND_ROWS, TILE_W), lambda i, j: (0, i, j),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (3, geom.mcus_y * band_h, w_pad), jnp.uint8
+            (3, nb * BAND_ROWS, w_pad), jnp.uint8
         ),
         interpret=interpret,
     )
@@ -185,9 +200,10 @@ def fused_plane_decoder(geom, rounding: str = "truncate",
 def plan_quant_patterns(plan, geom) -> list[np.ndarray]:
     """Per-component dequant tiles for :func:`fused_plane_decoder` inputs."""
     out = []
+    bm = band_mcus(geom)
     for (h, v) in geom.sampling:
         fx = geom.h_max // h
-        rows, cols = 8 * v, TILE_W // fx
+        rows, cols = bm * v * 8, TILE_W // fx
         ci = len(out)
         q = plan.quant_tables[plan.components[ci].quant_id]
         out.append(quant_pattern(q, rows, cols))

@@ -247,19 +247,24 @@ def native_decode_coefficients(plan, n_threads: int | None = None,
 
 
 _PLANE_TILE_W = 256  # must match jpeg_tpu.ops.pallas_kernels.TILE_W
+_PLANE_BAND_ROWS = 128  # must match jpeg_tpu.ops.pallas_kernels.BAND_ROWS
 
 
 def plane_shapes(plan) -> list[tuple[int, int]]:
     """Padded [rows, stride] of each component's coefficient plane.
 
-    The luma stride is padded to the fused kernel's column-tile width so one
-    Y tile always maps to whole chroma tiles (matches
-    ``jpeg_tpu.ops.pallas_kernels.padded_plane_shapes``); pad region is zero.
+    Strides padded to the fused kernel's column-tile width (one Y tile maps
+    to whole chroma tiles); rows padded to whole BAND_ROWS bands (full-height
+    MXU matmuls). Matches ``jpeg_tpu.ops.pallas_kernels.padded_plane_shapes``
+    (enforced by test_plane_shapes_alignment); pad region stays zero.
     """
     h_max = max(c.h for c in plan.components)
+    v_max = max(c.v for c in plan.components)
     base = -(-plan.mcus_x * h_max * 8 // _PLANE_TILE_W) * _PLANE_TILE_W
+    bm = _PLANE_BAND_ROWS // (8 * v_max)
+    nb = -(-plan.mcus_y // bm)
     return [
-        (plan.mcus_y * c.v * 8, base * c.h // h_max) for c in plan.components
+        (nb * bm * c.v * 8, base * c.h // h_max) for c in plan.components
     ]
 
 
