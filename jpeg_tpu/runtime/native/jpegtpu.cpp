@@ -139,31 +139,45 @@ inline int next_block_plane(BitReader& br, const uint16_t* dc_lut,
   for (int r = 0; r < 8; ++r) {
     std::memset(plane + r * stride, 0, 8 * sizeof(int16_t));
   }
-  uint32_t peek = br.peek16();
-  uint32_t e = dc_lut[peek];
+  // A symbol needs at most 16 (code) + 11 (magnitude) = 27 bits, so one
+  // refill up front covers the combined code+magnitude advance below.
+  if (br.count < 27) br.refill();
+  uint32_t e = dc_lut[(uint32_t)(br.bits >> 48)];
   int len = e & 0xFF;
   if (__builtin_expect(len == 0, 0)) return 1;
-  br.consume(len);
   int nbits = e >> 8;
-  int32_t dc = value_correction(br.read(nbits), nbits) + *prev_dc;
+  int total = len + nbits;
+  uint32_t raw = (uint32_t)((br.bits >> (64 - total)) & ((1u << nbits) - 1));
+  br.bits <<= total;
+  br.count -= total;
+  int32_t dc = value_correction(raw, nbits) + *prev_dc;
   *prev_dc = dc;
   plane[0] = (int16_t)dc;
   int k = 1;
   while (k < 64) {
-    peek = br.peek16();
-    e = ac_lut[peek];
+    if (br.count < 27) br.refill();
+    e = ac_lut[(uint32_t)(br.bits >> 48)];
     len = e & 0xFF;
     if (__builtin_expect(len == 0, 0)) return 2;
-    br.consume(len);
     int sym = e >> 8;
-    if (sym == 0x00) break;  // EOB
+    if (__builtin_expect(sym == 0x00, 0)) {  // EOB
+      br.bits <<= len;
+      br.count -= len;
+      break;
+    }
     if (__builtin_expect(sym == 0xF0, 0)) {  // ZRL
+      br.bits <<= len;
+      br.count -= len;
       k += (64 - k < 16) ? (64 - k) : 16;
       continue;
     }
-    int run = (sym >> 4) & 0xF;
     int size = sym & 0xF;
-    int32_t v = value_correction(br.read(size), size);
+    total = len + size;
+    raw = (uint32_t)((br.bits >> (64 - total)) & ((1u << size) - 1));
+    br.bits <<= total;
+    br.count -= total;
+    int32_t v = value_correction(raw, size);
+    int run = (sym >> 4) & 0xF;
     int cap = 64 - k - 1;
     k += (run < cap) ? run : cap;
     plane[zoff[k++]] = (int16_t)v;
