@@ -131,7 +131,17 @@ def bench_device_pipeline(plan, planes, iters=32):
     dt = time.perf_counter() - t0 - overhead
     frames_per_s = iters / dt
     blocks_per_s = frames_per_s * geom.total_blocks
-    return frames_per_s, blocks_per_s
+
+    # Speed-of-light fraction: the kernel's minimum HBM traffic per frame is
+    # one read of the int16 coefficient planes + one write of the padded
+    # planar u8 output (v5e HBM ~819 GB/s).
+    from jpeg_tpu.ops.pallas_kernels import padded_plane_shapes
+
+    shapes = padded_plane_shapes(geom)
+    bytes_in = sum(r * c * 2 for r, c in shapes)
+    bytes_out = 3 * shapes[0][0] * shapes[0][1]
+    sol_fps = 819e9 / (bytes_in + bytes_out)
+    return frames_per_s, blocks_per_s, frames_per_s / sol_fps
 
 
 def bench_host_entropy(plan, iters=10):
@@ -185,12 +195,11 @@ def main():
         from jpeg_tpu.runtime import native_decode_planes
 
         planes = native_decode_planes(plan)
-        dev_fps, blocks_per_s = bench_device_pipeline(plan, planes)
+        dev_fps, blocks_per_s, sol_frac = bench_device_pipeline(plan, planes)
     else:
-        from jpeg_tpu.models.decoder import decode_coefficients_host  # noqa
-
         raise SystemExit("native runtime required for bench")
-    log(f"device pipeline: {dev_fps:.1f} frames/s, {blocks_per_s/1e9:.2f} Gblocks/s")
+    log(f"device pipeline: {dev_fps:.1f} frames/s, "
+        f"{blocks_per_s/1e9:.2f} Gblocks/s, {sol_frac:.1%} of HBM speed-of-light")
 
     if entropy_fps is not None:
         corpus_entropy_fps = bench_host_entropy_corpus(plan)
@@ -209,6 +218,7 @@ def main():
                 "entropy_corpus_fps": round(corpus_entropy_fps, 2),
                 "device_pipeline_fps": round(dev_fps, 2),
                 "idct_blocks_per_s": round(blocks_per_s),
+                "device_sol_fraction": round(sol_frac, 4),
                 "libjpeg_1thread_fps": round(lib_fps, 2),
                 "host_cores": os.cpu_count(),
             },

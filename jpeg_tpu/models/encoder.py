@@ -231,6 +231,135 @@ def _entropy_native(comp_blocks_zz, samplings, dc_maps, ac_maps,
     return bytes(scan)
 
 
+def encode_rgb_device(rgb: np.ndarray, quality: int = 85,
+                      subsampling: tuple[int, int] = (2, 2),
+                      restart_interval_mcus: int = 0,
+                      grayscale: bool = False,
+                      interpret: bool | None = None) -> bytes:
+    """Encode with the forward transform on the TPU.
+
+    The dense half (color convert, chroma box downsample, forward DCT,
+    quantization) runs as the fused Pallas encode kernel
+    (:func:`jpeg_tpu.ops.pallas_kernels.fused_plane_encoder`) — the mirror of
+    the decode kernel — emitting quantized int16 coefficient planes that the
+    C++ entropy encoder packs in parallel. Not byte-identical to the NumPy
+    path (float summation order on quantization ties); equivalent quality.
+    """
+    import jax
+
+    from jpeg_tpu.models.decoder import PipelineGeometry
+    from jpeg_tpu.ops.pallas_kernels import (
+        fused_plane_encoder,
+        padded_plane_shapes,
+        plan_inv_quant_patterns,
+    )
+    from jpeg_tpu.runtime import native_encode_scan
+
+    rgb = np.asarray(rgb)
+    if rgb.ndim == 2:
+        grayscale = True
+    h_s, v_s = (1, 1) if grayscale else subsampling
+    height, width = rgb.shape[:2]
+    samplings = [(1, 1)] if grayscale else [(h_s, v_s), (1, 1), (1, 1)]
+    h_max = max(s[0] for s in samplings)
+    v_max = max(s[1] for s in samplings)
+    mcus_x = -(-width // (8 * h_max))
+    mcus_y = -(-height // (8 * v_max))
+    geom = PipelineGeometry(
+        width=width, height=height, mcus_x=mcus_x, mcus_y=mcus_y,
+        h_max=h_max, v_max=v_max, sampling=tuple(samplings),
+    )
+    shapes = padded_plane_shapes(geom)
+    # Component 0 (luma) is at full Y resolution: its padded plane shape is
+    # exactly the planar RGB input shape the kernel expects.
+    rows_pad, w_pad = shapes[0]
+
+    # Host prep: edge-padded planar u8.
+    if grayscale:
+        chans = rgb[None]
+    else:
+        chans = rgb.transpose(2, 0, 1)
+    planar = np.pad(
+        chans, ((0, 0), (0, rows_pad - height), (0, w_pad - width)), mode="edge"
+    )
+
+    q_luma = annex_k.scaled_quant_table(annex_k.QUANT_LUMA, quality)
+    q_chroma = annex_k.scaled_quant_table(annex_k.QUANT_CHROMA, quality)
+    quant_zz = [q_luma] + ([] if grayscale else [q_chroma])
+    comp_q = [quant_zz[min(ci, len(quant_zz) - 1)] for ci in range(len(samplings))]
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    fn = fused_plane_encoder(geom, interpret)
+    iqp = plan_inv_quant_patterns(comp_q, geom)
+    import jax.numpy as jnp
+
+    planes = fn(jnp.asarray(planar), *[jnp.asarray(q) for q in iqp])
+    planes = [np.asarray(p) for p in planes]
+
+    dc_t = [HuffmanTable.from_bits_values(annex_k.DC_LUMA_BITS, annex_k.DC_LUMA_VALS)]
+    ac_t = [HuffmanTable.from_bits_values(annex_k.AC_LUMA_BITS, annex_k.AC_LUMA_VALS)]
+    if not grayscale:
+        dc_t.append(HuffmanTable.from_bits_values(
+            annex_k.DC_CHROMA_BITS, annex_k.DC_CHROMA_VALS))
+        ac_t.append(HuffmanTable.from_bits_values(
+            annex_k.AC_CHROMA_BITS, annex_k.AC_CHROMA_VALS))
+    dc_maps = [_build_encode_maps(t) for t in dc_t]
+    ac_maps = [_build_encode_maps(t) for t in ac_t]
+
+    def _pack(maps):
+        if len(maps) == 1:
+            maps = maps * 2
+        return np.stack([m[0] for m in maps]), np.stack([m[1] for m in maps])
+
+    dc_code, dc_len = _pack(dc_maps)
+    ac_code, ac_len = _pack(ac_maps)
+    segs = native_encode_scan(
+        planes, _slots(samplings),
+        [h for h, _ in samplings], [v for _, v in samplings],
+        mcus_x, mcus_x * mcus_y, restart_interval_mcus,
+        dc_code, dc_len, ac_code, ac_len,
+        [min(ci, 1) for ci in range(len(samplings))],
+    )
+    scan = bytearray(segs[0])
+    for i, seg in enumerate(segs[1:]):
+        scan += bytes([0xFF, 0xD0 + (i % 8)])
+        scan += seg
+    return _container(bytes(scan), samplings, quant_zz, dc_t, ac_t,
+                      height, width, restart_interval_mcus)
+
+
+def _container(scan, samplings, quant_zz, dc_t, ac_t, height, width,
+               restart_interval_mcus) -> bytes:
+    """Assemble SOI..EOI around an entropy-coded scan."""
+    out = bytearray(b"\xff\xd8")  # SOI
+    app0 = b"JFIF\x00\x01\x01\x00" + (1).to_bytes(2, "big") * 2 + b"\x00\x00"
+    out += b"\xff\xe0" + (len(app0) + 2).to_bytes(2, "big") + app0
+    for tid, q in enumerate(quant_zz):
+        body = bytes([tid]) + bytes(q.astype(np.uint8).tolist())
+        out += b"\xff\xdb" + (len(body) + 2).to_bytes(2, "big") + body
+    ncomp = len(samplings)
+    sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big") + bytes([ncomp])
+    for ci, (h, v) in enumerate(samplings):
+        sof += bytes([ci + 1, (h << 4) | v, min(ci, 1)])
+    out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
+    for cls, tables in ((0, dc_t), (1, ac_t)):
+        for tid, t in enumerate(tables):
+            body = bytes([(cls << 4) | tid]) + bytes(t.bits.tolist()) + bytes(t.values.tolist())
+            out += b"\xff\xc4" + (len(body) + 2).to_bytes(2, "big") + body
+    if restart_interval_mcus:
+        out += b"\xff\xdd\x00\x04" + restart_interval_mcus.to_bytes(2, "big")
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        ti = min(ci, 1)
+        sos += bytes([ci + 1, (ti << 4) | ti])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 def encode_rgb(rgb: np.ndarray, quality: int = 85,
                subsampling: tuple[int, int] = (2, 2),
                restart_interval_mcus: int = 0,
@@ -265,30 +394,5 @@ def encode_rgb(rgb: np.ndarray, quality: int = 85,
         scan = _entropy_python(comp_blocks_zz, samplings, dc_maps, ac_maps,
                                mcus_x, mcus_y, restart_interval_mcus)
 
-    # --- container ---
-    out = bytearray(b"\xff\xd8")  # SOI
-    app0 = b"JFIF\x00\x01\x01\x00" + (1).to_bytes(2, "big") * 2 + b"\x00\x00"
-    out += b"\xff\xe0" + (len(app0) + 2).to_bytes(2, "big") + app0
-    for tid, q in enumerate(quant_zz):
-        body = bytes([tid]) + bytes(q.astype(np.uint8).tolist())
-        out += b"\xff\xdb" + (len(body) + 2).to_bytes(2, "big") + body
-    ncomp = len(samplings)
-    sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big") + bytes([ncomp])
-    for ci, (h, v) in enumerate(samplings):
-        sof += bytes([ci + 1, (h << 4) | v, min(ci, 1)])
-    out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
-    for cls, tables in ((0, dc_t), (1, ac_t)):
-        for tid, t in enumerate(tables):
-            body = bytes([(cls << 4) | tid]) + bytes(t.bits.tolist()) + bytes(t.values.tolist())
-            out += b"\xff\xc4" + (len(body) + 2).to_bytes(2, "big") + body
-    if restart_interval_mcus:
-        out += b"\xff\xdd\x00\x04" + restart_interval_mcus.to_bytes(2, "big")
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        ti = min(ci, 1)
-        sos += bytes([ci + 1, (ti << 4) | ti])
-    sos += bytes([0, 63, 0])
-    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
-    out += scan
-    out += b"\xff\xd9"  # EOI
-    return bytes(out)
+    return _container(scan, samplings, quant_zz, dc_t, ac_t, height, width,
+                      restart_interval_mcus)

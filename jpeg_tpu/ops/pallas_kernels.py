@@ -197,6 +197,126 @@ def fused_plane_decoder(geom, rounding: str = "truncate",
     return run
 
 
+def _row_mean_matrix(rows: int, f: int) -> np.ndarray:
+    """D [rows/f, rows] with D @ x box-averaging groups of f rows."""
+    return np.kron(np.eye(rows // f), np.full((1, f), 1.0 / f)).astype(np.float32)
+
+
+def _col_mean_matrix(cols: int, f: int) -> np.ndarray:
+    """D [cols, cols/f] with x @ D box-averaging groups of f columns."""
+    return np.kron(np.eye(cols // f), np.full((f, 1), 1.0 / f)).astype(np.float32)
+
+
+def _encode_kernel(*refs, geom, n_comp: int):
+    """Forward transform of one (band, col-tile) cell: planar RGB u8 in,
+    quantized int16 coefficient planes out.
+
+    refs: [rgb u8 (3|1, BAND_ROWS, TILE_W)] [inv qpat x n_comp]
+    [per-comp static aux: bd_a, bd_at (+ drow, dcol when subsampling)]
+    [out int16 x n_comp]."""
+    rgb_ref = refs[0]
+    iqpat_refs = refs[1 : 1 + n_comp]
+    out_refs = refs[-n_comp:]
+    aux = list(refs[1 + n_comp : -n_comp])
+
+    if n_comp == 1:
+        planes = [rgb_ref[0].astype(jnp.float32) - 128.0]
+    else:
+        r = rgb_ref[0].astype(jnp.float32)
+        g = rgb_ref[1].astype(jnp.float32)
+        b = rgb_ref[2].astype(jnp.float32)
+        y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+        cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b
+        cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b
+        planes = [y, cb, cr]
+
+    for ci, (h, v) in enumerate(geom.sampling):
+        fy, fx = geom.v_max // v, geom.h_max // h
+        x = planes[ci]
+        bd_a = aux.pop(0)
+        bd_at = aux.pop(0)
+        if fy > 1:
+            x = jnp.dot(aux.pop(0)[:], x, preferred_element_type=jnp.float32)
+        if fx > 1:
+            x = jnp.dot(x, aux.pop(0)[:], preferred_element_type=jnp.float32)
+        # Forward DCT sandwich: kron(I, A) @ g @ kron(I, A^T).
+        t = jnp.dot(bd_a[:], x, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        coeffs = jnp.dot(t, bd_at[:], preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        q = jnp.round(coeffs * iqpat_refs[ci][:])
+        out_refs[ci][:, :] = jnp.clip(q, -32767.0, 32767.0).astype(
+            jnp.int32).astype(jnp.int16)
+
+
+@lru_cache(maxsize=256)
+def fused_plane_encoder(geom, interpret: bool = False):
+    """Build jitted fn: (rgb planar u8 [3|1, H_pad, W_pad], *inv_qpat f32)
+    -> per-component quantized int16 coefficient planes
+    (padded_plane_shapes layout — directly consumable by the C++ entropy
+    encoder). Input must be edge-padded to the padded Y plane shape."""
+    n_comp = len(geom.sampling)
+    shapes = padded_plane_shapes(geom)
+    w_pad = shapes[0][1]
+    bm = band_mcus(geom)
+    nb = n_bands(geom)
+    grid = (nb, w_pad // TILE_W)
+    n_chan = 3 if n_comp == 3 else 1
+
+    rgb_spec = pl.BlockSpec((n_chan, BAND_ROWS, TILE_W), lambda i, j: (0, i, j),
+                            memory_space=pltpu.VMEM)
+    iqpat_specs = []
+    static_aux = []
+    out_specs = []
+    out_shapes = []
+    a = dct_basis_1d()
+    for (h, v) in geom.sampling:
+        fy, fx = geom.v_max // v, geom.h_max // h
+        rows, cols = bm * v * 8, TILE_W // fx
+        iqpat_specs.append(_const_spec((rows, cols)))
+        static_aux.append(_kron_eye(a, rows // 8))
+        static_aux.append(_kron_eye(a.T, cols // 8))
+        if fy > 1:
+            static_aux.append(_row_mean_matrix(BAND_ROWS, fy))
+        if fx > 1:
+            static_aux.append(_col_mean_matrix(TILE_W, fx))
+        out_specs.append(
+            pl.BlockSpec((rows, cols), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM)
+        )
+        rtot, ctot = shapes[len(out_shapes)]
+        out_shapes.append(jax.ShapeDtypeStruct((rtot, ctot), jnp.int16))
+    aux_specs = [_const_spec(arr.shape) for arr in static_aux]
+
+    call = pl.pallas_call(
+        partial(_encode_kernel, geom=geom, n_comp=n_comp),
+        grid=grid,
+        in_specs=[rgb_spec] + iqpat_specs + aux_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        interpret=interpret,
+    )
+    aux_jnp = [jnp.asarray(x) for x in static_aux]
+
+    @jax.jit
+    def run(rgb_planar, *iqpats):
+        return call(rgb_planar, *iqpats, *aux_jnp)
+
+    return run
+
+
+def plan_inv_quant_patterns(quant_tables_zz, geom) -> list[np.ndarray]:
+    """Per-component reciprocal quant tiles for :func:`fused_plane_encoder`.
+    ``quant_tables_zz``: zigzag-order table per component."""
+    out = []
+    bm = band_mcus(geom)
+    for ci, (h, v) in enumerate(geom.sampling):
+        fx = geom.h_max // h
+        rows, cols = bm * v * 8, TILE_W // fx
+        out.append(1.0 / quant_pattern(quant_tables_zz[ci], rows, cols))
+    return out
+
+
 def plan_quant_patterns(plan, geom) -> list[np.ndarray]:
     """Per-component dequant tiles for :func:`fused_plane_decoder` inputs."""
     out = []

@@ -79,6 +79,33 @@ def decode_batch_with_metrics(coeffs, matrices, geom: PipelineGeometry,
     return jax.jit(fn)(jnp.asarray(coeffs), jnp.asarray(matrices))
 
 
+def decode_batch_fast(planes_batch, qpats_batch, geom: PipelineGeometry,
+                      rounding: str = "truncate", mesh: Mesh | None = None,
+                      interpret: bool | None = None):
+    """Batched fast path: vmap of the fused Pallas plane kernel, optionally
+    sharded over the ``data`` mesh axis.
+
+    ``planes_batch``: per-component [B, rows_c, stride_c] int16;
+    ``qpats_batch``: per-component [B, qrows, qcols] f32.
+    Returns planar u8 [B, 3, H_pad, W_pad].
+    """
+    import jax as _jax
+
+    from jpeg_tpu.ops.pallas_kernels import fused_plane_decoder
+
+    if interpret is None:
+        interpret = _jax.default_backend() == "cpu"
+    fn = _jax.vmap(fused_plane_decoder(geom, rounding, interpret))
+    if mesh is None:
+        run = jax.jit(fn)
+    else:
+        shard = NamedSharding(mesh, P("data"))
+        n_in = len(planes_batch) + len(qpats_batch)
+        run = jax.jit(fn, in_shardings=(shard,) * n_in, out_shardings=shard)
+    return run(*[jnp.asarray(p) for p in planes_batch],
+               *[jnp.asarray(q) for q in qpats_batch])
+
+
 def decode_batch_rows_sp(coeffs, matrices, geom: PipelineGeometry, mesh: Mesh,
                          rounding: str = "truncate"):
     """Batch decode sharded over BOTH mesh axes: images over ``data`` and MCU

@@ -94,3 +94,27 @@ def test_native_entropy_encoder_grayscale_identical():
     a = encode_rgb(img, quality=90, restart_interval_mcus=2, engine="python")
     b = encode_rgb(img, quality=90, restart_interval_mcus=2, engine="native")
     assert a == b
+
+
+def test_device_encoder_matches_host():
+    """Pallas forward kernel path produces equivalent streams (interpret)."""
+    from jpeg_tpu.models.encoder import encode_rgb_device
+
+    img = _test_image(96, 144, seed=11)
+    for sub in [(1, 1), (2, 2)]:
+        a = encode_rgb(img, quality=90, subsampling=sub, restart_interval_mcus=2)
+        b = encode_rgb_device(img, quality=90, subsampling=sub,
+                              restart_interval_mcus=2)
+        da = decode_bytes(a, rounding="round")
+        db = decode_bytes(b, rounding="round")
+        # Quantization ties may flip a coefficient; decoded images must agree.
+        assert psnr(da, db) > 45.0
+
+
+def test_device_encoder_grayscale():
+    from jpeg_tpu.models.encoder import encode_rgb_device
+
+    img = _test_image(64, 80, seed=12)[..., 0]
+    data = encode_rgb_device(img, quality=88)
+    dec = decode_bytes(data, rounding="round")
+    assert psnr(dec[..., 0], img) > 28.0

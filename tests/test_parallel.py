@@ -94,3 +94,29 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert out.shape == (128, 128, 3)
     ge.dryrun_multichip(8)
+
+
+def test_batch_fast_path_sharded():
+    """vmap'd Pallas fast path sharded over the data axis (interpret mode)."""
+    import jax.numpy as jnp
+
+    from jpeg_tpu.io.corpus import synthetic_jpeg
+    from jpeg_tpu.ops.pallas_kernels import plan_quant_patterns
+    from jpeg_tpu.parallel.batch import decode_batch_fast
+    from jpeg_tpu.runtime import native_decode_planes
+
+    data = synthetic_jpeg(128, 96, seed=0)
+    plan = parse_jpeg(data)
+    geom = PipelineGeometry.of(plan)
+    planes = [np.asarray(p) for p in native_decode_planes(plan)]
+    qpats = plan_quant_patterns(plan, geom)
+    B = 8
+    bp = [np.broadcast_to(p, (B,) + p.shape).copy() for p in planes]
+    bq = [np.broadcast_to(q, (B,) + q.shape).copy() for q in qpats]
+    mesh = make_mesh(n_data=8, n_seg=1)
+    out = np.asarray(decode_batch_fast(bp, bq, geom, mesh=mesh))
+    single = np.asarray(decode_batch_fast([p[None] for p in planes],
+                                          [q[None] for q in qpats], geom))[0]
+    assert out.shape[0] == B
+    for i in range(B):
+        np.testing.assert_array_equal(out[i], single)
