@@ -219,12 +219,16 @@ def _encode_kernel(*refs, geom, n_comp: int):
     out_refs = refs[-n_comp:]
     aux = list(refs[1 + n_comp : -n_comp])
 
+    def _to_f32(x):
+        # Mosaic has no direct u8->f32 cast; widen to i32 first.
+        return x.astype(jnp.int32).astype(jnp.float32)
+
     if n_comp == 1:
-        planes = [rgb_ref[0].astype(jnp.float32) - 128.0]
+        planes = [_to_f32(rgb_ref[0]) - 128.0]
     else:
-        r = rgb_ref[0].astype(jnp.float32)
-        g = rgb_ref[1].astype(jnp.float32)
-        b = rgb_ref[2].astype(jnp.float32)
+        r = _to_f32(rgb_ref[0])
+        g = _to_f32(rgb_ref[1])
+        b = _to_f32(rgb_ref[2])
         y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
         cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b
         cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b
