@@ -78,6 +78,16 @@ def _load() -> ctypes.CDLL:
         ctypes.POINTER(i16p), i64p,  # plane ptrs, strides
         ctypes.c_int32,  # n_threads
     ]
+    lib.jt_decode_scan_planes_spec.restype = ctypes.c_int64
+    lib.jt_decode_scan_planes_spec.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int64,  # data, n_bytes, n_mcus
+        u8p, u8p, u8p, ctypes.c_int32,  # slot comp/vi/hi, blocks_per_mcu
+        u8p, u8p, u8p, u8p, ctypes.c_int32,  # comp dc/ac/h/v, n_comp
+        ctypes.c_int32,  # mcus_x
+        u16p, u16p,  # packed LUTs
+        ctypes.POINTER(i16p), i64p,  # plane ptrs, strides
+        ctypes.c_int32, ctypes.c_int32,  # n_chunks, n_threads
+    ]
     lib.jt_unstuff_scan.restype = ctypes.c_int64
     lib.jt_unstuff_scan.argtypes = [
         u8p, ctypes.c_int64, u8p, i64p, i64p, i64p, ctypes.c_int64, i64p,
@@ -269,14 +279,20 @@ def plane_shapes(plan) -> list[tuple[int, int]]:
 
 
 def native_decode_planes(plan, n_threads: int | None = None,
-                         reuse_buffer: bool = True) -> list[np.ndarray]:
+                         reuse_buffer: bool = True,
+                         speculative: bool | None = None) -> list[np.ndarray]:
     """Threaded entropy decode into per-component natural-order int16 planes.
 
     The fast path (SURVEY.md §7 layers 4-5): de-zigzag happens during the
     C++ scatter writes (free), so the device IDCT runs as plane-tiled
     matmuls with no relayout (:mod:`jpeg_tpu.ops.pallas_kernels`). Quantized
-    coefficients (dequant is folded into the device stage); strides padded
-    to 128 lanes; pad region stays zero.
+    coefficients (dequant is folded into the device stage); pad regions of
+    the padded strides stay zero.
+
+    Restart-segmented streams decode segment-parallel. Streams WITHOUT
+    restart markers use speculative self-synchronizing parallel decode
+    (``speculative=None`` auto-enables it for single-segment scans >=64KB;
+    always bit-identical — broken sync links fall back to sequential).
 
     Same ``reuse_buffer`` contract as :func:`native_decode_coefficients`.
     """
@@ -322,6 +338,26 @@ def native_decode_planes(plan, n_threads: int | None = None,
     i16p = ctypes.POINTER(ctypes.c_int16)
     ptrs = (i16p * len(planes))(*[_p(p, ctypes.c_int16) for p in planes])
     strides = np.array([s[1] for s in shapes], dtype=np.int64)
+
+    if speculative is None:
+        speculative = (
+            len(plan.segments) == 1 and data.size >= 65536 and n_threads > 1
+        )
+    if speculative and len(plan.segments) == 1:
+        err = lib.jt_decode_scan_planes_spec(
+            _p(data, ctypes.c_uint8), data.size, plan.n_mcus,
+            _p(slot_comp, ctypes.c_uint8), _p(slot_vi, ctypes.c_uint8),
+            _p(slot_hi, ctypes.c_uint8), plan.blocks_per_mcu,
+            _p(comp_dc, ctypes.c_uint8), _p(comp_ac, ctypes.c_uint8),
+            _p(comp_h, ctypes.c_uint8), _p(comp_v, ctypes.c_uint8),
+            len(plan.components), plan.mcus_x,
+            _p(dc_luts, ctypes.c_uint16), _p(ac_luts, ctypes.c_uint16),
+            ptrs, _p(strides, ctypes.c_int64),
+            2 * n_threads, n_threads,
+        )
+        if err >= 0:
+            raise NativeDecodeError(int(err))
+        return planes
 
     err = lib.jt_decode_scan_planes(
         _p(data, ctypes.c_uint8), data.size,

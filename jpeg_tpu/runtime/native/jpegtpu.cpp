@@ -16,6 +16,7 @@
 //
 // Build: see build.py / Makefile (g++ -O3 -shared). C ABI, driven via ctypes.
 
+#include <array>
 #include <atomic>
 #include <cstdint>
 #include <cstring>
@@ -306,9 +307,282 @@ void decode_segments(const ScanJob& job, int64_t lo, int64_t hi,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Speculative self-synchronizing parallel decode for streams WITHOUT restart
+// markers (SURVEY.md §5 mechanism (b), after "Accelerating JPEG Decompression
+// on GPUs", arXiv 2111.09219). Huffman streams self-synchronize: a decoder
+// started at a wrong bit position usually re-aligns with the true symbol
+// stream within a few MCUs. Phase A decodes each byte-aligned chunk
+// speculatively (positions only) and records candidate MCU-start bit
+// offsets; a sequential merge intersects each thread's overlap positions
+// with the next thread's record — a common position chained from the
+// ground-truth start IS a true MCU boundary with the right table phase.
+// Phase B re-decodes the verified ranges in parallel with local DC
+// predictors, then a fix-up pass adds the per-range DC corrections
+// (prefix sums of the per-range delta totals). Any broken sync link falls
+// back to sequential decode of the remainder — always correct, speedup
+// opportunistic.
+
+// Skip one block (positions only). Returns 0 ok, nonzero on invalid prefix.
+inline int skip_block(BitReader& br, const uint16_t* dc_lut,
+                      const uint16_t* ac_lut) {
+  if (br.count < 27) br.refill();
+  uint32_t e = dc_lut[(uint32_t)(br.bits >> 48)];
+  int len = e & 0xFF;
+  if (__builtin_expect(len == 0, 0)) return 1;
+  int total = len + (e >> 8);
+  br.bits <<= total;
+  br.count -= total;
+  int k = 1;
+  while (k < 64) {
+    if (br.count < 27) br.refill();
+    e = ac_lut[(uint32_t)(br.bits >> 48)];
+    len = e & 0xFF;
+    if (__builtin_expect(len == 0, 0)) return 2;
+    int sym = e >> 8;
+    if (sym == 0x00) {
+      br.bits <<= len;
+      br.count -= len;
+      break;
+    }
+    if (__builtin_expect(sym == 0xF0, 0)) {
+      br.bits <<= len;
+      br.count -= len;
+      k += (64 - k < 16) ? (64 - k) : 16;
+      continue;
+    }
+    total = len + (sym & 0xF);
+    br.bits <<= total;
+    br.count -= total;
+    k += ((sym >> 4) & 0xF) + 1;
+  }
+  return 0;
+}
+
+struct SpecThreadResult {
+  std::vector<int64_t> mcu_bits;  // candidate MCU-start bit offsets (abs)
+  bool ok = false;
+};
+
+// Absolute bit position of a reader that started at data+base_byte.
+inline int64_t reader_bitpos(const BitReader& br, const uint8_t* data,
+                             int64_t base_byte) {
+  return (base_byte + (br.p - data)) * 8 - br.count;
+}
+
 }  // namespace
 
 extern "C" {
+
+// Speculative no-restart parallel decode into int16 planes. Same output
+// contract as jt_decode_scan_planes for a single segment. `n_chunks` chunks
+// decode concurrently; returns -1 ok, or >=0 first failing chunk under the
+// sequential fallback (i.e. truly corrupt stream).
+int64_t jt_decode_scan_planes_spec(
+    const uint8_t* data, int64_t n_bytes, int64_t n_mcus,
+    const uint8_t* slot_comp, const uint8_t* slot_vi, const uint8_t* slot_hi,
+    int32_t blocks_per_mcu, const uint8_t* comp_dc_id,
+    const uint8_t* comp_ac_id, const uint8_t* comp_h, const uint8_t* comp_v,
+    int32_t n_comp, int32_t mcus_x, const uint16_t* dc_luts,
+    const uint16_t* ac_luts, int16_t* const* planes,
+    const int64_t* plane_stride, int32_t n_chunks, int32_t n_threads) {
+  constexpr int kOverlapMcus = 96;  // recorded past chunk end for syncing
+  const uint16_t* slot_dc[64];
+  const uint16_t* slot_ac[64];
+  for (int s = 0; s < blocks_per_mcu; ++s) {
+    int c = slot_comp[s];
+    slot_dc[s] = dc_luts + comp_dc_id[c] * kLutSize;
+    slot_ac[s] = ac_luts + comp_ac_id[c] * kLutSize;
+  }
+
+  int64_t K = std::max<int64_t>(1, std::min<int64_t>(n_chunks, n_bytes / 4096));
+  std::vector<int64_t> chunk_byte(K + 1);
+  for (int64_t k = 0; k <= K; ++k) chunk_byte[k] = n_bytes * k / K;
+
+  // --- Phase A: speculative position scan per chunk ---
+  std::vector<SpecThreadResult> res(K);
+  auto phase_a = [&](int64_t k) {
+    int64_t limit_bit = (k + 1 < K) ? chunk_byte[k + 1] * 8 : n_bytes * 8;
+    // Try successive byte-aligned starts until a parse survives long enough.
+    for (int64_t start = chunk_byte[k];
+         start < std::min(chunk_byte[k] + 4096, n_bytes); ++start) {
+      SpecThreadResult r;
+      BitReader br(data + start, n_bytes - start);
+      int64_t past_end = 0;
+      bool bad = false;
+      while (true) {
+        int64_t pos = (int64_t)start * 8 + reader_bitpos(br, data + start, 0);
+        if (pos >= (int64_t)n_bytes * 8) break;
+        r.mcu_bits.push_back(pos);
+        if (pos >= limit_bit && ++past_end > kOverlapMcus) break;
+        for (int slot = 0; slot < blocks_per_mcu; ++slot) {
+          if (skip_block(br, slot_dc[slot], slot_ac[slot])) {
+            bad = true;
+            break;
+          }
+        }
+        if (bad) break;
+        if ((int64_t)r.mcu_bits.size() >
+            (chunk_byte[k + 1] - chunk_byte[k] + 8) * 8 + kOverlapMcus)
+          break;  // runaway (paranoid bound)
+      }
+      // Heuristic acceptance: parsed to (or past) the chunk end.
+      if (!bad || (!r.mcu_bits.empty() && r.mcu_bits.back() >= limit_bit)) {
+        r.ok = true;
+        res[k] = std::move(r);
+        return;
+      }
+    }
+    res[k].ok = false;
+  };
+  {
+    int nt = (int)std::min<int64_t>(n_threads > 0 ? n_threads : 1, K);
+    std::vector<std::thread> threads;
+    std::atomic<int64_t> next(0);
+    for (int t = 0; t < nt; ++t) {
+      threads.emplace_back([&]() {
+        for (;;) {
+          int64_t k = next.fetch_add(1);
+          if (k >= K) return;
+          phase_a(k);
+        }
+      });
+    }
+    for (auto& th : threads) th.join();
+  }
+
+  // --- Merge: chain sync points from the ground-truth start ---
+  // ranges: (start_bit, mcu_start). Chunk 0's parse from bit 0 is truth.
+  std::vector<int64_t> range_bit{0};
+  std::vector<int64_t> range_mcu{0};
+  bool chain_ok = res[0].ok;
+  int64_t mcu_base = 0;  // global MCU index of res[k] valid-from point
+  int64_t valid_from_idx = 0;  // index into res[k].mcu_bits of valid start
+  for (int64_t k = 0; k + 1 < K && chain_ok; ++k) {
+    const auto& a = res[k].mcu_bits;
+    const auto& b = res[k + 1].mcu_bits;
+    if (!res[k + 1].ok) {
+      chain_ok = false;
+      break;
+    }
+    // First common position at/after chunk k+1's byte start.
+    int64_t boundary = chunk_byte[k + 1] * 8;
+    size_t ia = valid_from_idx, ib = 0;
+    while (ia < a.size() && a[ia] < boundary) ++ia;
+    int64_t sync = -1, sync_ia = -1, sync_ib = -1;
+    while (ia < a.size() && ib < b.size()) {
+      if (a[ia] == b[ib]) {
+        sync = a[ia];
+        sync_ia = (int64_t)ia;
+        sync_ib = (int64_t)ib;
+        break;
+      }
+      if (a[ia] < b[ib]) ++ia;
+      else ++ib;
+    }
+    if (sync < 0) {
+      chain_ok = false;
+      break;
+    }
+    int64_t sync_mcu = mcu_base + (sync_ia - valid_from_idx);
+    if (sync_mcu >= n_mcus) break;
+    range_bit.push_back(sync);
+    range_mcu.push_back(sync_mcu);
+    mcu_base = sync_mcu;
+    valid_from_idx = sync_ib;
+  }
+
+  // --- Phase B: exact decode of verified ranges (parallel), local DC ---
+  int64_t R = (int64_t)range_bit.size();
+  std::vector<std::array<int32_t, 4>> range_final_dc(R);
+  std::atomic<int64_t> first_error(-1);
+  int32_t zoff_all[8][64];
+  for (int c = 0; c < n_comp; ++c) {
+    int64_t st = plane_stride[c];
+    for (int kk = 0; kk < 64; ++kk)
+      zoff_all[c][kk] = (int32_t)(kZigRow[kk] * st + kZigCol[kk]);
+  }
+  auto phase_b = [&](int64_t r) {
+    int64_t bit0 = range_bit[r];
+    int64_t mcu0 = range_mcu[r];
+    int64_t mcu1 = (r + 1 < R) ? range_mcu[r + 1] : n_mcus;
+    // Reader from the byte containing bit0.
+    int64_t byte0 = bit0 >> 3;
+    BitReader br(data + byte0, n_bytes - byte0);
+    br.refill();
+    int drop = (int)(bit0 & 7);
+    br.bits <<= drop;
+    br.count -= drop;
+    int32_t prev_dc[4] = {0, 0, 0, 0};
+    for (int64_t mcu = mcu0; mcu < mcu1; ++mcu) {
+      int64_t my = mcu / mcus_x;
+      int64_t mx = mcu % mcus_x;
+      for (int slot = 0; slot < blocks_per_mcu; ++slot) {
+        int c = slot_comp[slot];
+        int64_t st = plane_stride[c];
+        int64_t by = my * comp_v[c] + slot_vi[slot];
+        int64_t bx = mx * comp_h[c] + slot_hi[slot];
+        int16_t* dst = planes[c] + by * 8 * st + bx * 8;
+        int err = next_block_plane(br, slot_dc[slot], slot_ac[slot], dst, st,
+                                   zoff_all[c], &prev_dc[c]);
+        if (__builtin_expect(err != 0, 0)) {
+          int64_t expect = -1;
+          first_error.compare_exchange_strong(expect, r);
+          return;
+        }
+      }
+    }
+    for (int c = 0; c < 4; ++c) range_final_dc[r][c] = prev_dc[c];
+  };
+  if (!chain_ok && R == 1) {
+    // Pure sequential fallback (also the corrupt-stream path).
+    phase_b(0);
+    return first_error.load() >= 0 ? 0 : -1;
+  }
+  {
+    int nt = (int)std::min<int64_t>(n_threads > 0 ? n_threads : 1, R);
+    std::vector<std::thread> threads;
+    std::atomic<int64_t> next(0);
+    for (int t = 0; t < nt; ++t) {
+      threads.emplace_back([&]() {
+        for (;;) {
+          int64_t r = next.fetch_add(1);
+          if (r >= R) return;
+          phase_b(r);
+        }
+      });
+    }
+    for (auto& th : threads) th.join();
+  }
+  if (first_error.load() >= 0) return first_error.load();
+
+  // --- DC fix-up: add prefix-sum corrections to each range's DC coeffs ---
+  std::array<int32_t, 4> corr = {0, 0, 0, 0};
+  for (int64_t r = 0; r < R; ++r) {
+    if (r > 0) {
+      bool any = false;
+      for (int c = 0; c < n_comp; ++c) any |= (corr[c] != 0);
+      if (any) {
+        int64_t mcu0 = range_mcu[r];
+        int64_t mcu1 = (r + 1 < R) ? range_mcu[r + 1] : n_mcus;
+        for (int64_t mcu = mcu0; mcu < mcu1; ++mcu) {
+          int64_t my = mcu / mcus_x;
+          int64_t mx = mcu % mcus_x;
+          for (int slot = 0; slot < blocks_per_mcu; ++slot) {
+            int c = slot_comp[slot];
+            int64_t st = plane_stride[c];
+            int64_t by = my * comp_v[c] + slot_vi[slot];
+            int64_t bx = mx * comp_h[c] + slot_hi[slot];
+            planes[c][by * 8 * st + bx * 8] =
+                (int16_t)(planes[c][by * 8 * st + bx * 8] + corr[c]);
+          }
+        }
+      }
+    }
+    for (int c = 0; c < n_comp; ++c) corr[c] += range_final_dc[r][c];
+  }
+  return -1;
+}
 
 // Returns -1 on success, else the index of the first failed segment.
 int64_t jt_decode_scan(const uint8_t* data, int64_t /*n_bytes*/,

@@ -1,0 +1,78 @@
+"""Speculative self-synchronizing parallel decode (no-restart streams).
+
+SURVEY.md §5 mechanism (b): for streams without restart markers, chunks
+decode speculatively and sync points are verified by position intersection;
+broken links fall back to sequential. Contract: ALWAYS bit-identical to the
+sequential decode.
+"""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from conftest import CORPUS
+from jpeg_tpu.io.container import parse_jpeg
+from jpeg_tpu.runtime import native_available, native_decode_planes
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native runtime not built"
+)
+
+
+def _assert_spec_equals_seq(data):
+    plan = parse_jpeg(data)
+    assert len(plan.segments) == 1
+    seq = [p.copy() for p in native_decode_planes(
+        plan, speculative=False, reuse_buffer=False)]
+    spec = native_decode_planes(plan, speculative=True, reuse_buffer=False)
+    for a, b in zip(seq, spec):
+        np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("name", list(CORPUS))
+def test_reference_corpus(name, corpus):
+    """The reference corpus has no restart markers — exactly the case."""
+    _assert_spec_equals_seq(corpus[name])
+
+
+@pytest.mark.parametrize("subsampling", [0, 1, 2])
+def test_random_images(subsampling):
+    rng = np.random.default_rng(subsampling)
+    for trial in range(2):
+        h = int(rng.integers(160, 400))
+        w = int(rng.integers(160, 400))
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        img = np.clip(
+            128 + 90 * np.sin(xx / 17)[..., None] * np.cos(yy / 13)[..., None]
+            * np.ones(3) + rng.normal(0, 20, (h, w, 3)), 0, 255
+        ).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, "JPEG", quality=90,
+                                  subsampling=subsampling)
+        _assert_spec_equals_seq(buf.getvalue())
+
+
+def test_many_chunks_small_stream():
+    """Chunk count capped by stream size; must still be identical."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=95)
+    plan = parse_jpeg(buf.getvalue())
+    seq = [p.copy() for p in native_decode_planes(
+        plan, speculative=False, reuse_buffer=False)]
+    spec = native_decode_planes(plan, speculative=True, reuse_buffer=False,
+                                n_threads=8)
+    for a, b in zip(seq, spec):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_low_entropy_stream():
+    """Flat image -> highly repetitive bitstream (sync-hostile); the
+    sequential fallback must keep it bit-identical."""
+    img = np.full((256, 256, 3), 128, dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=85)
+    _assert_spec_equals_seq(buf.getvalue())
