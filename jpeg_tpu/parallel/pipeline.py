@@ -74,3 +74,79 @@ class CorpusDecoder:
         """Generator variant for streaming consumption."""
         with ThreadPoolExecutor(max_workers=self.workers) as ex:
             yield from ex.map(self._decode_one, items)
+
+
+class BatchedCorpusDecoder:
+    """Geometry-bucketed batch decode: the sharded batch feeder.
+
+    Production shape for large homogeneous corpora (SURVEY.md C1
+    TPU-equivalent): images are parsed and entropy-decoded on host workers,
+    grouped by pipeline geometry, and each group runs through ONE batched
+    (vmap) fused-kernel invocation — optionally sharded over a device mesh's
+    ``data`` axis. Mixed-geometry corpora form multiple buckets; odd images
+    fall back to single-image decode. Per-image error isolation throughout.
+    """
+
+    def __init__(self, workers: int | None = None, rounding: str = "truncate",
+                 mesh=None):
+        self.workers = workers or os.cpu_count() or 1
+        self.rounding = rounding
+        self.mesh = mesh
+
+    def _entropy_one(self, path_or_bytes):
+        from jpeg_tpu.io.container import parse_jpeg
+        from jpeg_tpu.models.decoder import PipelineGeometry
+        from jpeg_tpu.runtime import native_decode_planes
+
+        name = path_or_bytes if isinstance(path_or_bytes, str) else "<bytes>"
+        try:
+            if isinstance(path_or_bytes, str):
+                with open(path_or_bytes, "rb") as f:
+                    data = f.read()
+            else:
+                data = path_or_bytes
+            plan = parse_jpeg(data)
+            planes = [p.copy() for p in
+                      native_decode_planes(plan, n_threads=1)]
+            return (name, plan, PipelineGeometry.of(plan), planes, None)
+        except Exception as e:  # noqa: BLE001 — isolation boundary
+            return (name, None, None, None, f"{type(e).__name__}: {e}")
+
+    def decode_all(self, items) -> list[DecodeResult]:
+        import numpy as np_
+
+        from jpeg_tpu.ops.pallas_kernels import plan_quant_patterns
+        from jpeg_tpu.parallel.batch import decode_batch_fast
+
+        with ThreadPoolExecutor(max_workers=self.workers) as ex:
+            parsed = list(ex.map(self._entropy_one, items))
+
+        results: list[DecodeResult | None] = [None] * len(parsed)
+        buckets: dict = {}
+        for i, (name, plan, geom, planes, err) in enumerate(parsed):
+            if err is not None:
+                results[i] = DecodeResult(name, None, error=err)
+            else:
+                buckets.setdefault(geom, []).append(i)
+
+        n_dev = 1 if self.mesh is None else self.mesh.devices.size
+        for geom, idxs in buckets.items():
+            # Mesh sharding needs the batch divisible by the data axis; spill
+            # the remainder to unsharded decode.
+            spill_from = len(idxs) - (len(idxs) % n_dev) if self.mesh else len(idxs)
+            for chunk, mesh in ((idxs[:spill_from], self.mesh),
+                                (idxs[spill_from:], None)):
+                if not chunk:
+                    continue
+                bp = [np_.stack([parsed[i][3][c] for i in chunk])
+                      for c in range(len(geom.sampling))]
+                bq = [np_.stack([plan_quant_patterns(parsed[i][1], geom)[c]
+                                 for i in chunk])
+                      for c in range(len(geom.sampling))]
+                planar = np_.asarray(
+                    decode_batch_fast(bp, bq, geom, self.rounding, mesh=mesh))
+                rgb = planar[:, :, : geom.height, : geom.width].transpose(
+                    0, 2, 3, 1)
+                for b, i in enumerate(chunk):
+                    results[i] = DecodeResult(parsed[i][0], rgb[b])
+        return results  # type: ignore[return-value]

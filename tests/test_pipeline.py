@@ -44,3 +44,31 @@ def test_distributed_single_process():
     assert m == {"frames": 7.0, "bytes": 100.0}
     assert scaling_efficiency(160.0, 2, 100.0) == 0.8
     assert scaling_efficiency(0, 0, 0) == 0.0
+
+
+def test_batched_corpus_decoder_buckets():
+    """Mixed-geometry corpus: bucketed batch decode matches single decode."""
+    from jpeg_tpu.parallel.pipeline import BatchedCorpusDecoder
+
+    items = (
+        [synthetic_jpeg(96, 64, seed=i) for i in range(3)]      # bucket A
+        + [synthetic_jpeg(128, 96, seed=i) for i in range(2)]   # bucket B
+        + [b"\xff\xd8 broken"]                                   # error
+    )
+    results = BatchedCorpusDecoder(workers=2).decode_all(items)
+    assert [r.ok for r in results] == [True] * 5 + [False]
+    for data, r in zip(items[:5], results[:5]):
+        want = decode_bytes(data, path="fast")
+        np.testing.assert_array_equal(r.rgb, want)
+
+
+def test_batched_corpus_decoder_sharded():
+    from jpeg_tpu.parallel.mesh import make_mesh
+    from jpeg_tpu.parallel.pipeline import BatchedCorpusDecoder
+
+    mesh = make_mesh(n_data=4, n_seg=1)
+    items = [synthetic_jpeg(96, 64, seed=i) for i in range(6)]  # 4 + 2 spill
+    results = BatchedCorpusDecoder(workers=2, mesh=mesh).decode_all(items)
+    assert all(r.ok for r in results)
+    for data, r in zip(items, results):
+        np.testing.assert_array_equal(r.rgb, decode_bytes(data, path="fast"))
