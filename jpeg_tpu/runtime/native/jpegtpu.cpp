@@ -28,6 +28,32 @@ namespace {
 constexpr int kLutBits = 16;
 constexpr int64_t kLutSize = (int64_t)1 << kLutBits;
 
+// Two-level lookup: a 10-bit primary table (2KB, L1-resident) resolves the
+// overwhelming majority of symbols; rare longer codes fall through to the
+// full 2^16 table (sentinel length 0x1F). Entry packing matches the full
+// table: (value << 8) | length.
+constexpr int kL1Bits = 10;
+constexpr int64_t kL1Size = (int64_t)1 << kL1Bits;
+constexpr uint16_t kL1Miss = 0x1F;
+
+struct TwoLevelLut {
+  uint16_t primary[kL1Size];
+  const uint16_t* full;
+
+  void build(const uint16_t* full_lut) {
+    full = full_lut;
+    for (int64_t i = 0; i < kL1Size; ++i) {
+      uint16_t e = full_lut[i << (kLutBits - kL1Bits)];
+      primary[i] = ((e & 0xFF) <= kL1Bits) ? e : kL1Miss;
+    }
+  }
+  inline uint32_t lookup(uint32_t peek16) const {
+    uint32_t e = primary[peek16 >> (kLutBits - kL1Bits)];
+    if (__builtin_expect((e & 0xFF) == kL1Miss, 0)) e = full[peek16];
+    return e;
+  }
+};
+
 // Left-aligned 64-bit bit reader: top `count` bits of `bits` are valid.
 struct BitReader {
   const uint8_t* p;
@@ -132,8 +158,8 @@ constexpr uint8_t kZigCol[64] = {
 // (row0, col0): the de-zigzag "relayout" costs nothing extra here (the
 // scatter writes happen anyway), which is what lets the TPU IDCT run as
 // plane-tiled matmuls with no reshape at all (ops/pallas_kernels.py).
-inline int next_block_plane(BitReader& br, const uint16_t* dc_lut,
-                            const uint16_t* ac_lut, int16_t* plane,
+inline int next_block_plane(BitReader& br, const TwoLevelLut& dc_lut,
+                            const TwoLevelLut& ac_lut, int16_t* plane,
                             int64_t stride, const int32_t* zoff,
                             int32_t* prev_dc) {
   // Zero the 8x8 destination tile.
@@ -143,7 +169,7 @@ inline int next_block_plane(BitReader& br, const uint16_t* dc_lut,
   // A symbol needs at most 16 (code) + 11 (magnitude) = 27 bits, so one
   // refill up front covers the combined code+magnitude advance below.
   if (br.count < 27) br.refill();
-  uint32_t e = dc_lut[(uint32_t)(br.bits >> 48)];
+  uint32_t e = dc_lut.lookup((uint32_t)(br.bits >> 48));
   int len = e & 0xFF;
   if (__builtin_expect(len == 0, 0)) return 1;
   int nbits = e >> 8;
@@ -157,7 +183,7 @@ inline int next_block_plane(BitReader& br, const uint16_t* dc_lut,
   int k = 1;
   while (k < 64) {
     if (br.count < 27) br.refill();
-    e = ac_lut[(uint32_t)(br.bits >> 48)];
+    e = ac_lut.lookup((uint32_t)(br.bits >> 48));
     len = e & 0xFF;
     if (__builtin_expect(len == 0, 0)) return 2;
     int sym = e >> 8;
@@ -212,8 +238,10 @@ struct PlaneJob {
 void decode_segments_planes(const PlaneJob& job, int64_t lo, int64_t hi,
                             std::atomic<int64_t>* first_error) {
   const int bpm = job.blocks_per_mcu;
-  const uint16_t* slot_dc[64];
-  const uint16_t* slot_ac[64];
+  TwoLevelLut dc_tab[4], ac_tab[4];
+  bool dc_built[4] = {}, ac_built[4] = {};
+  const TwoLevelLut* slot_dc[64];
+  const TwoLevelLut* slot_ac[64];
   int slot_ci[64];
   int32_t zoff[8][64];  // per component: zigzag k -> plane offset
   for (int c = 0; c < job.n_comp; ++c) {
@@ -223,8 +251,11 @@ void decode_segments_planes(const PlaneJob& job, int64_t lo, int64_t hi,
   for (int s = 0; s < bpm; ++s) {
     int c = job.slot_comp[s];
     slot_ci[s] = c;
-    slot_dc[s] = job.dc_luts + job.comp_dc_id[c] * kLutSize;
-    slot_ac[s] = job.ac_luts + job.comp_ac_id[c] * kLutSize;
+    int di = job.comp_dc_id[c], ai = job.comp_ac_id[c];
+    if (!dc_built[di]) { dc_tab[di].build(job.dc_luts + di * kLutSize); dc_built[di] = true; }
+    if (!ac_built[ai]) { ac_tab[ai].build(job.ac_luts + ai * kLutSize); ac_built[ai] = true; }
+    slot_dc[s] = &dc_tab[di];
+    slot_ac[s] = &ac_tab[ai];
   }
   for (int64_t s = lo; s < hi; ++s) {
     BitReader br(job.data + job.seg_start[s],
@@ -240,7 +271,7 @@ void decode_segments_planes(const PlaneJob& job, int64_t lo, int64_t hi,
         int64_t by = my * job.comp_v[c] + job.slot_vi[slot];
         int64_t bx = mx * job.comp_h[c] + job.slot_hi[slot];
         int16_t* dst = job.planes[c] + by * 8 * st + bx * 8;
-        int err = next_block_plane(br, slot_dc[slot], slot_ac[slot], dst, st,
+        int err = next_block_plane(br, *slot_dc[slot], *slot_ac[slot], dst, st,
                                    zoff[c], &prev_dc[c]);
         if (__builtin_expect(err != 0, 0)) {
           int64_t expect = -1;
@@ -324,10 +355,10 @@ void decode_segments(const ScanJob& job, int64_t lo, int64_t hi,
 // opportunistic.
 
 // Skip one block (positions only). Returns 0 ok, nonzero on invalid prefix.
-inline int skip_block(BitReader& br, const uint16_t* dc_lut,
-                      const uint16_t* ac_lut) {
+inline int skip_block(BitReader& br, const TwoLevelLut& dc_lut,
+                      const TwoLevelLut& ac_lut) {
   if (br.count < 27) br.refill();
-  uint32_t e = dc_lut[(uint32_t)(br.bits >> 48)];
+  uint32_t e = dc_lut.lookup((uint32_t)(br.bits >> 48));
   int len = e & 0xFF;
   if (__builtin_expect(len == 0, 0)) return 1;
   int total = len + (e >> 8);
@@ -336,7 +367,7 @@ inline int skip_block(BitReader& br, const uint16_t* dc_lut,
   int k = 1;
   while (k < 64) {
     if (br.count < 27) br.refill();
-    e = ac_lut[(uint32_t)(br.bits >> 48)];
+    e = ac_lut.lookup((uint32_t)(br.bits >> 48));
     len = e & 0xFF;
     if (__builtin_expect(len == 0, 0)) return 2;
     int sym = e >> 8;
@@ -387,12 +418,17 @@ int64_t jt_decode_scan_planes_spec(
     const uint16_t* ac_luts, int16_t* const* planes,
     const int64_t* plane_stride, int32_t n_chunks, int32_t n_threads) {
   constexpr int kOverlapMcus = 96;  // recorded past chunk end for syncing
-  const uint16_t* slot_dc[64];
-  const uint16_t* slot_ac[64];
+  TwoLevelLut dc_tab[4], ac_tab[4];
+  bool dcb[4] = {}, acb[4] = {};
+  const TwoLevelLut* slot_dc[64];
+  const TwoLevelLut* slot_ac[64];
   for (int s = 0; s < blocks_per_mcu; ++s) {
     int c = slot_comp[s];
-    slot_dc[s] = dc_luts + comp_dc_id[c] * kLutSize;
-    slot_ac[s] = ac_luts + comp_ac_id[c] * kLutSize;
+    int di = comp_dc_id[c], ai = comp_ac_id[c];
+    if (!dcb[di]) { dc_tab[di].build(dc_luts + di * kLutSize); dcb[di] = true; }
+    if (!acb[ai]) { ac_tab[ai].build(ac_luts + ai * kLutSize); acb[ai] = true; }
+    slot_dc[s] = &dc_tab[di];
+    slot_ac[s] = &ac_tab[ai];
   }
 
   int64_t K = std::max<int64_t>(1, std::min<int64_t>(n_chunks, n_bytes / 4096));
@@ -416,7 +452,7 @@ int64_t jt_decode_scan_planes_spec(
         r.mcu_bits.push_back(pos);
         if (pos >= limit_bit && ++past_end > kOverlapMcus) break;
         for (int slot = 0; slot < blocks_per_mcu; ++slot) {
-          if (skip_block(br, slot_dc[slot], slot_ac[slot])) {
+          if (skip_block(br, *slot_dc[slot], *slot_ac[slot])) {
             bad = true;
             break;
           }
@@ -523,8 +559,8 @@ int64_t jt_decode_scan_planes_spec(
         int64_t by = my * comp_v[c] + slot_vi[slot];
         int64_t bx = mx * comp_h[c] + slot_hi[slot];
         int16_t* dst = planes[c] + by * 8 * st + bx * 8;
-        int err = next_block_plane(br, slot_dc[slot], slot_ac[slot], dst, st,
-                                   zoff_all[c], &prev_dc[c]);
+        int err = next_block_plane(br, *slot_dc[slot], *slot_ac[slot], dst,
+                                   st, zoff_all[c], &prev_dc[c]);
         if (__builtin_expect(err != 0, 0)) {
           int64_t expect = -1;
           first_error.compare_exchange_strong(expect, r);
