@@ -64,16 +64,34 @@ def cmd_corpus(args) -> int:
     timer = StageTimer()
     done = failed = 0
     t0 = time.perf_counter()
-    for p in paths:
-        try:
-            with timer.stage("decode", frames=1):
-                rgb = decode_file(p, rounding=args.rounding, engine=args.engine)
-            done += 1
-            if manifest:
-                manifest.mark_done(p, h=int(rgb.shape[0]), w=int(rgb.shape[1]))
-        except Exception as e:  # per-image error isolation (SURVEY.md §5)
-            failed += 1
-            print(f"FAILED {p}: {e}", file=sys.stderr)
+    if args.batched:
+        from jpeg_tpu.parallel.pipeline import BatchedCorpusDecoder
+
+        with timer.stage("decode", frames=len(paths)):
+            results = BatchedCorpusDecoder(
+                rounding=args.rounding).decode_all(paths)
+        for p, r in zip(paths, results):
+            if r.ok:
+                done += 1
+                if manifest:
+                    manifest.mark_done(p, h=int(r.rgb.shape[0]),
+                                       w=int(r.rgb.shape[1]))
+            else:
+                failed += 1
+                print(f"FAILED {p}: {r.error}", file=sys.stderr)
+    else:
+        for p in paths:
+            try:
+                with timer.stage("decode", frames=1):
+                    rgb = decode_file(p, rounding=args.rounding,
+                                      engine=args.engine)
+                done += 1
+                if manifest:
+                    manifest.mark_done(p, h=int(rgb.shape[0]),
+                                       w=int(rgb.shape[1]))
+            except Exception as e:  # per-image error isolation (SURVEY.md §5)
+                failed += 1
+                print(f"FAILED {p}: {e}", file=sys.stderr)
     wall = time.perf_counter() - t0
     print(json.dumps({
         "decoded": done,
@@ -142,6 +160,8 @@ def main(argv=None) -> int:
     c.add_argument("--process-index", type=int, default=0)
     c.add_argument("--process-count", type=int, default=1)
     c.add_argument("--strict", action="store_true", help="exit 1 on any failure")
+    c.add_argument("--batched", action="store_true",
+                   help="geometry-bucketed batch decode (fast Pallas path)")
     c.set_defaults(fn=cmd_corpus)
 
     f = sub.add_parser("diff", help="PSNR vs libjpeg (visual-diff harness)")

@@ -101,3 +101,12 @@ def test_stage_timer_rates():
     assert rep["x"]["calls"] == 1
     assert "GB_per_s" in rep["x"] and "frames_per_s" in rep["x"]
     json.loads(t.dump())
+
+
+def test_cli_corpus_batched(tmp_path, capsys):
+    corpus_dir = tmp_path / "corpus"
+    generate_corpus(str(corpus_dir), 3, width=96, height=64)
+    rc = cli_main(["corpus", str(corpus_dir), "--batched"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["decoded"] == 3 and rep["failed"] == 0
