@@ -143,6 +143,41 @@ def bench_device_pipeline(plan, planes, iters=32):
     return frames_per_s, blocks_per_s, frames_per_s / sol_fps
 
 
+def bench_idct_roofline(iters=64):
+    """Pure dequant+IDCT blocks/s vs HBM speed of light (north-star metric).
+
+    A [4096, 3840] int16 coefficient plane (368640 8x8 blocks) through the
+    bare IDCT kernel; SOL = HBM_BW / (2B in + 4B out per pixel).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from jpeg_tpu.ops.pallas_kernels import idct_only_kernel, quant_pattern
+
+    rows, cols = 4096, 3840
+    fn = idct_only_kernel(rows, cols)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(-512, 512, (rows, cols)).astype(np.int16))
+    qp = jnp.asarray(quant_pattern(np.arange(1, 65), 128, 256))
+
+    @jax.jit
+    def loop(x, qp):
+        def body(i, acc):
+            out = fn(x + (acc % 2).astype(jnp.int16), qp)
+            return acc + out.astype(jnp.int32)[0, 0]
+        return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+    int(loop(x, qp))
+    overhead = _dispatch_latency()
+    t0 = time.perf_counter()
+    int(loop(x, qp))
+    dt = time.perf_counter() - t0 - overhead
+    n_blocks = rows * cols // 64
+    blocks_per_s = n_blocks * iters / dt
+    sol_blocks = 819e9 / (64 * 6)  # 6 bytes/pixel minimum traffic
+    return blocks_per_s, blocks_per_s / sol_blocks
+
+
 def bench_host_entropy(plan, iters=10):
     """frames/s of the threaded C++ plane-entropy decoder (None if absent)."""
     try:
@@ -199,6 +234,8 @@ def main():
         raise SystemExit("native runtime required for bench")
     log(f"device pipeline: {dev_fps:.1f} frames/s, "
         f"{blocks_per_s/1e9:.2f} Gblocks/s, {sol_frac:.1%} of HBM speed-of-light")
+    idct_bps, idct_sol = bench_idct_roofline()
+    log(f"bare IDCT: {idct_bps/1e9:.2f} Gblocks/s, {idct_sol:.1%} of SOL")
 
     if entropy_fps is not None:
         corpus_entropy_fps = bench_host_entropy_corpus(plan)
@@ -229,6 +266,8 @@ def main():
                 "device_pipeline_fps": round(dev_fps, 2),
                 "idct_blocks_per_s": round(blocks_per_s),
                 "device_sol_fraction": round(sol_frac, 4),
+                "idct_only_blocks_per_s": round(idct_bps),
+                "idct_only_sol_fraction": round(idct_sol, 4),
                 "libjpeg_1thread_fps": round(lib_fps, 2),
                 "host_cores": os.cpu_count(),
             },

@@ -197,6 +197,49 @@ def fused_plane_decoder(geom, rounding: str = "truncate",
     return run
 
 
+@lru_cache(maxsize=64)
+def idct_only_kernel(rows: int, cols: int, interpret: bool = False):
+    """Bare dequant+IDCT kernel for roofline measurement (BASELINE north
+    star: 8x8 IDCT blocks/s vs speed of light): int16 coefficient plane
+    [rows, cols] -> f32 spatial plane, nothing else. Grid tiles of
+    [BAND_ROWS, TILE_W]; minimum HBM traffic 2B in + 4B out per pixel."""
+    grid = (rows // BAND_ROWS, cols // TILE_W)
+    a = dct_basis_1d()
+    bd_at = _kron_eye(a.T, BAND_ROWS // 8)
+    bd_a = _kron_eye(a, TILE_W // 8)
+
+    def kernel(x_ref, qpat_ref, bd_at_ref, bd_a_ref, out_ref):
+        f = x_ref[:].astype(jnp.float32) * qpat_ref[:]
+        t = jnp.dot(bd_at_ref[:], f, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        out_ref[:, :] = jnp.dot(t, bd_a_ref[:],
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BAND_ROWS, TILE_W), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            _const_spec((BAND_ROWS, TILE_W)),
+            _const_spec(bd_at.shape),
+            _const_spec(bd_a.shape),
+        ],
+        out_specs=pl.BlockSpec((BAND_ROWS, TILE_W), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, cols), jnp.float32),
+        interpret=interpret,
+    )
+    bd_at_j, bd_a_j = jnp.asarray(bd_at), jnp.asarray(bd_a)
+
+    @jax.jit
+    def run(x, qpat):
+        return call(x, qpat, bd_at_j, bd_a_j)
+
+    return run
+
+
 def _row_mean_matrix(rows: int, f: int) -> np.ndarray:
     """D [rows/f, rows] with D @ x box-averaging groups of f rows."""
     return np.kron(np.eye(rows // f), np.full((1, f), 1.0 / f)).astype(np.float32)
