@@ -110,11 +110,11 @@ inline int32_t value_correction(uint32_t v, int nbits) {
 // Decode one 64-coef block in zigzag order (DC as raw delta).
 // Contract parity: reference next_block (src/jpeg/huffman.rs:146-195).
 // Returns 0 ok, 1/2 invalid DC/AC prefix.
-inline int next_block(BitReader& br, const uint16_t* dc_lut,
-                      const uint16_t* ac_lut, int32_t* out) {
+inline int next_block(BitReader& br, const TwoLevelLut& dc_lut,
+                      const TwoLevelLut& ac_lut, int32_t* out) {
   std::memset(out, 0, 64 * sizeof(int32_t));
   uint32_t peek = br.peek16();
-  uint32_t e = dc_lut[peek];
+  uint32_t e = dc_lut.lookup(peek);
   int len = e & 0xFF;
   if (__builtin_expect(len == 0, 0)) return 1;
   br.consume(len);
@@ -123,7 +123,7 @@ inline int next_block(BitReader& br, const uint16_t* dc_lut,
   int k = 1;
   while (k < 64) {
     peek = br.peek16();
-    e = ac_lut[peek];
+    e = ac_lut.lookup(peek);
     len = e & 0xFF;
     if (__builtin_expect(len == 0, 0)) return 2;
     br.consume(len);
@@ -306,15 +306,20 @@ struct ScanJob {
 void decode_segments(const ScanJob& job, int64_t lo, int64_t hi,
                      std::atomic<int64_t>* first_error) {
   const int bpm = job.blocks_per_mcu;
-  // Per-slot table pointers, hoisted out of the MCU loop.
-  const uint16_t* slot_dc[64];
-  const uint16_t* slot_ac[64];
+  // Per-slot two-level tables, hoisted out of the MCU loop.
+  TwoLevelLut dc_tab[4], ac_tab[4];
+  bool dcb[4] = {}, acb[4] = {};
+  const TwoLevelLut* slot_dc[64];
+  const TwoLevelLut* slot_ac[64];
   int slot_ci[64];
   for (int s = 0; s < bpm; ++s) {
     int c = job.slot_comp[s];
     slot_ci[s] = c;
-    slot_dc[s] = job.dc_luts + job.comp_dc_id[c] * kLutSize;
-    slot_ac[s] = job.ac_luts + job.comp_ac_id[c] * kLutSize;
+    int di = job.comp_dc_id[c], ai = job.comp_ac_id[c];
+    if (!dcb[di]) { dc_tab[di].build(job.dc_luts + di * kLutSize); dcb[di] = true; }
+    if (!acb[ai]) { ac_tab[ai].build(job.ac_luts + ai * kLutSize); acb[ai] = true; }
+    slot_dc[s] = &dc_tab[di];
+    slot_ac[s] = &ac_tab[ai];
   }
   for (int64_t s = lo; s < hi; ++s) {
     BitReader br(job.data + job.seg_start[s],
@@ -323,7 +328,7 @@ void decode_segments(const ScanJob& job, int64_t lo, int64_t hi,
     int32_t* out = job.out + job.seg_mcu_start[s] * bpm * 64;
     for (int64_t m = 0; m < job.seg_mcu_count[s]; ++m) {
       for (int slot = 0; slot < bpm; ++slot) {
-        int err = next_block(br, slot_dc[slot], slot_ac[slot], out);
+        int err = next_block(br, *slot_dc[slot], *slot_ac[slot], out);
         if (__builtin_expect(err != 0, 0)) {
           int64_t expect = -1;
           first_error->compare_exchange_strong(expect, s);
