@@ -270,8 +270,11 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
                 cid = int(vec[idx])
                 h = (int(vec[idx + 1]) & 0xF0) >> 4
                 v = int(vec[idx + 1]) & 0x0F
-                if not (1 <= h <= 4 and 1 <= v <= 4):
-                    raise JPEGError(f"bad sampling factors {h}x{v}")
+                # Power-of-two factors 1/2/4 (a superset of the reference's
+                # 1/2, src/jpeg/mod.rs:275-277); 3 is legal JPEG but
+                # vanishingly rare and not supported by the tiled kernels.
+                if h not in (1, 2, 4) or v not in (1, 2, 4):
+                    raise JPEGError(f"unsupported sampling factors {h}x{v}")
                 components.append(ComponentInfo(cid, h, v, quant_id=int(vec[idx + 2])))
                 idx += 3
             got_frame = True

@@ -76,3 +76,27 @@ def test_plane_entropy_matches_stream_layout(corpus):
             bi += 1
     for g, w in zip(planes, want):
         np.testing.assert_array_equal(g, w)
+
+
+@pytest.mark.parametrize("sub", [(4, 1), (1, 4), (4, 4)])
+def test_sampling_factor_four(sub):
+    """h/v sampling factors up to 4 (beyond the reference's 1/2 limit,
+    src/jpeg/mod.rs:275-277) work on both decode paths."""
+    from jpeg_tpu.io.corpus import synthetic_image
+
+    img = synthetic_image(128, 64, seed=4)
+    data = encode_rgb(img, quality=90, subsampling=sub, restart_interval_mcus=2)
+    compat = decode_bytes(data, rounding="round")
+    fast = decode_bytes(data, rounding="round", path="fast")
+    assert np.abs(fast.astype(int) - compat.astype(int)).max() <= 1
+    assert psnr(compat, img) > 25.0
+
+
+def test_sampling_factor_three_rejected():
+    from jpeg_tpu.io.container import JPEGError
+    from jpeg_tpu.io.corpus import synthetic_image
+
+    img = synthetic_image(64, 64, seed=5)
+    data = encode_rgb(img, quality=90, subsampling=(3, 1))
+    with pytest.raises(JPEGError, match="sampling"):
+        decode_bytes(data)
