@@ -25,17 +25,14 @@ elementwise; see project memory):
       flush accumulator into out[:, mcu*bpm+slot] via dynamic_update_slice
       (scalar index -> fast path)
 
-Measured characteristics (TPU v5e, 4K, 32400 lanes): ~1.9 ms per lockstep
-step, dominated by (a) the six per-step byte gathers from the HBM-resident
-scan array — random 4-byte gathers each pull a full cache line (~125 us per
-[S] gather) — and (b) the one-hot coefficient accumulate over [S, 64]
-(~275 us). At ~113-240 steps per restart interval this yields ~5-20 frames/s:
+Measured characteristics (TPU v5e, 4K, 32400 lanes): ~1.5-2 ms per lockstep
+step, dominated by HBM random gathers (mitigated: the u32-word window needs
+only 2 gathers/step) and the one-hot coefficient accumulate over [S, 64]
+(~275 us). At ~113-240 steps per restart interval this yields ~4-20 frames/s:
 correct and fully on-device, but below the threaded C++ host decoder
-(:mod:`jpeg_tpu.runtime`, ~80-100 fps on 4 cores). Future optimizations:
-pack the stream as u32 words and gather one aligned pair per step (3x fewer
-gather bytes), and batch several images into the lane dimension. Until then
-the host path is the production default; ``device_path_profitable`` gates
-this one.
+(:mod:`jpeg_tpu.runtime`, ~115 fps on 4 cores) — the VPU wants >=8-wide
+regular work per lane-step while Huffman yields ~1 coefficient. The host
+path is the production default; ``device_path_profitable`` gates this one.
 """
 
 from __future__ import annotations
@@ -74,21 +71,30 @@ def _compiled_kernel(n_comp: int, max_mcus: int,
     # 1 DC + 63 AC symbols + 1 EOB.
     max_block_steps = 65
 
-    def kernel(data_u32, luts, bit_start, bit_end, n_blocks_seg):
-        """data_u32: [n_bytes] i32 (0xAA-padded tail); luts: [8, 65536] i32;
-        bit_start/bit_end/n_blocks_seg: [S] i32. Returns (coeffs
-        [S, blocks_per_seg, 64] i32 zigzag, DC-predicted; error [S] bool)."""
+    def kernel(data_w32, luts, bit_start, bit_end, n_blocks_seg):
+        """data_w32: [n_words] uint32 big-endian packed scan bytes
+        (0xAA-padded tail); luts: [8, 65536] i32; bit_start/bit_end/
+        n_blocks_seg: [S] i32. Returns (coeffs [S, blocks_per_seg, 64] i32
+        zigzag, DC-predicted; error [S] bool).
+
+        A symbol needs at most 16 (code) + 11 (magnitude) = 27 bits, so ONE
+        pair of adjacent u32 words per step provides a 32-bit window covering
+        both the LUT peek and the magnitude bits — 2 gathers per step instead
+        of 6 byte gathers (HBM random gathers dominate this kernel's cost).
+        """
         S = bit_start.shape[0]
-        n_data = data_u32.shape[0]
+        n_words = data_w32.shape[0]
         pos_iota = jax.lax.broadcasted_iota(jnp.int32, (S, 64), 1)
 
-        def peek16(cursor):
-            byte_i = jnp.clip(cursor >> 3, 0, n_data - 3)
-            b0 = data_u32[byte_i]
-            b1 = data_u32[byte_i + 1]
-            b2 = data_u32[byte_i + 2]
-            w = (b0 << 16) | (b1 << 8) | b2  # 24 bits
-            return (w >> (8 - (cursor & 7))) & 0xFFFF
+        def window32(cursor):
+            """32 bits starting at absolute bit `cursor` (uint32)."""
+            word_i = jnp.clip(cursor >> 5, 0, n_words - 2)
+            off = (cursor & 31).astype(jnp.uint32)
+            w0 = data_w32[word_i]
+            w1 = data_w32[word_i + 1]
+            hi = w0 << off
+            lo = jnp.where(off > 0, w1 >> (jnp.uint32(32) - off), jnp.uint32(0))
+            return hi | lo
 
         def sign_extend(v, n):
             base = jnp.where(n > 0, 1 << jnp.maximum(n - 1, 0), 0)
@@ -113,7 +119,8 @@ def _compiled_kernel(n_comp: int, max_mcus: int,
             def body(st):
                 busy = active & ~st["err"] & (st["coef"] < 64)
                 is_dc = st["coef"] == 0
-                peek = peek16(st["cursor"])
+                win = window32(st["cursor"])
+                peek = (win >> 16).astype(jnp.int32)
                 e_dc = lut_dc[peek]
                 e_ac = lut_ac[peek]
                 entry = jnp.where(is_dc, e_dc, e_ac)
@@ -127,7 +134,15 @@ def _compiled_kernel(n_comp: int, max_mcus: int,
                 run = (sym >> 4) & 0xF
                 size = jnp.where(is_dc, sym, sym & 0xF)
                 nbits = jnp.where(is_eob | is_zrl, 0, size)
-                raw = jnp.where(nbits > 0, peek16(cur1) >> (16 - nbits), 0)
+                # Magnitude bits from the same window: bits
+                # [length, length+nbits) of `win`.
+                sh = (jnp.uint32(32) - (length + nbits).astype(jnp.uint32))
+                raw = jnp.where(
+                    nbits > 0,
+                    ((win >> sh).astype(jnp.int32)
+                     & ((1 << jnp.minimum(nbits, 16)) - 1)),
+                    0,
+                )
                 val = sign_extend(raw, nbits)
                 cur2 = cur1 + nbits
 
@@ -211,10 +226,16 @@ def decode_coefficients_device(plan: DecodePlan, luts=None):
 
     kernel = _compiled_kernel(
         len(plan.components), max_mcus, slot_comp, slot_dc, slot_ac)
-    data = np.concatenate([plan.scan_data, np.full(4, 0xAA, np.uint8)])
+    # Pack scan bytes into big-endian u32 words, 0xAA-padded (see kernel doc).
+    n_bytes = len(plan.scan_data)
+    n_words = -(-n_bytes // 4) + 2
+    padded = np.full(n_words * 4, 0xAA, np.uint8)
+    padded[:n_bytes] = plan.scan_data
+    w = padded.reshape(-1, 4).astype(np.uint32)
+    words = (w[:, 0] << 24) | (w[:, 1] << 16) | (w[:, 2] << 8) | w[:, 3]
     luts_arr = jnp.asarray(packed_luts(plan)) if luts is None else luts
     out, err = kernel(
-        jnp.asarray(data.astype(np.int32)),
+        jnp.asarray(words),
         luts_arr,
         jnp.asarray(np.array([s.byte_start * 8 for s in segs], np.int32)),
         jnp.asarray(np.array([s.byte_end * 8 for s in segs], np.int32)),
