@@ -18,7 +18,8 @@ elementwise; see project memory):
     static Python unroll over the MCU's block slots  (component/table ids
       become compile-time constants -> LUT row index is static)
       while any lane still inside this block: decode ONE symbol per lane
-        - peek16: three [S] byte gathers (fast path)
+        - bit window: one pair of adjacent u32-word gathers covers code +
+          magnitude bits (27 max)
         - symbol: one [S] gather from the slot's static LUT row
         - coefficient write: one-hot(pos) accumulate into a [S, 64] block
           accumulator (pure elementwise)
