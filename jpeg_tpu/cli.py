@@ -42,7 +42,8 @@ def cmd_encode(args) -> int:
     img = np.asarray(Image.open(args.input).convert("RGB"))
     sub = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[args.subsampling]
     data = encode_rgb(img, quality=args.quality, subsampling=sub,
-                      restart_interval_mcus=args.restart_interval)
+                      restart_interval_mcus=args.restart_interval,
+                      optimize=args.optimize)
     with open(args.output, "wb") as f:
         f.write(data)
     print(f"{args.input} -> {args.output} ({len(data)} bytes)")
@@ -150,6 +151,8 @@ def main(argv=None) -> int:
     e.add_argument("--subsampling", choices=["444", "422", "420"], default="420")
     e.add_argument("--restart-interval", type=int, default=0,
                    help="MCUs per restart segment (0 = none)")
+    e.add_argument("--optimize", action="store_true",
+                   help="per-image optimal Huffman tables (Annex K.2)")
     e.set_defaults(fn=cmd_encode)
 
     c = sub.add_parser("corpus", help="decode a corpus directory (resumable)")

@@ -364,25 +364,40 @@ def encode_rgb(rgb: np.ndarray, quality: int = 85,
                subsampling: tuple[int, int] = (2, 2),
                restart_interval_mcus: int = 0,
                grayscale: bool = False,
-               engine: str = "native") -> bytes:
+               engine: str = "native",
+               optimize: bool = False) -> bytes:
     """Encode [H, W, 3] u8 RGB (or [H, W] gray) to baseline JFIF bytes.
 
     ``subsampling`` is the luma sampling factor (h, v): (1,1)=4:4:4,
     (2,1)=4:2:2, (2,2)=4:2:0 — the same matrix the reference decodes
     (SURVEY.md §2 feature matrix). ``engine``: "native" (threaded C++
     entropy pack, parallel over restart segments) or "python".
+    ``optimize=True`` runs a statistics pass and emits per-image optimal
+    Huffman tables (Annex K.2, like libjpeg optimize_coding) instead of the
+    typical Annex K tables.
     """
     (comp_blocks_zz, samplings, quant_zz, height, width,
      mcus_x, mcus_y, grayscale) = _forward_transform(
         rgb, quality, subsampling, grayscale)
 
-    dc_t = [HuffmanTable.from_bits_values(annex_k.DC_LUMA_BITS, annex_k.DC_LUMA_VALS)]
-    ac_t = [HuffmanTable.from_bits_values(annex_k.AC_LUMA_BITS, annex_k.AC_LUMA_VALS)]
-    if not grayscale:
-        dc_t.append(HuffmanTable.from_bits_values(
-            annex_k.DC_CHROMA_BITS, annex_k.DC_CHROMA_VALS))
-        ac_t.append(HuffmanTable.from_bits_values(
-            annex_k.AC_CHROMA_BITS, annex_k.AC_CHROMA_VALS))
+    if optimize:
+        from jpeg_tpu.entropy.optimize import build_optimal_table, symbol_histograms
+
+        dc_freq, ac_freq = symbol_histograms(
+            comp_blocks_zz, samplings, restart_interval_mcus, mcus_x, mcus_y)
+        n_tab = 1 if grayscale else 2
+        dc_t = [build_optimal_table(dc_freq[t]) for t in range(n_tab)]
+        ac_t = [build_optimal_table(ac_freq[t]) for t in range(n_tab)]
+    else:
+        dc_t = [HuffmanTable.from_bits_values(
+            annex_k.DC_LUMA_BITS, annex_k.DC_LUMA_VALS)]
+        ac_t = [HuffmanTable.from_bits_values(
+            annex_k.AC_LUMA_BITS, annex_k.AC_LUMA_VALS)]
+        if not grayscale:
+            dc_t.append(HuffmanTable.from_bits_values(
+                annex_k.DC_CHROMA_BITS, annex_k.DC_CHROMA_VALS))
+            ac_t.append(HuffmanTable.from_bits_values(
+                annex_k.AC_CHROMA_BITS, annex_k.AC_CHROMA_VALS))
     dc_maps = [_build_encode_maps(t) for t in dc_t]
     ac_maps = [_build_encode_maps(t) for t in ac_t]
 

@@ -118,3 +118,40 @@ def test_device_encoder_grayscale():
     data = encode_rgb_device(img, quality=88)
     dec = decode_bytes(data, rounding="round")
     assert psnr(dec[..., 0], img) > 28.0
+
+
+@pytest.mark.parametrize("sub", [(1, 1), (2, 2)])
+def test_optimized_huffman_tables(sub):
+    """optimize=True (Annex K.2 per-image tables): smaller stream, identical
+    pixels, conformant per libjpeg."""
+    import io
+
+    from PIL import Image
+
+    img = _test_image(160, 192, seed=20)
+    std = encode_rgb(img, quality=85, subsampling=sub)
+    opt = encode_rgb(img, quality=85, subsampling=sub, optimize=True)
+    assert len(opt) < len(std)
+    np.testing.assert_array_equal(
+        decode_bytes(std, rounding="round"), decode_bytes(opt, rounding="round")
+    )
+    pil = np.asarray(Image.open(io.BytesIO(opt)).convert("RGB"))
+    assert psnr(pil, decode_bytes(opt, rounding="round")) > 50
+
+
+def test_optimized_huffman_restart_and_engines():
+    img = _test_image(96, 96, seed=21)
+    a = encode_rgb(img, quality=90, restart_interval_mcus=2, optimize=True,
+                   engine="python")
+    b = encode_rgb(img, quality=90, restart_interval_mcus=2, optimize=True,
+                   engine="native")
+    assert a == b
+    assert decode_bytes(a, rounding="round").shape == img.shape
+
+
+def test_optimized_huffman_grayscale():
+    img = _test_image(64, 64, seed=22)[..., 0]
+    opt = encode_rgb(img, quality=85, optimize=True)
+    std = encode_rgb(img, quality=85)
+    assert len(opt) < len(std)
+    np.testing.assert_array_equal(decode_bytes(opt), decode_bytes(std))
