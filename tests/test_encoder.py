@@ -136,7 +136,10 @@ def test_optimized_huffman_tables(sub):
         decode_bytes(std, rounding="round"), decode_bytes(opt, rounding="round")
     )
     pil = np.asarray(Image.open(io.BytesIO(opt)).convert("RGB"))
-    assert psnr(pil, decode_bytes(opt, rounding="round")) > 50
+    # 4:4:4 differs only by rounding; subsampled adds the replicated-vs-
+    # fancy-upsampling gap.
+    floor = 50 if sub == (1, 1) else 35
+    assert psnr(pil, decode_bytes(opt, rounding="round")) > floor
 
 
 def test_optimized_huffman_restart_and_engines():
