@@ -225,65 +225,49 @@ def main():
     log(f"libjpeg single-thread: {lib_fps:.1f} frames/s")
 
     entropy_fps = bench_host_entropy(plan)
-    if entropy_fps is not None:
-        from jpeg_tpu.runtime import native_decode_planes
-
-        planes = native_decode_planes(plan)
-        dev_fps, blocks_per_s, sol_frac = bench_device_pipeline(plan, planes)
-    else:
+    if entropy_fps is None:
         raise SystemExit("native runtime required for bench")
+    from jpeg_tpu.runtime import native_decode_planes
+
+    planes = native_decode_planes(plan)
+    dev_fps, blocks_per_s, sol_frac = bench_device_pipeline(plan, planes)
     log(f"device pipeline: {dev_fps:.1f} frames/s, "
         f"{blocks_per_s/1e9:.2f} Gblocks/s, {sol_frac:.1%} of HBM speed-of-light")
     idct_bps, idct_sol = bench_idct_roofline()
     log(f"bare IDCT: {idct_bps/1e9:.2f} Gblocks/s, {idct_sol:.1%} of SOL")
 
-    if entropy_fps is not None:
-        corpus_entropy_fps = bench_host_entropy_corpus(plan)
-        # No-restart stream: speculative self-synchronizing parallel decode.
-        plan_nr = parse_jpeg(make_4k_jpeg(restart_rows=0))
-        from jpeg_tpu.runtime import native_decode_planes as _ndp
-
-        _ndp(plan_nr)  # warmup
-        t0 = time.perf_counter()
-        for _ in range(8):
-            _ndp(plan_nr)
-        spec_fps = 8 / (time.perf_counter() - t0)
-        log(f"entropy: single-image {entropy_fps:.1f} fps, "
-            f"corpus-mode {corpus_entropy_fps:.1f} fps, "
-            f"no-restart speculative {spec_fps:.1f} fps")
-        # Entropy (host) and dense stage (device) run on different processors
-        # and pipeline in production; steady-state e2e = min of the stages.
-        e2e_fps = min(max(entropy_fps, corpus_entropy_fps), dev_fps)
-        result = {
-            "metric": "frames_per_s_per_chip_4k_decode",
-            "value": round(e2e_fps, 2),
-            "unit": "frames/s",
-            "vs_baseline": round(e2e_fps / lib_fps, 2),
-            "detail": {
-                "entropy_host_fps": round(entropy_fps, 2),
-                "entropy_corpus_fps": round(corpus_entropy_fps, 2),
-                "entropy_speculative_norestart_fps": round(spec_fps, 2),
-                "device_pipeline_fps": round(dev_fps, 2),
-                "idct_blocks_per_s": round(blocks_per_s),
-                "device_sol_fraction": round(sol_frac, 4),
-                "idct_only_blocks_per_s": round(idct_bps),
-                "idct_only_sol_fraction": round(idct_sol, 4),
-                "libjpeg_1thread_fps": round(lib_fps, 2),
-                "host_cores": os.cpu_count(),
-            },
-        }
-    else:
-        result = {
-            "metric": "frames_per_s_per_chip_4k_coef_to_rgb",
-            "value": round(dev_fps, 2),
-            "unit": "frames/s",
-            "vs_baseline": round(dev_fps / lib_fps, 2),
-            "detail": {
-                "idct_blocks_per_s": round(blocks_per_s),
-                "libjpeg_1thread_fps": round(lib_fps, 2),
-                "note": "native entropy runtime not built; device stage only",
-            },
-        }
+    corpus_entropy_fps = bench_host_entropy_corpus(plan)
+    # No-restart stream: speculative self-synchronizing parallel decode.
+    plan_nr = parse_jpeg(make_4k_jpeg(restart_rows=0))
+    native_decode_planes(plan_nr)  # warmup
+    t0 = time.perf_counter()
+    for _ in range(8):
+        native_decode_planes(plan_nr)
+    spec_fps = 8 / (time.perf_counter() - t0)
+    log(f"entropy: single-image {entropy_fps:.1f} fps, "
+        f"corpus-mode {corpus_entropy_fps:.1f} fps, "
+        f"no-restart speculative {spec_fps:.1f} fps")
+    # Entropy (host) and dense stage (device) run on different processors
+    # and pipeline in production; steady-state e2e = min of the stages.
+    e2e_fps = min(max(entropy_fps, corpus_entropy_fps), dev_fps)
+    result = {
+        "metric": "frames_per_s_per_chip_4k_decode",
+        "value": round(e2e_fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(e2e_fps / lib_fps, 2),
+        "detail": {
+            "entropy_host_fps": round(entropy_fps, 2),
+            "entropy_corpus_fps": round(corpus_entropy_fps, 2),
+            "entropy_speculative_norestart_fps": round(spec_fps, 2),
+            "device_pipeline_fps": round(dev_fps, 2),
+            "idct_blocks_per_s": round(blocks_per_s),
+            "device_sol_fraction": round(sol_frac, 4),
+            "idct_only_blocks_per_s": round(idct_bps),
+            "idct_only_sol_fraction": round(idct_sol, 4),
+            "libjpeg_1thread_fps": round(lib_fps, 2),
+            "host_cores": os.cpu_count(),
+        },
+    }
     print(json.dumps(result))
 
 
