@@ -235,7 +235,8 @@ def encode_rgb_device(rgb: np.ndarray, quality: int = 85,
                       subsampling: tuple[int, int] = (2, 2),
                       restart_interval_mcus: int = 0,
                       grayscale: bool = False,
-                      interpret: bool | None = None) -> bytes:
+                      interpret: bool | None = None,
+                      optimize: bool = False) -> bytes:
     """Encode with the forward transform on the TPU.
 
     The dense half (color convert, chroma box downsample, forward DCT,
@@ -297,13 +298,34 @@ def encode_rgb_device(rgb: np.ndarray, quality: int = 85,
     planes = fn(jnp.asarray(planar), *[jnp.asarray(q) for q in iqp])
     planes = [np.asarray(p) for p in planes]
 
-    dc_t = [HuffmanTable.from_bits_values(annex_k.DC_LUMA_BITS, annex_k.DC_LUMA_VALS)]
-    ac_t = [HuffmanTable.from_bits_values(annex_k.AC_LUMA_BITS, annex_k.AC_LUMA_VALS)]
-    if not grayscale:
-        dc_t.append(HuffmanTable.from_bits_values(
-            annex_k.DC_CHROMA_BITS, annex_k.DC_CHROMA_VALS))
-        ac_t.append(HuffmanTable.from_bits_values(
-            annex_k.AC_CHROMA_BITS, annex_k.AC_CHROMA_VALS))
+    if optimize:
+        from jpeg_tpu.entropy.optimize import build_optimal_table, symbol_histograms
+
+        # Statistics from the device-produced planes: block-ify + zigzag.
+        comp_blocks_zz = []
+        for p, (h, v) in zip(planes, samplings):
+            rows, cols = mcus_y * v, mcus_x * h
+            crop = p[: rows * 8, : cols * 8]
+            nat = crop.reshape(rows, 8, cols, 8).transpose(0, 2, 1, 3)
+            from jpeg_tpu.ops.zigzag import zigzag as _zig
+
+            comp_blocks_zz.append(
+                _zig(nat.reshape(rows, cols, 64).astype(np.int32)))
+        dc_freq, ac_freq = symbol_histograms(
+            comp_blocks_zz, samplings, restart_interval_mcus, mcus_x, mcus_y)
+        n_tab = 1 if grayscale else 2
+        dc_t = [build_optimal_table(dc_freq[t]) for t in range(n_tab)]
+        ac_t = [build_optimal_table(ac_freq[t]) for t in range(n_tab)]
+    else:
+        dc_t = [HuffmanTable.from_bits_values(
+            annex_k.DC_LUMA_BITS, annex_k.DC_LUMA_VALS)]
+        ac_t = [HuffmanTable.from_bits_values(
+            annex_k.AC_LUMA_BITS, annex_k.AC_LUMA_VALS)]
+        if not grayscale:
+            dc_t.append(HuffmanTable.from_bits_values(
+                annex_k.DC_CHROMA_BITS, annex_k.DC_CHROMA_VALS))
+            ac_t.append(HuffmanTable.from_bits_values(
+                annex_k.AC_CHROMA_BITS, annex_k.AC_CHROMA_VALS))
     dc_maps = [_build_encode_maps(t) for t in dc_t]
     ac_maps = [_build_encode_maps(t) for t in ac_t]
 

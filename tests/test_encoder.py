@@ -158,3 +158,13 @@ def test_optimized_huffman_grayscale():
     std = encode_rgb(img, quality=85)
     assert len(opt) < len(std)
     np.testing.assert_array_equal(decode_bytes(opt), decode_bytes(std))
+
+
+def test_device_encoder_optimize():
+    from jpeg_tpu.models.encoder import encode_rgb_device
+
+    img = _test_image(96, 96, seed=23)
+    std = encode_rgb_device(img, quality=88, subsampling=(2, 2))
+    opt = encode_rgb_device(img, quality=88, subsampling=(2, 2), optimize=True)
+    assert len(opt) < len(std)
+    np.testing.assert_array_equal(decode_bytes(std), decode_bytes(opt))

@@ -99,3 +99,17 @@ def test_zrl_capped_at_block_end():
     block = next_block(BitReader(stream), ac, dc)
     assert (block[1:61] == 1).all()
     assert (block[61:] == 0).all()
+
+
+def test_decode_with_offsets_bookkeeping():
+    """Block-start bit offsets are strictly increasing and stay within the
+    segment (debug API for cursor validation)."""
+    from jpeg_tpu.entropy.oracle import decode_coefficients, decode_coefficients_with_offsets
+    from jpeg_tpu.io.container import parse_jpeg
+
+    plan = parse_jpeg(open("/root/reference/working-jpegs/huff_simple0.jpg", "rb").read())
+    coeffs, offsets = decode_coefficients_with_offsets(plan)
+    np.testing.assert_array_equal(coeffs, decode_coefficients(plan))
+    assert (np.diff(offsets) > 0).all()
+    assert offsets[0] == 0
+    assert offsets[-1] < plan.scan_data.size * 8
