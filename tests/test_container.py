@@ -96,3 +96,33 @@ def test_unstuffing_counts(corpus):
     # Every 0xFF in the unstuffed entropy stream was a stuffed data byte;
     # total length shrinks by exactly the number of FF00 pairs in the raw scan.
     assert plan.scan_data.size > 0
+
+
+def test_nonstandard_table_slot_ids(corpus):
+    """Relabel Huffman table id 1 -> 3 in DHT and SOS; decode must be
+    unchanged (exercises the full 4-slot table plumbing, reference
+    src/jpeg/mod.rs:75-79)."""
+    from jpeg_tpu.io.corpus import synthetic_jpeg
+    from jpeg_tpu.models.decoder import decode_bytes
+
+    data = bytearray(synthetic_jpeg(64, 48, seed=3))
+    want = decode_bytes(bytes(data))
+    i = 2
+    while i < len(data) - 1:
+        assert data[i] == 0xFF
+        marker = data[i + 1]
+        seg_len = int.from_bytes(data[i + 2 : i + 4], "big")
+        if marker == 0xC4 and (data[i + 4] & 0x0F) == 1:
+            data[i + 4] = (data[i + 4] & 0xF0) | 0x03
+        if marker == 0xDA:
+            # scan component table selectors at i+6, i+8, i+10
+            for off in (6, 8, 10):
+                b = data[i + off]
+                dc, ac = (b >> 4) & 0xF, b & 0xF
+                dc = 3 if dc == 1 else dc
+                ac = 3 if ac == 1 else ac
+                data[i + off] = (dc << 4) | ac
+            break
+        i += 2 + seg_len
+    got = decode_bytes(bytes(data))
+    np.testing.assert_array_equal(got, want)

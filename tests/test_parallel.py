@@ -120,3 +120,11 @@ def test_batch_fast_path_sharded():
     assert out.shape[0] == B
     for i in range(B):
         np.testing.assert_array_equal(out[i], single)
+
+
+def test_data_sharding_helper():
+    from jpeg_tpu.parallel.mesh import data_sharding
+
+    mesh = make_mesh(n_data=4, n_seg=2)
+    sh = data_sharding(mesh, rank=3, axis=0)
+    assert sh.spec == jax.sharding.PartitionSpec("data", None, None)
