@@ -100,3 +100,14 @@ def test_sampling_factor_three_rejected():
     data = encode_rgb(img, quality=90, subsampling=(3, 1))
     with pytest.raises(JPEGError, match="sampling"):
         decode_bytes(data)
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (1, 8), (3, 5), (9, 17)])
+def test_tiny_images_both_paths(shape):
+    rng = np.random.default_rng(sum(shape))
+    img = rng.integers(0, 256, shape + (3,), dtype=np.uint8)
+    data = encode_rgb(img, quality=90, subsampling=(2, 2))
+    compat = decode_bytes(data)
+    fast = decode_bytes(data, path="fast")
+    assert compat.shape == img.shape == fast.shape
+    assert np.abs(compat.astype(int) - fast.astype(int)).max() <= 1
