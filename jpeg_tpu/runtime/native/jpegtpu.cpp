@@ -28,6 +28,15 @@ namespace {
 constexpr int kLutBits = 16;
 constexpr int64_t kLutSize = (int64_t)1 << kLutBits;
 
+// JPEG Table F.2 sign extension (reference src/jpeg/huffman.rs:256-268).
+inline int32_t value_correction(uint32_t v, int nbits) {
+  if (nbits == 0) return 0;
+  int32_t base = 1 << (nbits - 1);
+  int32_t val = (int32_t)v;
+  return (val < base) ? val - 2 * base + 1 : val;
+}
+
+
 // Two-level lookup: a 10-bit primary table (2KB, L1-resident) resolves the
 // overwhelming majority of symbols; rare longer codes fall through to the
 // full 2^16 table (sentinel length 0x1F). Entry packing matches the full
@@ -51,6 +60,49 @@ struct TwoLevelLut {
     uint32_t e = primary[peek16 >> (kLutBits - kL1Bits)];
     if (__builtin_expect((e & 0xFF) == kL1Miss, 0)) e = full[peek16];
     return e;
+  }
+};
+
+// Value-fused fast table: a 12-bit key resolves code AND magnitude bits in
+// one lookup when code_len + size <= 12 (the overwhelming majority of
+// symbols at typical qualities). 4096 x u32 = 16KB, L1-resident.
+// Entry: [31:30] kind (0=coef, 1=EOB, 2=ZRL, 3=miss) | [29:25] total bits |
+// [24:21] run | [15:0] value (int16). Entry 0xC0000000 (kind=3) = miss.
+constexpr int kFastBits = 12;
+constexpr int64_t kFastSize = (int64_t)1 << kFastBits;
+constexpr uint32_t kFastMiss = 0xC0000000u;
+
+struct FastLut {
+  uint32_t tab[kFastSize];
+
+  // `is_dc`: DC entries decode (size, delta) pairs; AC entries decode
+  // (run/size, value) pairs plus EOB/ZRL.
+  void build(const uint16_t* full_lut, bool is_dc) {
+    for (int64_t key = 0; key < kFastSize; ++key) {
+      uint32_t peek = (uint32_t)(key << (kLutBits - kFastBits));
+      uint32_t e = full_lut[peek];
+      int len = e & 0xFF;
+      int sym = e >> 8;
+      tab[key] = kFastMiss;
+      if (len == 0 || len > kFastBits) continue;
+      if (!is_dc && sym == 0x00) {
+        tab[key] = (1u << 30) | ((uint32_t)len << 25);
+        continue;
+      }
+      if (!is_dc && sym == 0xF0) {
+        tab[key] = (2u << 30) | ((uint32_t)len << 25);
+        continue;
+      }
+      int run = is_dc ? 0 : ((sym >> 4) & 0xF);
+      int size = is_dc ? sym : (sym & 0xF);
+      int total = len + size;
+      if (total > kFastBits) continue;
+      uint32_t raw =
+          ((uint32_t)key >> (kFastBits - total)) & ((1u << size) - 1);
+      int32_t v = value_correction(raw, size);
+      tab[key] = ((uint32_t)total << 25) | ((uint32_t)run << 21) |
+                 ((uint32_t)(uint16_t)(int16_t)v);
+    }
   }
 };
 
@@ -98,14 +150,6 @@ struct BitReader {
     return v;
   }
 };
-
-// JPEG Table F.2 sign extension (reference src/jpeg/huffman.rs:256-268).
-inline int32_t value_correction(uint32_t v, int nbits) {
-  if (nbits == 0) return 0;
-  int32_t base = 1 << (nbits - 1);
-  int32_t val = (int32_t)v;
-  return (val < base) ? val - 2 * base + 1 : val;
-}
 
 // Decode one 64-coef block in zigzag order (DC as raw delta).
 // Contract parity: reference next_block (src/jpeg/huffman.rs:146-195).
@@ -159,7 +203,8 @@ constexpr uint8_t kZigCol[64] = {
 // scatter writes happen anyway), which is what lets the TPU IDCT run as
 // plane-tiled matmuls with no reshape at all (ops/pallas_kernels.py).
 inline int next_block_plane(BitReader& br, const TwoLevelLut& dc_lut,
-                            const TwoLevelLut& ac_lut, int16_t* plane,
+                            const TwoLevelLut& ac_lut, const FastLut& dc_fast,
+                            const FastLut& ac_fast, int16_t* plane,
                             int64_t stride, const int32_t* zoff,
                             int32_t* prev_dc) {
   // Zero the 8x8 destination tile.
@@ -169,38 +214,73 @@ inline int next_block_plane(BitReader& br, const TwoLevelLut& dc_lut,
   // A symbol needs at most 16 (code) + 11 (magnitude) = 27 bits, so one
   // refill up front covers the combined code+magnitude advance below.
   if (br.count < 27) br.refill();
-  uint32_t e = dc_lut.lookup((uint32_t)(br.bits >> 48));
-  int len = e & 0xFF;
-  if (__builtin_expect(len == 0, 0)) return 1;
-  int nbits = e >> 8;
-  int total = len + nbits;
-  uint32_t raw = (uint32_t)((br.bits >> (64 - total)) & ((1u << nbits) - 1));
-  br.bits <<= total;
-  br.count -= total;
-  int32_t dc = value_correction(raw, nbits) + *prev_dc;
+  int32_t dc;
+  uint32_t f = dc_fast.tab[(uint32_t)(br.bits >> 52)];
+  if (__builtin_expect((f >> 30) == 0, 1)) {
+    int tb = (f >> 25) & 31;
+    br.bits <<= tb;
+    br.count -= tb;
+    dc = (int16_t)(uint16_t)f + *prev_dc;
+  } else {
+    uint32_t e = dc_lut.lookup((uint32_t)(br.bits >> 48));
+    int len = e & 0xFF;
+    if (__builtin_expect(len == 0, 0)) return 1;
+    int nbits = e >> 8;
+    int total = len + nbits;
+    uint32_t raw = (uint32_t)((br.bits >> (64 - total)) & ((1u << nbits) - 1));
+    br.bits <<= total;
+    br.count -= total;
+    dc = value_correction(raw, nbits) + *prev_dc;
+  }
   *prev_dc = dc;
   plane[0] = (int16_t)dc;
   int k = 1;
   while (k < 64) {
     if (br.count < 27) br.refill();
-    e = ac_lut.lookup((uint32_t)(br.bits >> 48));
-    len = e & 0xFF;
+    uint32_t fa = ac_fast.tab[(uint32_t)(br.bits >> 52)];
+    uint32_t kind = fa >> 30;
+    if (__builtin_expect(kind == 0, 1)) {  // fused coefficient
+      int tb = (fa >> 25) & 31;
+      br.bits <<= tb;
+      br.count -= tb;
+      int run = (fa >> 21) & 15;
+      int cap = 64 - k - 1;
+      k += (run < cap) ? run : cap;
+      plane[zoff[k++]] = (int16_t)(uint16_t)fa;
+      continue;
+    }
+    if (kind == 1) {  // EOB
+      int tb = (fa >> 25) & 31;
+      br.bits <<= tb;
+      br.count -= tb;
+      break;
+    }
+    if (kind == 2) {  // ZRL
+      int tb = (fa >> 25) & 31;
+      br.bits <<= tb;
+      br.count -= tb;
+      k += (64 - k < 16) ? (64 - k) : 16;
+      continue;
+    }
+    // Miss: long code or large magnitude — full-path decode.
+    uint32_t e = ac_lut.lookup((uint32_t)(br.bits >> 48));
+    int len = e & 0xFF;
     if (__builtin_expect(len == 0, 0)) return 2;
     int sym = e >> 8;
-    if (__builtin_expect(sym == 0x00, 0)) {  // EOB
+    if (sym == 0x00) {
       br.bits <<= len;
       br.count -= len;
       break;
     }
-    if (__builtin_expect(sym == 0xF0, 0)) {  // ZRL
+    if (sym == 0xF0) {
       br.bits <<= len;
       br.count -= len;
       k += (64 - k < 16) ? (64 - k) : 16;
       continue;
     }
     int size = sym & 0xF;
-    total = len + size;
-    raw = (uint32_t)((br.bits >> (64 - total)) & ((1u << size) - 1));
+    int total = len + size;
+    uint32_t raw = (uint32_t)((br.bits >> (64 - total)) & ((1u << size) - 1));
     br.bits <<= total;
     br.count -= total;
     int32_t v = value_correction(raw, size);
@@ -239,9 +319,12 @@ void decode_segments_planes(const PlaneJob& job, int64_t lo, int64_t hi,
                             std::atomic<int64_t>* first_error) {
   const int bpm = job.blocks_per_mcu;
   TwoLevelLut dc_tab[4], ac_tab[4];
+  FastLut dc_fast[4], ac_fast[4];
   bool dc_built[4] = {}, ac_built[4] = {};
   const TwoLevelLut* slot_dc[64];
   const TwoLevelLut* slot_ac[64];
+  const FastLut* slot_dcf[64];
+  const FastLut* slot_acf[64];
   int slot_ci[64];
   int32_t zoff[8][64];  // per component: zigzag k -> plane offset
   for (int c = 0; c < job.n_comp; ++c) {
@@ -252,10 +335,20 @@ void decode_segments_planes(const PlaneJob& job, int64_t lo, int64_t hi,
     int c = job.slot_comp[s];
     slot_ci[s] = c;
     int di = job.comp_dc_id[c], ai = job.comp_ac_id[c];
-    if (!dc_built[di]) { dc_tab[di].build(job.dc_luts + di * kLutSize); dc_built[di] = true; }
-    if (!ac_built[ai]) { ac_tab[ai].build(job.ac_luts + ai * kLutSize); ac_built[ai] = true; }
+    if (!dc_built[di]) {
+      dc_tab[di].build(job.dc_luts + di * kLutSize);
+      dc_fast[di].build(job.dc_luts + di * kLutSize, true);
+      dc_built[di] = true;
+    }
+    if (!ac_built[ai]) {
+      ac_tab[ai].build(job.ac_luts + ai * kLutSize);
+      ac_fast[ai].build(job.ac_luts + ai * kLutSize, false);
+      ac_built[ai] = true;
+    }
     slot_dc[s] = &dc_tab[di];
     slot_ac[s] = &ac_tab[ai];
+    slot_dcf[s] = &dc_fast[di];
+    slot_acf[s] = &ac_fast[ai];
   }
   for (int64_t s = lo; s < hi; ++s) {
     BitReader br(job.data + job.seg_start[s],
@@ -271,7 +364,8 @@ void decode_segments_planes(const PlaneJob& job, int64_t lo, int64_t hi,
         int64_t by = my * job.comp_v[c] + job.slot_vi[slot];
         int64_t bx = mx * job.comp_h[c] + job.slot_hi[slot];
         int16_t* dst = job.planes[c] + by * 8 * st + bx * 8;
-        int err = next_block_plane(br, *slot_dc[slot], *slot_ac[slot], dst, st,
+        int err = next_block_plane(br, *slot_dc[slot], *slot_ac[slot],
+                                   *slot_dcf[slot], *slot_acf[slot], dst, st,
                                    zoff[c], &prev_dc[c]);
         if (__builtin_expect(err != 0, 0)) {
           int64_t expect = -1;
@@ -424,16 +518,29 @@ int64_t jt_decode_scan_planes_spec(
     const int64_t* plane_stride, int32_t n_chunks, int32_t n_threads) {
   constexpr int kOverlapMcus = 96;  // recorded past chunk end for syncing
   TwoLevelLut dc_tab[4], ac_tab[4];
+  static thread_local FastLut spec_dc_fast[4], spec_ac_fast[4];
   bool dcb[4] = {}, acb[4] = {};
   const TwoLevelLut* slot_dc[64];
   const TwoLevelLut* slot_ac[64];
+  const FastLut* slot_dcf[64];
+  const FastLut* slot_acf[64];
   for (int s = 0; s < blocks_per_mcu; ++s) {
     int c = slot_comp[s];
     int di = comp_dc_id[c], ai = comp_ac_id[c];
-    if (!dcb[di]) { dc_tab[di].build(dc_luts + di * kLutSize); dcb[di] = true; }
-    if (!acb[ai]) { ac_tab[ai].build(ac_luts + ai * kLutSize); acb[ai] = true; }
+    if (!dcb[di]) {
+      dc_tab[di].build(dc_luts + di * kLutSize);
+      spec_dc_fast[di].build(dc_luts + di * kLutSize, true);
+      dcb[di] = true;
+    }
+    if (!acb[ai]) {
+      ac_tab[ai].build(ac_luts + ai * kLutSize);
+      spec_ac_fast[ai].build(ac_luts + ai * kLutSize, false);
+      acb[ai] = true;
+    }
     slot_dc[s] = &dc_tab[di];
     slot_ac[s] = &ac_tab[ai];
+    slot_dcf[s] = &spec_dc_fast[di];
+    slot_acf[s] = &spec_ac_fast[ai];
   }
 
   int64_t K = std::max<int64_t>(1, std::min<int64_t>(n_chunks, n_bytes / 4096));
@@ -564,7 +671,8 @@ int64_t jt_decode_scan_planes_spec(
         int64_t by = my * comp_v[c] + slot_vi[slot];
         int64_t bx = mx * comp_h[c] + slot_hi[slot];
         int16_t* dst = planes[c] + by * 8 * st + bx * 8;
-        int err = next_block_plane(br, *slot_dc[slot], *slot_ac[slot], dst,
+        int err = next_block_plane(br, *slot_dc[slot], *slot_ac[slot],
+                                   *slot_dcf[slot], *slot_acf[slot], dst,
                                    st, zoff_all[c], &prev_dc[c]);
         if (__builtin_expect(err != 0, 0)) {
           int64_t expect = -1;
