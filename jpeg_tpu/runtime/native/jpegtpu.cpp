@@ -155,25 +155,59 @@ struct BitReader {
 // Contract parity: reference next_block (src/jpeg/huffman.rs:146-195).
 // Returns 0 ok, 1/2 invalid DC/AC prefix.
 inline int next_block(BitReader& br, const TwoLevelLut& dc_lut,
-                      const TwoLevelLut& ac_lut, int32_t* out) {
+                      const TwoLevelLut& ac_lut, const FastLut& dc_fast,
+                      const FastLut& ac_fast, int32_t* out) {
   std::memset(out, 0, 64 * sizeof(int32_t));
-  uint32_t peek = br.peek16();
-  uint32_t e = dc_lut.lookup(peek);
-  int len = e & 0xFF;
-  if (__builtin_expect(len == 0, 0)) return 1;
-  br.consume(len);
-  int nbits = e >> 8;
-  out[0] = value_correction(br.read(nbits), nbits);
+  if (br.count < 27) br.refill();
+  uint32_t f = dc_fast.tab[(uint32_t)(br.bits >> 52)];
+  if (__builtin_expect((f >> 30) == 0, 1)) {
+    int tb = (f >> 25) & 31;
+    br.bits <<= tb;
+    br.count -= tb;
+    out[0] = (int16_t)(uint16_t)f;
+  } else {
+    uint32_t e = dc_lut.lookup((uint32_t)(br.bits >> 48));
+    int len = e & 0xFF;
+    if (__builtin_expect(len == 0, 0)) return 1;
+    br.consume(len);
+    int nbits = e >> 8;
+    out[0] = value_correction(br.read(nbits), nbits);
+  }
   int k = 1;
   while (k < 64) {
-    peek = br.peek16();
-    e = ac_lut.lookup(peek);
-    len = e & 0xFF;
+    if (br.count < 27) br.refill();
+    uint32_t fa = ac_fast.tab[(uint32_t)(br.bits >> 52)];
+    uint32_t kind = fa >> 30;
+    if (__builtin_expect(kind == 0, 1)) {
+      int tb = (fa >> 25) & 31;
+      br.bits <<= tb;
+      br.count -= tb;
+      int run = (fa >> 21) & 15;
+      int cap = 64 - k - 1;
+      k += (run < cap) ? run : cap;
+      out[k++] = (int16_t)(uint16_t)fa;
+      continue;
+    }
+    if (kind == 1) {  // EOB
+      int tb = (fa >> 25) & 31;
+      br.bits <<= tb;
+      br.count -= tb;
+      break;
+    }
+    if (kind == 2) {  // ZRL
+      int tb = (fa >> 25) & 31;
+      br.bits <<= tb;
+      br.count -= tb;
+      k += (64 - k < 16) ? (64 - k) : 16;
+      continue;
+    }
+    uint32_t e = ac_lut.lookup((uint32_t)(br.bits >> 48));
+    int len = e & 0xFF;
     if (__builtin_expect(len == 0, 0)) return 2;
     br.consume(len);
     int sym = e >> 8;
     if (sym == 0x00) break;  // EOB
-    if (__builtin_expect(sym == 0xF0, 0)) {  // ZRL, capped at block end
+    if (sym == 0xF0) {  // ZRL, capped at block end
       k += (64 - k < 16) ? (64 - k) : 16;
       continue;
     }
@@ -400,20 +434,33 @@ struct ScanJob {
 void decode_segments(const ScanJob& job, int64_t lo, int64_t hi,
                      std::atomic<int64_t>* first_error) {
   const int bpm = job.blocks_per_mcu;
-  // Per-slot two-level tables, hoisted out of the MCU loop.
+  // Per-slot two-level + value-fused tables, hoisted out of the MCU loop.
   TwoLevelLut dc_tab[4], ac_tab[4];
+  FastLut dc_fast[4], ac_fast[4];
   bool dcb[4] = {}, acb[4] = {};
   const TwoLevelLut* slot_dc[64];
   const TwoLevelLut* slot_ac[64];
+  const FastLut* slot_dcf[64];
+  const FastLut* slot_acf[64];
   int slot_ci[64];
   for (int s = 0; s < bpm; ++s) {
     int c = job.slot_comp[s];
     slot_ci[s] = c;
     int di = job.comp_dc_id[c], ai = job.comp_ac_id[c];
-    if (!dcb[di]) { dc_tab[di].build(job.dc_luts + di * kLutSize); dcb[di] = true; }
-    if (!acb[ai]) { ac_tab[ai].build(job.ac_luts + ai * kLutSize); acb[ai] = true; }
+    if (!dcb[di]) {
+      dc_tab[di].build(job.dc_luts + di * kLutSize);
+      dc_fast[di].build(job.dc_luts + di * kLutSize, true);
+      dcb[di] = true;
+    }
+    if (!acb[ai]) {
+      ac_tab[ai].build(job.ac_luts + ai * kLutSize);
+      ac_fast[ai].build(job.ac_luts + ai * kLutSize, false);
+      acb[ai] = true;
+    }
     slot_dc[s] = &dc_tab[di];
     slot_ac[s] = &ac_tab[ai];
+    slot_dcf[s] = &dc_fast[di];
+    slot_acf[s] = &ac_fast[ai];
   }
   for (int64_t s = lo; s < hi; ++s) {
     BitReader br(job.data + job.seg_start[s],
@@ -422,7 +469,8 @@ void decode_segments(const ScanJob& job, int64_t lo, int64_t hi,
     int32_t* out = job.out + job.seg_mcu_start[s] * bpm * 64;
     for (int64_t m = 0; m < job.seg_mcu_count[s]; ++m) {
       for (int slot = 0; slot < bpm; ++slot) {
-        int err = next_block(br, *slot_dc[slot], *slot_ac[slot], out);
+        int err = next_block(br, *slot_dc[slot], *slot_ac[slot],
+                             *slot_dcf[slot], *slot_acf[slot], out);
         if (__builtin_expect(err != 0, 0)) {
           int64_t expect = -1;
           first_error->compare_exchange_strong(expect, s);
