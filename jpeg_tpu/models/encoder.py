@@ -160,6 +160,32 @@ def _forward_transform(rgb, quality, subsampling, grayscale):
             mcus_x, mcus_y, grayscale)
 
 
+def _huffman_tables(grayscale: bool, optimize: bool, comp_blocks_zz=None,
+                    samplings=None, restart_interval_mcus=0,
+                    mcus_x=0, mcus_y=0):
+    """Encode-side table selection: Annex K typical tables, or per-image
+    optimal tables (Annex K.2) when ``optimize`` and statistics inputs are
+    given. Returns (dc_tables, ac_tables), luma first."""
+    if optimize:
+        from jpeg_tpu.entropy.optimize import build_optimal_table, symbol_histograms
+
+        dc_freq, ac_freq = symbol_histograms(
+            comp_blocks_zz, samplings, restart_interval_mcus, mcus_x, mcus_y)
+        n_tab = 1 if grayscale else 2
+        return ([build_optimal_table(dc_freq[t]) for t in range(n_tab)],
+                [build_optimal_table(ac_freq[t]) for t in range(n_tab)])
+    dc_t = [HuffmanTable.from_bits_values(
+        annex_k.DC_LUMA_BITS, annex_k.DC_LUMA_VALS)]
+    ac_t = [HuffmanTable.from_bits_values(
+        annex_k.AC_LUMA_BITS, annex_k.AC_LUMA_VALS)]
+    if not grayscale:
+        dc_t.append(HuffmanTable.from_bits_values(
+            annex_k.DC_CHROMA_BITS, annex_k.DC_CHROMA_VALS))
+        ac_t.append(HuffmanTable.from_bits_values(
+            annex_k.AC_CHROMA_BITS, annex_k.AC_CHROMA_VALS))
+    return dc_t, ac_t
+
+
 def _slots(samplings):
     """MCU slot order: (component, vi, hi), vi-major (JPEG A.2.3)."""
     out = []
@@ -298,34 +324,21 @@ def encode_rgb_device(rgb: np.ndarray, quality: int = 85,
     planes = fn(jnp.asarray(planar), *[jnp.asarray(q) for q in iqp])
     planes = [np.asarray(p) for p in planes]
 
+    comp_blocks_zz = None
     if optimize:
-        from jpeg_tpu.entropy.optimize import build_optimal_table, symbol_histograms
-
         # Statistics from the device-produced planes: block-ify + zigzag.
+        from jpeg_tpu.ops.zigzag import zigzag as _zig
+
         comp_blocks_zz = []
         for p, (h, v) in zip(planes, samplings):
             rows, cols = mcus_y * v, mcus_x * h
             crop = p[: rows * 8, : cols * 8]
             nat = crop.reshape(rows, 8, cols, 8).transpose(0, 2, 1, 3)
-            from jpeg_tpu.ops.zigzag import zigzag as _zig
-
             comp_blocks_zz.append(
                 _zig(nat.reshape(rows, cols, 64).astype(np.int32)))
-        dc_freq, ac_freq = symbol_histograms(
-            comp_blocks_zz, samplings, restart_interval_mcus, mcus_x, mcus_y)
-        n_tab = 1 if grayscale else 2
-        dc_t = [build_optimal_table(dc_freq[t]) for t in range(n_tab)]
-        ac_t = [build_optimal_table(ac_freq[t]) for t in range(n_tab)]
-    else:
-        dc_t = [HuffmanTable.from_bits_values(
-            annex_k.DC_LUMA_BITS, annex_k.DC_LUMA_VALS)]
-        ac_t = [HuffmanTable.from_bits_values(
-            annex_k.AC_LUMA_BITS, annex_k.AC_LUMA_VALS)]
-        if not grayscale:
-            dc_t.append(HuffmanTable.from_bits_values(
-                annex_k.DC_CHROMA_BITS, annex_k.DC_CHROMA_VALS))
-            ac_t.append(HuffmanTable.from_bits_values(
-                annex_k.AC_CHROMA_BITS, annex_k.AC_CHROMA_VALS))
+    dc_t, ac_t = _huffman_tables(grayscale, optimize, comp_blocks_zz,
+                                 samplings, restart_interval_mcus,
+                                 mcus_x, mcus_y)
     dc_maps = [_build_encode_maps(t) for t in dc_t]
     ac_maps = [_build_encode_maps(t) for t in ac_t]
 
@@ -402,24 +415,9 @@ def encode_rgb(rgb: np.ndarray, quality: int = 85,
      mcus_x, mcus_y, grayscale) = _forward_transform(
         rgb, quality, subsampling, grayscale)
 
-    if optimize:
-        from jpeg_tpu.entropy.optimize import build_optimal_table, symbol_histograms
-
-        dc_freq, ac_freq = symbol_histograms(
-            comp_blocks_zz, samplings, restart_interval_mcus, mcus_x, mcus_y)
-        n_tab = 1 if grayscale else 2
-        dc_t = [build_optimal_table(dc_freq[t]) for t in range(n_tab)]
-        ac_t = [build_optimal_table(ac_freq[t]) for t in range(n_tab)]
-    else:
-        dc_t = [HuffmanTable.from_bits_values(
-            annex_k.DC_LUMA_BITS, annex_k.DC_LUMA_VALS)]
-        ac_t = [HuffmanTable.from_bits_values(
-            annex_k.AC_LUMA_BITS, annex_k.AC_LUMA_VALS)]
-        if not grayscale:
-            dc_t.append(HuffmanTable.from_bits_values(
-                annex_k.DC_CHROMA_BITS, annex_k.DC_CHROMA_VALS))
-            ac_t.append(HuffmanTable.from_bits_values(
-                annex_k.AC_CHROMA_BITS, annex_k.AC_CHROMA_VALS))
+    dc_t, ac_t = _huffman_tables(grayscale, optimize, comp_blocks_zz,
+                                 samplings, restart_interval_mcus,
+                                 mcus_x, mcus_y)
     dc_maps = [_build_encode_maps(t) for t in dc_t]
     ac_maps = [_build_encode_maps(t) for t in ac_t]
 

@@ -110,3 +110,14 @@ def test_cli_corpus_batched(tmp_path, capsys):
     assert rc == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["decoded"] == 3 and rep["failed"] == 0
+
+
+def test_device_trace_noop_and_active(tmp_path):
+    from jpeg_tpu.utils.profiling import device_trace
+
+    with device_trace(None):
+        pass
+    with device_trace(str(tmp_path / "trace")):
+        import jax.numpy as jnp
+
+        _ = jnp.zeros((4,)) + 1
