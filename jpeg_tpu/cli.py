@@ -105,6 +105,33 @@ def cmd_corpus(args) -> int:
     return 1 if failed and args.strict else 0
 
 
+def cmd_info(args) -> int:
+    """Print stream metadata as JSON (the reference left this as a TODO,
+    src/jpeg/mod.rs:350-352: "might be useful if we want to print info")."""
+    from jpeg_tpu.io.container import parse_jpeg
+
+    with open(args.input, "rb") as f:
+        plan = parse_jpeg(f.read())
+    print(json.dumps({
+        "width": plan.width,
+        "height": plan.height,
+        "components": [
+            {"id": c.component_id, "sampling": [c.h, c.v],
+             "quant_table": c.quant_id, "dc_table": c.dc_id,
+             "ac_table": c.ac_id}
+            for c in plan.components
+        ],
+        "mcus": [plan.mcus_x, plan.mcus_y],
+        "restart_interval_mcus": plan.restart_interval,
+        "entropy_segments": len(plan.segments),
+        "entropy_bytes": int(plan.scan_data.size),
+        "jfif_version": plan.jfif_version,
+        "jfif_density": plan.jfif_density,
+        "comment": plan.comment,
+    }))
+    return 0
+
+
 def cmd_diff(args) -> int:
     """Decode + compare against PIL/libjpeg; print PSNR (Makefile:4-7 role)."""
     import numpy as np
@@ -166,6 +193,10 @@ def main(argv=None) -> int:
     c.add_argument("--batched", action="store_true",
                    help="geometry-bucketed batch decode (fast Pallas path)")
     c.set_defaults(fn=cmd_corpus)
+
+    i = sub.add_parser("info", help="print stream metadata as JSON")
+    i.add_argument("input")
+    i.set_defaults(fn=cmd_info)
 
     f = sub.add_parser("diff", help="PSNR vs libjpeg (visual-diff harness)")
     f.add_argument("input")

@@ -121,3 +121,12 @@ def test_device_trace_noop_and_active(tmp_path):
         import jax.numpy as jnp
 
         _ = jnp.zeros((4,)) + 1
+
+
+def test_cli_info(capsys):
+    rc = cli_main(["info", CORPUS["2x2-chroma"]])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["width"] == 750 and rep["height"] == 595
+    assert rep["components"][0]["sampling"] == [2, 2]
+    assert rep["entropy_segments"] == 1
