@@ -128,6 +128,7 @@ def cmd_info(args) -> int:
         "jfif_version": plan.jfif_version,
         "jfif_density": plan.jfif_density,
         "comment": plan.comment,
+        "exif": plan.exif,
     }))
     return 0
 

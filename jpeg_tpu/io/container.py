@@ -94,6 +94,7 @@ class DecodePlan:
     jfif_version: tuple[int, int] | None = None
     jfif_units: int | None = None
     jfif_density: tuple[int, int] | None = None
+    exif: dict | None = None
 
     @property
     def n_mcus(self) -> int:
@@ -196,6 +197,7 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
     restart_interval = 0
     comment = None
     jfif_version = jfif_units = jfif_density = None
+    exif = None
     scan_data = np.zeros(0, np.uint8)
     segments: list[Segment] = []
     got_frame = False
@@ -335,10 +337,15 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
                 jfif_version=jfif_version,
                 jfif_units=jfif_units,
                 jfif_density=jfif_density,
+                exif=exif,
             )
             # Like the reference (src/jpeg/mod.rs:417): first scan only.
             return plan
         elif APP0 <= marker <= APP15:
+            if marker == APP0 + 1:  # APP1: EXIF (reference has no support)
+                from jpeg_tpu.io.exif import parse_exif
+
+                exif = exif or parse_exif(bytes(vec[body : body + body_len]))
             if marker == APP0 and body_len >= 14:
                 # JFIF APP0 (reference parses-and-discards with absolute-
                 # offset bugs, src/jpeg/mod.rs:429-444; we parse correctly).

@@ -126,3 +126,41 @@ def test_nonstandard_table_slot_ids(corpus):
         i += 2 + seg_len
     got = decode_bytes(bytes(data))
     np.testing.assert_array_equal(got, want)
+
+
+def test_exif_app1_parsing():
+    """EXIF APP1 (reference has no APP1 support at all): orientation + make
+    extracted; decode unaffected."""
+    import struct
+
+    from jpeg_tpu.io.corpus import synthetic_jpeg
+    from jpeg_tpu.models.decoder import decode_bytes
+
+    base = synthetic_jpeg(48, 32, seed=1)
+    # Build a little-endian EXIF blob: IFD0 with orientation=6, make="cam".
+    make_bytes = b"cams\x00"  # 5 bytes -> stored at offset (not inline)
+    ifd_off = 8
+    n_entries = 2
+    values_off = ifd_off + 2 + n_entries * 12 + 4
+    tiff = b"II" + struct.pack("<HI", 42, ifd_off)
+    tiff += struct.pack("<H", n_entries)
+    tiff += struct.pack("<HHII", 0x0112, 3, 1, 6)  # orientation SHORT 6
+    tiff += struct.pack("<HHII", 0x010F, 2, len(make_bytes), values_off)
+    tiff += struct.pack("<I", 0)  # next IFD
+    tiff += make_bytes
+    payload = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + (len(payload) + 2).to_bytes(2, "big") + payload
+    data = base[:2] + app1 + base[2:]
+
+    plan = parse_jpeg(data)
+    assert plan.exif == {"orientation": 6, "make": "cams"}
+    np.testing.assert_array_equal(decode_bytes(data), decode_bytes(base))
+
+
+def test_garbled_app1_ignored():
+    from jpeg_tpu.io.corpus import synthetic_jpeg
+
+    base = synthetic_jpeg(32, 32, seed=2)
+    app1 = b"\xff\xe1\x00\x0aExif\x00\x00XX"
+    plan = parse_jpeg(base[:2] + app1 + base[2:])
+    assert plan.exif is None
