@@ -211,6 +211,65 @@ def bench_host_entropy_corpus(plan, iters=12):
         return iters / (time.perf_counter() - t0)
 
 
+def bench_corpus_1080p(n_images=8, iters=2):
+    """BASELINE config 4: batched 1080p corpus with restart-parallel Huffman.
+
+    Host entropy via corpus-mode workers; device via the batched (vmap)
+    fused kernel, dependency-chained. Reports the stage rates; steady-state
+    corpus fps = min(stages) with the stages overlapped in production.
+    """
+    import jax
+    import jax.numpy as jnp
+    from concurrent.futures import ThreadPoolExecutor
+
+    from jpeg_tpu.io.container import parse_jpeg
+    from jpeg_tpu.io.corpus import synthetic_jpeg
+    from jpeg_tpu.models.decoder import PipelineGeometry
+    from jpeg_tpu.ops.pallas_kernels import (
+        fused_plane_decoder,
+        plan_quant_patterns,
+    )
+    from jpeg_tpu.runtime import native_decode_planes
+
+    datas = [synthetic_jpeg(1920, 1080, seed=i) for i in range(n_images)]
+    plans = [parse_jpeg(d) for d in datas]
+    geom = PipelineGeometry.of(plans[0])
+
+    # Host entropy, one worker per image.
+    def one(p):
+        native_decode_planes(p, n_threads=1, reuse_buffer=False)
+
+    with ThreadPoolExecutor(max_workers=os.cpu_count() or 1) as ex:
+        list(ex.map(one, plans))  # warmup
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            list(ex.map(one, plans))
+        entropy_fps = n_images * iters / (time.perf_counter() - t0)
+
+    # Device: batched fused kernel.
+    planes = [np.asarray(p) for p in native_decode_planes(plans[0])]
+    qpats = plan_quant_patterns(plans[0], geom)
+    bp = [jnp.asarray(np.broadcast_to(p, (n_images,) + p.shape).copy())
+          for p in planes]
+    bq = [jnp.asarray(np.broadcast_to(q, (n_images,) + q.shape).copy())
+          for q in qpats]
+    fn = jax.vmap(fused_plane_decoder(geom, "truncate"))
+    reps = 8
+
+    @jax.jit
+    def loop(p0, *rest):
+        def body(i, acc):
+            out = fn(p0 + (acc % 2).astype(jnp.int16), *rest)
+            return acc + out.astype(jnp.int32)[0, 0, 0, 0]
+        return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
+
+    int(loop(*bp, *bq))
+    t0 = time.perf_counter()
+    int(loop(*bp, *bq))
+    dev_fps = n_images * reps / (time.perf_counter() - t0 - 0.0265)
+    return entropy_fps, dev_fps
+
+
 def main():
     data = make_4k_jpeg()
     log(f"4K jpeg: {len(data)/1e6:.2f} MB")
@@ -247,6 +306,9 @@ def main():
     log(f"entropy: single-image {entropy_fps:.1f} fps, "
         f"corpus-mode {corpus_entropy_fps:.1f} fps, "
         f"no-restart speculative {spec_fps:.1f} fps")
+    c1080_entropy, c1080_dev = bench_corpus_1080p()
+    log(f"1080p corpus: entropy {c1080_entropy:.1f} fps, "
+        f"batched device {c1080_dev:.1f} fps")
     # Entropy (host) and dense stage (device) run on different processors
     # and pipeline in production; steady-state e2e = min of the stages.
     e2e_fps = min(max(entropy_fps, corpus_entropy_fps), dev_fps)
@@ -264,6 +326,8 @@ def main():
             "device_sol_fraction": round(sol_frac, 4),
             "idct_only_blocks_per_s": round(idct_bps),
             "idct_only_sol_fraction": round(idct_sol, 4),
+            "corpus_1080p_entropy_fps": round(c1080_entropy, 2),
+            "corpus_1080p_device_fps": round(c1080_dev, 2),
             "libjpeg_1thread_fps": round(lib_fps, 2),
             "host_cores": os.cpu_count(),
         },
