@@ -67,6 +67,28 @@ class Segment:
 
 
 @dataclasses.dataclass
+class ProgScan:
+    """One scan of a progressive (SOF2) stream.
+
+    Tables are snapshotted at scan time (DHT may redefine slots between
+    scans); ``bounds`` are restart-segment byte ranges within ``scan_data``.
+    """
+
+    comp_indices: list[int]
+    dc_ids: list[int]
+    ac_ids: list[int]
+    ss: int
+    se: int
+    ah: int
+    al: int
+    scan_data: np.ndarray
+    bounds: list[tuple[int, int]]
+    restart_interval: int
+    dc_tables: list
+    ac_tables: list
+
+
+@dataclasses.dataclass
 class DecodePlan:
     """Everything device + entropy decoders need, as plain arrays.
 
@@ -95,6 +117,8 @@ class DecodePlan:
     jfif_units: int | None = None
     jfif_density: tuple[int, int] | None = None
     exif: dict | None = None
+    progressive: bool = False
+    prog_scans: list = dataclasses.field(default_factory=list)
 
     @property
     def n_mcus(self) -> int:
@@ -201,6 +225,8 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
     scan_data = np.zeros(0, np.uint8)
     segments: list[Segment] = []
     got_frame = False
+    progressive = False
+    prog_scans: list[ProgScan] = []
 
     i = 2
     while i < n - 1:
@@ -258,8 +284,10 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
         elif marker == DRI:
             # JPEG B.2.4.4 — reference panics here (src/jpeg/mod.rs:424-428).
             restart_interval = _u16(vec, body)
-        elif marker == SOF0:
-            # JPEG B.2.2; parity src/jpeg/mod.rs:262-298.
+        elif marker in (SOF0, 0xC2):
+            # JPEG B.2.2; parity src/jpeg/mod.rs:262-298. SOF2 = progressive
+            # (beyond the reference, which panics on it).
+            progressive = marker == 0xC2
             height = _u16(vec, body + 1)
             width = _u16(vec, body + 3)
             if width == 0 or height == 0:
@@ -282,8 +310,8 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
             got_frame = True
         elif SOF_MIN <= marker <= SOF_MAX and marker not in (0xC4, 0xC8, 0xCC):
             raise JPEGError(
-                f"unsupported SOF type {marker:#04x}: only baseline sequential "
-                "DCT (SOF0) is supported (matches reference feature set)"
+                f"unsupported SOF type {marker:#04x}: only baseline (SOF0) "
+                "and progressive (SOF2) DCT are supported"
             )
         elif marker == SOS:
             # JPEG B.2.3; parity src/jpeg/mod.rs:337-362 (without its i+=2
@@ -292,19 +320,47 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
                 raise JPEGError("SOS before SOF0")
             ncomp_scan = int(vec[body])
             idx = body + 1
+            scan_comp_idx: list[int] = []
+            scan_dc_ids: list[int] = []
+            scan_ac_ids: list[int] = []
             for _ in range(ncomp_scan):
                 cid = int(vec[idx])
                 dc_id = (int(vec[idx + 1]) & 0xF0) >> 4
                 ac_id = int(vec[idx + 1]) & 0x0F
-                matched = [c for c in components if c.component_id == cid]
+                matched = [
+                    (j, c) for j, c in enumerate(components)
+                    if c.component_id == cid
+                ]
                 if not matched:
                     raise JPEGError(f"scan component {cid} not in frame")
-                matched[0].dc_id = dc_id
-                matched[0].ac_id = ac_id
+                j, comp = matched[0]
+                comp.dc_id = dc_id
+                comp.ac_id = ac_id
+                scan_comp_idx.append(j)
+                scan_dc_ids.append(dc_id)
+                scan_ac_ids.append(ac_id)
                 idx += 2
-            # spectral selection / approximation bytes (baseline: 0, 63, 0).
+            # Spectral selection / successive approximation (B.2.3).
+            ss = int(vec[idx])
+            se = int(vec[idx + 1])
+            ah = (int(vec[idx + 2]) & 0xF0) >> 4
+            al = int(vec[idx + 2]) & 0x0F
             idx += 3
-            scan_data, bounds, _ = _unstuff_and_segment(vec, idx)
+            scan_data, bounds, scan_end = _unstuff_and_segment(vec, idx)
+            if progressive:
+                prog_scans.append(ProgScan(
+                    comp_indices=scan_comp_idx,
+                    dc_ids=scan_dc_ids,
+                    ac_ids=scan_ac_ids,
+                    ss=ss, se=se, ah=ah, al=al,
+                    scan_data=scan_data,
+                    bounds=bounds,
+                    restart_interval=restart_interval,
+                    dc_tables=list(dc_tables),
+                    ac_tables=list(ac_tables),
+                ))
+                i = scan_end
+                continue
             h_max = max(c.h for c in components)
             v_max = max(c.v for c in components)
             mcus_x = (width + 8 * h_max - 1) // (8 * h_max)
@@ -358,4 +414,19 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
         else:
             raise JPEGError(f"unhandled marker 0xff{marker:02x} at {i}")
         i = body + body_len
+    if progressive and prog_scans:
+        h_max = max(c.h for c in components)
+        v_max = max(c.v for c in components)
+        return DecodePlan(
+            width=width, height=height, components=components,
+            quant_tables=quant, dc_tables=dc_tables, ac_tables=ac_tables,
+            scan_data=np.zeros(0, np.uint8), segments=[],
+            restart_interval=restart_interval,
+            h_max=h_max, v_max=v_max,
+            mcus_x=(width + 8 * h_max - 1) // (8 * h_max),
+            mcus_y=(height + 8 * v_max - 1) // (8 * v_max),
+            comment=comment, jfif_version=jfif_version,
+            jfif_units=jfif_units, jfif_density=jfif_density, exif=exif,
+            progressive=True, prog_scans=prog_scans,
+        )
     raise JPEGError("no SOS marker found (no image data)")

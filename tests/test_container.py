@@ -66,12 +66,21 @@ def test_truncated_stream(corpus):
         parse_jpeg(corpus["lena"][:20])
 
 
-def test_progressive_rejected_cleanly(corpus):
-    # Flip SOF0 (0xC0) to progressive (0xC2) in a copy of the stream.
+def test_progressive_parses(corpus):
+    # Flip SOF0 (0xC0) to progressive (0xC2): now parsed as a progressive
+    # stream (one pseudo-scan); decoding validates scan structure separately.
     data = bytearray(corpus["lena-bw"])
     idx = bytes(data).find(b"\xff\xc0")
     assert idx > 0
     data[idx + 1] = 0xC2
+    plan = parse_jpeg(bytes(data))
+    assert plan.progressive and len(plan.prog_scans) == 1
+
+
+def test_extended_sof_rejected_cleanly(corpus):
+    data = bytearray(corpus["lena-bw"])
+    idx = bytes(data).find(b"\xff\xc0")
+    data[idx + 1] = 0xC3  # lossless sequential
     with pytest.raises(JPEGError, match="SOF"):
         parse_jpeg(bytes(data))
 

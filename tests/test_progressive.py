@@ -1,0 +1,86 @@
+"""Progressive (SOF2) decode — beyond the reference (which panics on SOF2).
+
+The strongest possible oracle: libjpeg encodes the SAME image as baseline
+and as progressive with the same quality, so the quantized coefficients are
+identical — our progressive decode must produce exactly the same pixels as
+our baseline decode.
+"""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from conftest import psnr
+from jpeg_tpu.io.container import parse_jpeg
+from jpeg_tpu.io.corpus import synthetic_image
+from jpeg_tpu.models.decoder import decode_bytes
+
+
+def _pair(img, subsampling, quality=85, **kw):
+    base = io.BytesIO()
+    Image.fromarray(img).save(base, "JPEG", quality=quality,
+                              subsampling=subsampling, **kw)
+    prog = io.BytesIO()
+    Image.fromarray(img).save(prog, "JPEG", quality=quality,
+                              subsampling=subsampling, progressive=True, **kw)
+    return base.getvalue(), prog.getvalue()
+
+
+@pytest.mark.parametrize("subsampling", [0, 1, 2])
+def test_matches_baseline_encode(subsampling):
+    img = synthetic_image(144, 112, seed=31)
+    base, prog = _pair(img, subsampling)
+    plan = parse_jpeg(prog)
+    assert plan.progressive and len(plan.prog_scans) >= 6
+    np.testing.assert_array_equal(
+        decode_bytes(prog, rounding="round"), decode_bytes(base, rounding="round")
+    )
+
+
+def test_matches_pil_decode():
+    img = synthetic_image(200, 152, seed=32)
+    _, prog = _pair(img, 2, quality=92)
+    ours = decode_bytes(prog, rounding="round")
+    pil = np.asarray(Image.open(io.BytesIO(prog)).convert("RGB"))
+    assert psnr(ours, pil) > 35.0
+
+
+def test_grayscale_progressive():
+    img = synthetic_image(96, 80, seed=33)[..., 0]
+    base = io.BytesIO()
+    Image.fromarray(img, mode="L").save(base, "JPEG", quality=88)
+    prog = io.BytesIO()
+    Image.fromarray(img, mode="L").save(prog, "JPEG", quality=88,
+                                        progressive=True)
+    np.testing.assert_array_equal(
+        decode_bytes(prog.getvalue()), decode_bytes(base.getvalue())
+    )
+
+
+def test_fast_path_progressive():
+    img = synthetic_image(128, 96, seed=34)
+    base, prog = _pair(img, 2)
+    fast = decode_bytes(prog, rounding="truncate", path="fast")
+    compat = decode_bytes(prog, rounding="truncate")
+    assert np.abs(fast.astype(int) - compat.astype(int)).max() <= 1
+
+
+def test_low_quality_many_refinements():
+    img = (synthetic_image(104, 88, seed=35) // 2 + 40).astype(np.uint8)
+    base, prog = _pair(img, 2, quality=25)
+    np.testing.assert_array_equal(decode_bytes(prog), decode_bytes(base))
+
+
+def test_random_noise_progressive():
+    rng = np.random.default_rng(36)
+    img = rng.integers(0, 256, (80, 64, 3), dtype=np.uint8)
+    base, prog = _pair(img, 0, quality=95)
+    np.testing.assert_array_equal(decode_bytes(prog), decode_bytes(base))
+
+
+def test_odd_dims_progressive():
+    img = synthetic_image(77, 53, seed=37)
+    base, prog = _pair(img, 2)
+    np.testing.assert_array_equal(decode_bytes(prog), decode_bytes(base))
