@@ -144,6 +144,14 @@ def decode_coefficients_host(plan: DecodePlan, engine: str = "auto") -> np.ndarr
     semantics), or "auto" (native if built, else oracle).
     """
     if plan.progressive:
+        if engine in ("auto", "native"):
+            try:
+                from jpeg_tpu.runtime import native_decode_progressive
+
+                return native_decode_progressive(plan)
+            except (ImportError, OSError):
+                if engine == "native":
+                    raise
         from jpeg_tpu.entropy.progressive import decode_progressive_coefficients
 
         return decode_progressive_coefficients(plan)
@@ -188,33 +196,43 @@ def decode_plan_fast(plan: DecodePlan, rounding: str = "truncate",
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if plan.progressive:
-        # Progressive entropy is host-Python; convert to the plane layout the
-        # fused kernel consumes.
-        from jpeg_tpu.entropy.progressive import decode_progressive_coefficients
-        from jpeg_tpu.ops.zigzag import unzigzag
-        from jpeg_tpu.runtime import plane_shapes
-
-        coeffs = decode_progressive_coefficients(plan)
-        shapes = plane_shapes(plan)
-        planes = [np.zeros(s, np.int16) for s in shapes]
-        bpm = plan.blocks_per_mcu
-        my, mx = np.divmod(np.arange(plan.n_mcus), plan.mcus_x)
-        grids = {}
-        for si, (ci, sub) in enumerate(plan.component_block_slots()):
-            c = plan.components[ci]
-            vi, hi = divmod(sub, c.h)
-            if ci not in grids:
-                grids[ci] = np.zeros(
-                    (plan.mcus_y * c.v, plan.mcus_x * c.h, 8, 8), np.int16)
-            nat = unzigzag(coeffs[si::bpm]).reshape(-1, 8, 8)
-            grids[ci][my * c.v + vi, mx * c.h + hi] = nat
-        for ci, grid in grids.items():
-            rows, cols = grid.shape[:2]
-            planes[ci][: rows * 8, : cols * 8] = grid.transpose(
-                0, 2, 1, 3).reshape(rows * 8, cols * 8)
+        planes = progressive_planes(plan)
     else:
         planes = native_decode_planes(plan)
     return decode_planes_fused(planes, plan, rounding, interpret)
+
+
+def progressive_planes(plan: DecodePlan) -> list[np.ndarray]:
+    """Progressive entropy decode -> int16 coefficient planes in the fast
+    path's plane layout (``jpeg_tpu.runtime.plane_shapes``)."""
+    from jpeg_tpu.entropy.progressive import decode_progressive_coefficients
+    from jpeg_tpu.ops.zigzag import unzigzag
+    from jpeg_tpu.runtime import plane_shapes
+
+    try:
+        from jpeg_tpu.runtime import native_decode_progressive
+
+        coeffs = native_decode_progressive(plan)
+    except (ImportError, OSError):
+        coeffs = decode_progressive_coefficients(plan)
+    shapes = plane_shapes(plan)
+    planes = [np.zeros(s, np.int16) for s in shapes]
+    bpm = plan.blocks_per_mcu
+    my, mx = np.divmod(np.arange(plan.n_mcus), plan.mcus_x)
+    grids = {}
+    for si, (ci, sub) in enumerate(plan.component_block_slots()):
+        c = plan.components[ci]
+        vi, hi = divmod(sub, c.h)
+        if ci not in grids:
+            grids[ci] = np.zeros(
+                (plan.mcus_y * c.v, plan.mcus_x * c.h, 8, 8), np.int16)
+        nat = unzigzag(coeffs[si::bpm]).reshape(-1, 8, 8)
+        grids[ci][my * c.v + vi, mx * c.h + hi] = nat
+    for ci, grid in grids.items():
+        rows, cols = grid.shape[:2]
+        planes[ci][: rows * 8, : cols * 8] = grid.transpose(
+            0, 2, 1, 3).reshape(rows * 8, cols * 8)
+    return planes
 
 
 def decode_bytes(data: bytes, rounding: str = "truncate",

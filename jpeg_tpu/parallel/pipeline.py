@@ -106,8 +106,13 @@ class BatchedCorpusDecoder:
             else:
                 data = path_or_bytes
             plan = parse_jpeg(data)
-            planes = [p.copy() for p in
-                      native_decode_planes(plan, n_threads=1)]
+            if plan.progressive:
+                from jpeg_tpu.models.decoder import progressive_planes
+
+                planes = progressive_planes(plan)
+            else:
+                planes = [p.copy() for p in
+                          native_decode_planes(plan, n_threads=1)]
             return (name, plan, PipelineGeometry.of(plan), planes, None)
         except Exception as e:  # noqa: BLE001 — isolation boundary
             return (name, None, None, None, f"{type(e).__name__}: {e}")

@@ -92,6 +92,25 @@ def _load() -> ctypes.CDLL:
     lib.jt_unstuff_scan.argtypes = [
         u8p, ctypes.c_int64, u8p, i64p, i64p, i64p, ctypes.c_int64, i64p,
     ]
+    lib.jt_decode_prog_dc.restype = ctypes.c_int64
+    lib.jt_decode_prog_dc.argtypes = [
+        u8p, i64p, i64p, ctypes.c_int64,  # data, seg bounds, n_segs
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,  # ri, ah, al
+        ctypes.c_int32, i32p, i32p,  # n_scan_comps, comp h, comp v
+        ctypes.POINTER(i32p), i64p,  # state ptrs, state cols
+        u16p, i32p,  # dc LUTs, scan dc ids
+        ctypes.c_int32, ctypes.c_int64,  # mcus_x, n_units
+        ctypes.c_int32, i64p,  # interleaved, comp_bw
+    ]
+    lib.jt_decode_prog_ac.restype = ctypes.c_int64
+    lib.jt_decode_prog_ac.argtypes = [
+        u8p, i64p, i64p, ctypes.c_int64,  # data, seg bounds, n_segs
+        ctypes.c_int64,  # restart blocks
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # ss se ah al
+        i32p, ctypes.c_int64,  # state, state cols
+        u16p, ctypes.c_int32,  # ac LUTs, ac id
+        ctypes.c_int64, ctypes.c_int64,  # bw, n_blocks
+    ]
     _lib = lib
     return lib
 
@@ -375,3 +394,126 @@ def native_decode_planes(plan, n_threads: int | None = None,
     if err >= 0:
         raise NativeDecodeError(int(err))
     return planes
+
+
+def _packed_table_block(tables) -> np.ndarray:
+    """[4, 65536] u16 packed (value<<8)|length from 4 HuffmanTable slots."""
+    return np.ascontiguousarray(np.stack(
+        [(t.lut_value.astype(np.uint16) << 8) | t.lut_length for t in tables]))
+
+
+def native_decode_progressive(plan, n_threads: int | None = None) -> np.ndarray:
+    """Progressive entropy decode in C++ -> [total_blocks, 64] int32.
+
+    Same contract and scan semantics as
+    :func:`jpeg_tpu.entropy.progressive.decode_progressive_coefficients`
+    (equivalence-tested). Scans touching disjoint coefficients run
+    concurrently: the DC chain (k == 0) and each component's AC chain are
+    independent; scans within a chain stay ordered.
+    """
+    import ctypes as ct
+    from concurrent.futures import ThreadPoolExecutor
+
+    from jpeg_tpu.io.container import JPEGError
+
+    lib = _load()
+    ncomp = len(plan.components)
+    state = [
+        np.zeros((plan.mcus_y * c.v, plan.mcus_x * c.h, 64), np.int32)
+        for c in plan.components
+    ]
+
+    def comp_block_dims(ci):
+        c = plan.components[ci]
+        cw = -(-plan.width * c.h // plan.h_max)
+        ch = -(-plan.height * c.v // plan.v_max)
+        return -(-ch // 8), -(-cw // 8)
+
+    def run_dc(scan):
+        if scan.se != 0:
+            raise JPEGError("progressive DC scan must have se == 0")
+        interleaved = len(scan.comp_indices) > 1
+        if interleaved:
+            n_units = plan.n_mcus
+            bw0 = 0
+        else:
+            bh, bw0 = comp_block_dims(scan.comp_indices[0])
+            n_units = bh * bw0
+        ri = scan.restart_interval or n_units
+        data = np.ascontiguousarray(scan.scan_data)
+        seg_s = np.array([b[0] for b in scan.bounds], np.int64)
+        seg_e = np.array([b[1] for b in scan.bounds], np.int64)
+        comp_h = np.array(
+            [plan.components[ci].h for ci in scan.comp_indices], np.int32)
+        comp_v = np.array(
+            [plan.components[ci].v for ci in scan.comp_indices], np.int32)
+        ptrs = (ct.POINTER(ct.c_int32) * len(scan.comp_indices))(
+            *[_p(state[ci], ct.c_int32) for ci in scan.comp_indices])
+        cols = np.array(
+            [state[ci].shape[1] for ci in scan.comp_indices], np.int64)
+        dc_luts = _packed_table_block(scan.dc_tables)
+        dc_ids = np.array(scan.dc_ids, np.int32)
+        bws = np.array([bw0], np.int64)
+        err = lib.jt_decode_prog_dc(
+            _p(data, ct.c_uint8), _p(seg_s, ct.c_int64), _p(seg_e, ct.c_int64),
+            len(scan.bounds), ri, scan.ah, scan.al,
+            len(scan.comp_indices), _p(comp_h, ct.c_int32),
+            _p(comp_v, ct.c_int32), ptrs, _p(cols, ct.c_int64),
+            _p(dc_luts, ct.c_uint16), _p(dc_ids, ct.c_int32),
+            plan.mcus_x, n_units, int(interleaved), _p(bws, ct.c_int64),
+        )
+        if err >= 0:
+            raise NativeDecodeError(int(err))
+
+    def run_ac(scan):
+        if len(scan.comp_indices) != 1:
+            raise JPEGError("progressive AC scan must have one component")
+        ci = scan.comp_indices[0]
+        bh, bw = comp_block_dims(ci)
+        n_blocks = bh * bw
+        ri = scan.restart_interval or n_blocks
+        data = np.ascontiguousarray(scan.scan_data)
+        seg_s = np.array([b[0] for b in scan.bounds], np.int64)
+        seg_e = np.array([b[1] for b in scan.bounds], np.int64)
+        ac_luts = _packed_table_block(scan.ac_tables)
+        err = lib.jt_decode_prog_ac(
+            _p(data, ct.c_uint8), _p(seg_s, ct.c_int64), _p(seg_e, ct.c_int64),
+            len(scan.bounds), ri, scan.ss, scan.se, scan.ah, scan.al,
+            _p(state[ci], ct.c_int32), state[ci].shape[1],
+            _p(ac_luts, ct.c_uint16), scan.ac_ids[0], bw, n_blocks,
+        )
+        if err >= 0:
+            raise NativeDecodeError(int(err))
+
+    # Build ordered chains: DC scans (all comps) + per-component AC chains.
+    chains: dict = {"dc": []}
+    for scan in plan.prog_scans:
+        if scan.ss == 0:
+            chains["dc"].append(("dc", scan))
+        else:
+            chains.setdefault(scan.comp_indices[0], []).append(("ac", scan))
+
+    def run_chain(items):
+        for kind, scan in items:
+            (run_dc if kind == "dc" else run_ac)(scan)
+
+    if n_threads is None:
+        n_threads = os.cpu_count() or 1
+    chain_lists = [c for c in chains.values() if c]
+    if n_threads > 1 and len(chain_lists) > 1:
+        with ThreadPoolExecutor(max_workers=min(n_threads, len(chain_lists))) as ex:
+            list(ex.map(run_chain, chain_lists))
+    else:
+        for c in chain_lists:
+            run_chain(c)
+
+    # Assemble MCU-interleaved stream order.
+    out = np.zeros((plan.total_blocks, 64), np.int32)
+    slots = plan.component_block_slots()
+    bpm = plan.blocks_per_mcu
+    my, mx = np.divmod(np.arange(plan.n_mcus), plan.mcus_x)
+    for si, (ci, sub) in enumerate(slots):
+        c = plan.components[ci]
+        vi, hi = divmod(sub, c.h)
+        out[si::bpm] = state[ci][my * c.v + vi, mx * c.h + hi]
+    return out

@@ -852,6 +852,192 @@ int64_t jt_decode_scan_planes(
   return first_error.load();
 }
 
+// ---------------------------------------------------------------------------
+// Progressive (SOF2) scan decode — JPEG F.2.2 semantics matching
+// jpeg_tpu.entropy.progressive (the Python oracle). One call per scan;
+// coefficient state lives in caller-owned int32 block grids
+// [rows_b, cols_b, 64] (zigzag order) that accumulate across scans.
+
+namespace {
+
+inline int32_t prog_extend(BitReader& br, int s) {
+  if (s == 0) return 0;
+  return value_correction(br.read(s), s);
+}
+
+}  // namespace
+
+// DC scan (ss == 0). If `interleaved`, units are MCUs over the full grid
+// with per-component sub-blocks; else a single component's exact block
+// raster. Returns -1 ok, >= 0 first bad segment.
+int64_t jt_decode_prog_dc(
+    const uint8_t* data, const int64_t* seg_start, const int64_t* seg_end,
+    int64_t n_segs, int64_t restart_units, int32_t ah, int32_t al,
+    int32_t n_scan_comps, const int32_t* scan_comp_h,
+    const int32_t* scan_comp_v, int32_t* const* state,
+    const int64_t* state_cols, const uint16_t* dc_luts,
+    const int32_t* scan_dc_ids, int32_t mcus_x, int64_t n_units,
+    int32_t interleaved, const int64_t* comp_bw) {
+  TwoLevelLut dc_tab[4];
+  bool built[4] = {};
+  const TwoLevelLut* comp_dc[4];
+  for (int s = 0; s < n_scan_comps; ++s) {
+    int t = scan_dc_ids[s];
+    if (!built[t]) {
+      dc_tab[t].build(dc_luts + t * kLutSize);
+      built[t] = true;
+    }
+    comp_dc[s] = &dc_tab[t];
+  }
+  int64_t unit = 0;
+  for (int64_t seg = 0; seg < n_segs && unit < n_units; ++seg) {
+    BitReader br(data + seg_start[seg], seg_end[seg] - seg_start[seg]);
+    int64_t pred[4] = {0, 0, 0, 0};
+    for (int64_t u = 0; u < restart_units && unit < n_units; ++u, ++unit) {
+      if (interleaved) {
+        int64_t my = unit / mcus_x;
+        int64_t mx = unit % mcus_x;
+        for (int s = 0; s < n_scan_comps; ++s) {
+          int h = scan_comp_h[s], v = scan_comp_v[s];
+          for (int vi = 0; vi < v; ++vi) {
+            for (int hi = 0; hi < h; ++hi) {
+              int32_t* coef =
+                  state[s] + ((my * v + vi) * state_cols[s] + mx * h + hi) * 64;
+              if (ah == 0) {
+                if (br.count < 27) br.refill();
+                uint32_t e = comp_dc[s]->lookup((uint32_t)(br.bits >> 48));
+                int len = e & 0xFF;
+                if (len == 0) return seg;
+                br.consume(len);
+                pred[s] += prog_extend(br, e >> 8);
+                coef[0] = (int32_t)(pred[s] << al);
+              } else {
+                if (br.read(1)) coef[0] |= 1 << al;
+              }
+            }
+          }
+        }
+      } else {
+        int64_t by = unit / comp_bw[0];
+        int64_t bx = unit % comp_bw[0];
+        int32_t* coef = state[0] + (by * state_cols[0] + bx) * 64;
+        if (ah == 0) {
+          if (br.count < 27) br.refill();
+          uint32_t e = comp_dc[0]->lookup((uint32_t)(br.bits >> 48));
+          int len = e & 0xFF;
+          if (len == 0) return seg;
+          br.consume(len);
+          pred[0] += prog_extend(br, e >> 8);
+          coef[0] = (int32_t)(pred[0] << al);
+        } else {
+          if (br.read(1)) coef[0] |= 1 << al;
+        }
+      }
+    }
+  }
+  return -1;
+}
+
+// AC scan (single component). Returns -1 ok, >= 0 first bad segment.
+int64_t jt_decode_prog_ac(
+    const uint8_t* data, const int64_t* seg_start, const int64_t* seg_end,
+    int64_t n_segs, int64_t restart_blocks, int32_t ss, int32_t se,
+    int32_t ah, int32_t al, int32_t* state, int64_t state_cols,
+    const uint16_t* ac_luts, int32_t ac_id, int64_t bw, int64_t n_blocks) {
+  TwoLevelLut ac_tab;
+  ac_tab.build(ac_luts + ac_id * kLutSize);
+  const int32_t p1 = 1 << al;
+  const int32_t m1 = -(1 << al);
+  int64_t bi = 0;
+  for (int64_t seg = 0; seg < n_segs && bi < n_blocks; ++seg) {
+    BitReader br(data + seg_start[seg], seg_end[seg] - seg_start[seg]);
+    int64_t eobrun = 0;
+    for (int64_t u = 0; u < restart_blocks && bi < n_blocks; ++u, ++bi) {
+      int64_t by = bi / bw;
+      int64_t bx = bi % bw;
+      int32_t* coef = state + (by * state_cols + bx) * 64;
+      if (ah == 0) {
+        if (eobrun > 0) {
+          --eobrun;
+          continue;
+        }
+        int k = ss;
+        while (k <= se) {
+          if (br.count < 27) br.refill();
+          uint32_t e = ac_tab.lookup((uint32_t)(br.bits >> 48));
+          int len = e & 0xFF;
+          if (len == 0) return seg;
+          br.consume(len);
+          int rs = e >> 8;
+          int r = rs >> 4, s = rs & 0xF;
+          if (s == 0) {
+            if (r != 15) {
+              eobrun = ((int64_t)1 << r) - 1;
+              if (r) eobrun += br.read(r);
+              break;
+            }
+            k += 16;
+          } else {
+            k += r;
+            if (k > se) break;
+            coef[k] = prog_extend(br, s) * (1 << al);
+            ++k;
+          }
+        }
+      } else {
+        int k = ss;
+        if (eobrun == 0) {
+          while (k <= se) {
+            if (br.count < 27) br.refill();
+            uint32_t e = ac_tab.lookup((uint32_t)(br.bits >> 48));
+            int len = e & 0xFF;
+            if (len == 0) return seg;
+            br.consume(len);
+            int rs = e >> 8;
+            int r = rs >> 4, s = rs & 0xF;
+            int32_t s_val = 0;
+            if (s == 0) {
+              if (r != 15) {
+                eobrun = (int64_t)1 << r;
+                if (r) eobrun += br.read(r);
+                break;
+              }
+            } else {
+              if (s != 1) return seg;  // invalid refinement magnitude
+              s_val = br.read(1) ? p1 : m1;
+            }
+            while (k <= se) {
+              int32_t* c = &coef[k];
+              if (*c != 0) {
+                if (br.read(1) && (*c & p1) == 0)
+                  *c += (*c >= 0) ? p1 : m1;
+              } else {
+                if (r == 0) {
+                  if (s_val) *c = s_val;
+                  ++k;
+                  break;
+                }
+                --r;
+              }
+              ++k;
+            }
+          }
+        }
+        if (eobrun > 0) {
+          for (; k <= se; ++k) {
+            int32_t* c = &coef[k];
+            if (*c != 0) {
+              if (br.read(1) && (*c & p1) == 0) *c += (*c >= 0) ? p1 : m1;
+            }
+          }
+          --eobrun;
+        }
+      }
+    }
+  }
+  return -1;
+}
+
 // Byte-unstuffing + restart-segment scan in one pass.
 // Parity: reference unstuff loop (src/jpeg/mod.rs:371-385) + the RST
 // handling it lacks. Writes unstuffed bytes to `out` (same size or smaller

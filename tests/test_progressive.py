@@ -84,3 +84,19 @@ def test_odd_dims_progressive():
     img = synthetic_image(77, 53, seed=37)
     base, prog = _pair(img, 2)
     np.testing.assert_array_equal(decode_bytes(prog), decode_bytes(base))
+
+
+@pytest.mark.parametrize("subsampling", [0, 2])
+def test_native_progressive_matches_python(subsampling):
+    from jpeg_tpu.entropy.progressive import decode_progressive_coefficients
+    from jpeg_tpu.runtime import native_available, native_decode_progressive
+
+    if not native_available():
+        pytest.skip("native runtime not built")
+    img = synthetic_image(120, 88, seed=50 + subsampling)
+    _, prog = _pair(img, subsampling, quality=80)
+    plan = parse_jpeg(prog)
+    np.testing.assert_array_equal(
+        native_decode_progressive(plan),
+        decode_progressive_coefficients(plan),
+    )
