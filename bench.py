@@ -309,6 +309,25 @@ def main():
     c1080_entropy, c1080_dev = bench_corpus_1080p()
     log(f"1080p corpus: entropy {c1080_entropy:.1f} fps, "
         f"batched device {c1080_dev:.1f} fps")
+    # Progressive 4K (SOF2): host entropy rate (chain-parallel C++).
+    import io as _io
+
+    from PIL import Image as _Image
+
+    from jpeg_tpu.io.corpus import synthetic_image as _synth
+    from jpeg_tpu.runtime import native_decode_progressive as _ndprog
+
+    _pb = _io.BytesIO()
+    _Image.fromarray(_synth(3840, 2160, seed=7)).save(
+        _pb, "JPEG", quality=85, progressive=True)
+    plan_prog = parse_jpeg(_pb.getvalue())
+    _ndprog(plan_prog)  # warmup
+    t0 = time.perf_counter()
+    for _ in range(4):
+        _ndprog(plan_prog)
+    prog_fps = 4 / (time.perf_counter() - t0)
+    log(f"progressive 4K entropy: {prog_fps:.1f} fps "
+        f"({len(plan_prog.prog_scans)} scans)")
     # Entropy (host) and dense stage (device) run on different processors
     # and pipeline in production; steady-state e2e = min of the stages.
     e2e_fps = min(max(entropy_fps, corpus_entropy_fps), dev_fps)
@@ -326,6 +345,7 @@ def main():
             "device_sol_fraction": round(sol_frac, 4),
             "idct_only_blocks_per_s": round(idct_bps),
             "idct_only_sol_fraction": round(idct_sol, 4),
+            "progressive_4k_entropy_fps": round(prog_fps, 2),
             "corpus_1080p_entropy_fps": round(c1080_entropy, 2),
             "corpus_1080p_device_fps": round(c1080_dev, 2),
             "libjpeg_1thread_fps": round(lib_fps, 2),

@@ -96,3 +96,42 @@ def test_sixteen_bit_quant_tables():
             i += 1
     got = decode_bytes(bytes(out))
     np.testing.assert_array_equal(got, want)
+
+
+def _progressive_jpeg():
+    import io
+
+    from PIL import Image
+
+    from jpeg_tpu.io.corpus import synthetic_image
+
+    buf = io.BytesIO()
+    Image.fromarray(synthetic_image(80, 64, seed=60)).save(
+        buf, "JPEG", quality=85, progressive=True)
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("frac", [0.2, 0.5, 0.8, 0.95])
+def test_progressive_truncation(frac):
+    data = _progressive_jpeg()
+    cut = data[: int(len(data) * frac)]
+    try:
+        rgb = decode_bytes(cut)
+        assert rgb.dtype == np.uint8
+    except ACCEPTABLE:
+        pass
+
+
+def test_progressive_bit_flips():
+    data = bytearray(_progressive_jpeg())
+    rng = np.random.default_rng(7)
+    for trial in range(25):
+        mutated = bytearray(data)
+        for _ in range(rng.integers(1, 4)):
+            pos = int(rng.integers(2, len(mutated)))
+            mutated[pos] ^= 1 << int(rng.integers(0, 8))
+        try:
+            rgb = decode_bytes(bytes(mutated))
+            assert rgb.dtype == np.uint8
+        except ACCEPTABLE:
+            pass
