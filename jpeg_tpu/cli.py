@@ -41,9 +41,14 @@ def cmd_encode(args) -> int:
 
     img = np.asarray(Image.open(args.input).convert("RGB"))
     sub = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[args.subsampling]
-    data = encode_rgb(img, quality=args.quality, subsampling=sub,
-                      restart_interval_mcus=args.restart_interval,
-                      optimize=args.optimize)
+    if args.progressive:
+        from jpeg_tpu.models.encoder import encode_rgb_progressive
+
+        data = encode_rgb_progressive(img, quality=args.quality, subsampling=sub)
+    else:
+        data = encode_rgb(img, quality=args.quality, subsampling=sub,
+                          restart_interval_mcus=args.restart_interval,
+                          optimize=args.optimize)
     with open(args.output, "wb") as f:
         f.write(data)
     print(f"{args.input} -> {args.output} ({len(data)} bytes)")
@@ -181,6 +186,8 @@ def main(argv=None) -> int:
                    help="MCUs per restart segment (0 = none)")
     e.add_argument("--optimize", action="store_true",
                    help="per-image optimal Huffman tables (Annex K.2)")
+    e.add_argument("--progressive", action="store_true",
+                   help="progressive (SOF2) output, standard scan script")
     e.set_defaults(fn=cmd_encode)
 
     c = sub.add_parser("corpus", help="decode a corpus directory (resumable)")

@@ -431,3 +431,51 @@ def encode_rgb(rgb: np.ndarray, quality: int = 85,
 
     return _container(scan, samplings, quant_zz, dc_t, ac_t, height, width,
                       restart_interval_mcus)
+
+
+def encode_rgb_progressive(rgb: np.ndarray, quality: int = 85,
+                           subsampling: tuple[int, int] = (2, 2),
+                           grayscale: bool = False) -> bytes:
+    """Encode to a progressive (SOF2) JFIF stream.
+
+    libjpeg's standard scan script with per-scan optimal Huffman tables
+    (entropy/progressive_encode.py). Same quantized coefficients as the
+    baseline encoder, so decoding both yields identical pixels.
+    """
+    from jpeg_tpu.entropy.progressive_encode import encode_progressive_scans
+
+    (comp_blocks_zz, samplings, quant_zz, height, width,
+     mcus_x, mcus_y, grayscale) = _forward_transform(
+        rgb, quality, subsampling, grayscale)
+
+    scans = encode_progressive_scans(
+        comp_blocks_zz, samplings, mcus_x, mcus_y, width, height)
+
+    out = bytearray(b"\xff\xd8")
+    app0 = b"JFIF\x00\x01\x01\x00" + (1).to_bytes(2, "big") * 2 + b"\x00\x00"
+    out += b"\xff\xe0" + (len(app0) + 2).to_bytes(2, "big") + app0
+    for tid, q in enumerate(quant_zz):
+        body = bytes([tid]) + bytes(q.astype(np.uint8).tolist())
+        out += b"\xff\xdb" + (len(body) + 2).to_bytes(2, "big") + body
+    ncomp = len(samplings)
+    sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big") + bytes([ncomp])
+    for ci, (h, v) in enumerate(samplings):
+        sof += bytes([ci + 1, (h << 4) | v, min(ci, 1)])
+    out += b"\xff\xc2" + (len(sof) + 2).to_bytes(2, "big") + sof  # SOF2
+    for scan in scans:
+        # Per-scan DHT(s): DC tables at slots by component position, AC at 0.
+        for cls_name, slot, table in scan["tables"]:
+            cls = 0 if cls_name == "dc" else 1
+            body = bytes([(cls << 4) | slot]) + bytes(table.bits.tolist()) \
+                + bytes(table.values.tolist())
+            out += b"\xff\xc4" + (len(body) + 2).to_bytes(2, "big") + body
+        sos = bytes([len(scan["comps"])])
+        for si, ci in enumerate(scan["comps"]):
+            dc_sel = si if scan["ss"] == 0 and scan["ah"] == 0 else 0
+            ac_sel = 0
+            sos += bytes([ci + 1, (dc_sel << 4) | ac_sel])
+        sos += bytes([scan["ss"], scan["se"], (scan["ah"] << 4) | scan["al"]])
+        out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+        out += scan["data"]
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -100,3 +100,42 @@ def test_native_progressive_matches_python(subsampling):
         native_decode_progressive(plan),
         decode_progressive_coefficients(plan),
     )
+
+
+@pytest.mark.parametrize("subsampling", [(1, 1), (2, 1), (2, 2)])
+def test_progressive_encoder_roundtrip(subsampling):
+    """Our progressive encoder: same pixels as our baseline encoder, and
+    conformant (PIL decodes it)."""
+    from jpeg_tpu.models.encoder import encode_rgb, encode_rgb_progressive
+
+    img = synthetic_image(120, 104, seed=71)
+    base = encode_rgb(img, quality=85, subsampling=subsampling)
+    prog = encode_rgb_progressive(img, quality=85, subsampling=subsampling)
+    np.testing.assert_array_equal(decode_bytes(base), decode_bytes(prog))
+    pil = np.asarray(Image.open(io.BytesIO(prog)).convert("RGB"))
+    assert psnr(pil, decode_bytes(prog, rounding="round")) > 35.0
+
+
+def test_progressive_encoder_grayscale_and_noise():
+    from jpeg_tpu.models.encoder import encode_rgb, encode_rgb_progressive
+
+    g = synthetic_image(88, 72, seed=72)[..., 0]
+    np.testing.assert_array_equal(
+        decode_bytes(encode_rgb_progressive(g, quality=90)),
+        decode_bytes(encode_rgb(g, quality=90)),
+    )
+    rng = np.random.default_rng(73)
+    noise = rng.integers(0, 256, (64, 48, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_bytes(encode_rgb_progressive(noise, quality=95, subsampling=(1, 1))),
+        decode_bytes(encode_rgb(noise, quality=95, subsampling=(1, 1))),
+    )
+
+
+def test_progressive_encoder_smaller():
+    from jpeg_tpu.models.encoder import encode_rgb, encode_rgb_progressive
+
+    img = synthetic_image(160, 128, seed=74)
+    base = encode_rgb(img, quality=85)
+    prog = encode_rgb_progressive(img, quality=85)
+    assert len(prog) < len(base)
