@@ -217,9 +217,11 @@ def _ac_refine_scan(emit, blocks, ss, se, al):
 
 
 def encode_progressive_scans(comp_blocks_zz, samplings, mcus_x, mcus_y,
-                             width, height):
-    """Quantized zigzag blocks -> list of (scan_header_fields, dht_bytes,
-    entropy_bytes) per the standard script. Returns list of dicts."""
+                             width, height, scan_script=None):
+    """Quantized zigzag blocks -> list of scan dicts (header fields, tables,
+    entropy bytes). ``scan_script``: list of (comps, ss, se, ah, al); default
+    is libjpeg's standard script. Successive-approximation scans must step
+    al by exactly 1 with matching ah (validated)."""
     ncomp = len(samplings)
     h_max = max(h for h, _ in samplings)
     v_max = max(v for _, v in samplings)
@@ -259,7 +261,11 @@ def encode_progressive_scans(comp_blocks_zz, samplings, mcus_x, mcus_y,
             yield comp_blocks_zz[ci][by, bx]
 
     scans = []
-    for comps, ss, se, ah, al in standard_scan_script(ncomp):
+    script = scan_script or standard_scan_script(ncomp)
+    for comps, ss, se, ah, al in script:
+        if ah and ah != al + 1:
+            raise ValueError(
+                f"refinement scan must step al by 1 (ah={ah}, al={al})")
         if ss == 0:
             # One DC table per scan component (luma=slot of its index).
             counters = [_CountEmitter() for _ in comps]
@@ -283,11 +289,11 @@ def encode_progressive_scans(comp_blocks_zz, samplings, mcus_x, mcus_y,
         else:
             ci = comps[0]
             counter = _CountEmitter()
-            _ac_first = _ac_first_scan if ah == 0 else _ac_refine_scan
-            _ac_first(counter, ac_blocks(ci), ss, se, al)
+            ac_fn = _ac_first_scan if ah == 0 else _ac_refine_scan
+            ac_fn(counter, ac_blocks(ci), ss, se, al)
             table = build_optimal_table(counter.freq)
             emit = _BitEmitter(table)
-            _ac_first(emit, ac_blocks(ci), ss, se, al)
+            ac_fn(emit, ac_blocks(ci), ss, se, al)
             emit.flush()
             scans.append(dict(comps=comps, ss=ss, se=se, ah=ah, al=al,
                               tables=[("ac", 0, table)],

@@ -435,7 +435,8 @@ def encode_rgb(rgb: np.ndarray, quality: int = 85,
 
 def encode_rgb_progressive(rgb: np.ndarray, quality: int = 85,
                            subsampling: tuple[int, int] = (2, 2),
-                           grayscale: bool = False) -> bytes:
+                           grayscale: bool = False,
+                           scan_script=None) -> bytes:
     """Encode to a progressive (SOF2) JFIF stream.
 
     libjpeg's standard scan script with per-scan optimal Huffman tables
@@ -449,7 +450,8 @@ def encode_rgb_progressive(rgb: np.ndarray, quality: int = 85,
         rgb, quality, subsampling, grayscale)
 
     scans = encode_progressive_scans(
-        comp_blocks_zz, samplings, mcus_x, mcus_y, width, height)
+        comp_blocks_zz, samplings, mcus_x, mcus_y, width, height,
+        scan_script=scan_script)
 
     out = bytearray(b"\xff\xd8")
     app0 = b"JFIF\x00\x01\x01\x00" + (1).to_bytes(2, "big") * 2 + b"\x00\x00"

@@ -139,3 +139,19 @@ def test_progressive_encoder_smaller():
     base = encode_rgb(img, quality=85)
     prog = encode_rgb_progressive(img, quality=85)
     assert len(prog) < len(base)
+
+
+def test_custom_scan_script():
+    from jpeg_tpu.models.encoder import encode_rgb, encode_rgb_progressive
+
+    img = synthetic_image(96, 80, seed=75)
+    # Simple 2-stage script: DC full precision, then whole AC band at once.
+    script = [((0, 1, 2), 0, 0, 0, 0),
+              ((0,), 1, 63, 0, 0),
+              ((1,), 1, 63, 0, 0),
+              ((2,), 1, 63, 0, 0)]
+    prog = encode_rgb_progressive(img, quality=88, scan_script=script)
+    np.testing.assert_array_equal(
+        decode_bytes(prog), decode_bytes(encode_rgb(img, quality=88)))
+    pil = np.asarray(Image.open(io.BytesIO(prog)).convert("RGB"))
+    assert psnr(pil, decode_bytes(prog, rounding="round")) > 35.0
