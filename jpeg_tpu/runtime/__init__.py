@@ -517,3 +517,151 @@ def native_decode_progressive(plan, n_threads: int | None = None) -> np.ndarray:
         vi, hi = divmod(sub, c.h)
         out[si::bpm] = state[ci][my * c.v + vi, mx * c.h + hi]
     return out
+
+
+def _load_prog_enc():
+    lib = _load_enc()
+    if hasattr(lib.jt_encode_prog_ac, "_configured"):
+        return lib
+    import ctypes as ct
+
+    i64p = ct.POINTER(ct.c_int64)
+    i32p = ct.POINTER(ct.c_int32)
+    u8p = ct.POINTER(ct.c_uint8)
+    u32p = ct.POINTER(ct.c_uint32)
+    lib.jt_encode_prog_ac.restype = ct.c_int64
+    lib.jt_encode_prog_ac.argtypes = [
+        i32p, ct.c_int64, ct.c_int64, ct.c_int64,  # state, cols, bw, n_blocks
+        ct.c_int32, ct.c_int32, ct.c_int32, ct.c_int32,  # ss se ah al
+        ct.c_int32,  # mode
+        i64p, u32p, u8p, u8p,  # freq, code, len, out
+    ]
+    lib.jt_encode_prog_dc.restype = ct.c_int64
+    lib.jt_encode_prog_dc.argtypes = [
+        ct.POINTER(i32p), i64p,  # state ptrs, cols
+        ct.c_int32, i32p, i32p,  # n comps, h, v
+        ct.c_int32, ct.c_int64, ct.c_int32, i64p,  # mcus_x, n_units, il, bw
+        ct.c_int32, ct.c_int32, ct.c_int32,  # ah, al, mode
+        ct.POINTER(i64p), ct.POINTER(u32p), ct.POINTER(u8p),  # freqs/codes/lens
+        u8p,  # out
+    ]
+    lib.jt_encode_prog_ac._configured = True
+    return lib
+
+
+def native_encode_progressive_scans(comp_blocks_zz, samplings, mcus_x, mcus_y,
+                                    width, height, scan_script=None):
+    """C++ twin of entropy.progressive_encode.encode_progressive_scans
+    (byte-identical output; equivalence-tested)."""
+    import ctypes as ct
+
+    from jpeg_tpu.entropy.optimize import build_optimal_table
+    from jpeg_tpu.entropy.progressive_encode import standard_scan_script
+
+    lib = _load_prog_enc()
+    ncomp = len(samplings)
+    h_max = max(h for h, _ in samplings)
+    v_max = max(v for _, v in samplings)
+    states = [np.ascontiguousarray(b, dtype=np.int32) for b in comp_blocks_zz]
+
+    def comp_block_dims(ci):
+        h, v = samplings[ci]
+        cw = -(-width * h // h_max)
+        ch = -(-height * v // v_max)
+        return -(-ch // 8), -(-cw // 8)
+
+    def table_maps(table):
+        code = np.zeros(256, dtype=np.uint32)
+        length = np.zeros(256, dtype=np.uint8)
+        code[table.values] = table.codes.astype(np.uint32)
+        length[table.values] = table.lengths
+        return code, length
+
+    i64p = ct.POINTER(ct.c_int64)
+    u32p = ct.POINTER(ct.c_uint32)
+    u8p = ct.POINTER(ct.c_uint8)
+    i32p = ct.POINTER(ct.c_int32)
+
+    scans = []
+    script = scan_script or standard_scan_script(ncomp)
+    for comps, ss, se, ah, al in script:
+        if ah and ah != al + 1:
+            raise ValueError(
+                f"refinement scan must step al by 1 (ah={ah}, al={al})")
+        if ss == 0:
+            interleaved = len(comps) > 1
+            if interleaved:
+                n_units = mcus_x * mcus_y
+                bw0 = 0
+            else:
+                bh, bw0 = comp_block_dims(comps[0])
+                n_units = bh * bw0
+            ptrs = (i32p * len(comps))(
+                *[_p(states[ci], ct.c_int32) for ci in comps])
+            # state_cols is in BLOCK columns (stride = cols * 64 int32s).
+            cols = np.array([states[ci].shape[1] for ci in comps], np.int64)
+            ch = np.array([samplings[ci][0] for ci in comps], np.int32)
+            cv = np.array([samplings[ci][1] for ci in comps], np.int32)
+            bws = np.array([bw0], np.int64)
+            n_blocks_total = sum(
+                samplings[ci][0] * samplings[ci][1] for ci in comps
+            ) * (mcus_x * mcus_y)
+            cap = int(n_blocks_total * 6 + 64)
+            tables = []
+            if ah == 0:
+                freqs = [np.zeros(256, np.int64) for _ in comps]
+                fptrs = (i64p * len(comps))(
+                    *[_p(f, ct.c_int64) for f in freqs])
+                lib.jt_encode_prog_dc(
+                    ptrs, _p(cols, ct.c_int64), len(comps),
+                    _p(ch, ct.c_int32), _p(cv, ct.c_int32),
+                    mcus_x, n_units, int(interleaved), _p(bws, ct.c_int64),
+                    ah, al, 0, fptrs,
+                    ct.cast(None, ct.POINTER(u32p)),
+                    ct.cast(None, ct.POINTER(u8p)),
+                    ct.cast(None, u8p))
+                tables = [build_optimal_table(f) for f in freqs]
+                maps = [table_maps(t) for t in tables]
+            else:
+                maps = []
+            out = np.zeros(cap, np.uint8)
+            if maps:
+                cptrs = (u32p * len(comps))(
+                    *[_p(m[0], ct.c_uint32) for m in maps])
+                lptrs = (u8p * len(comps))(
+                    *[_p(m[1], ct.c_uint8) for m in maps])
+            else:
+                cptrs = ct.cast(None, ct.POINTER(u32p))
+                lptrs = ct.cast(None, ct.POINTER(u8p))
+            n = lib.jt_encode_prog_dc(
+                ptrs, _p(cols, ct.c_int64), len(comps),
+                _p(ch, ct.c_int32), _p(cv, ct.c_int32),
+                mcus_x, n_units, int(interleaved), _p(bws, ct.c_int64),
+                ah, al, 1, ct.cast(None, ct.POINTER(i64p)),
+                cptrs, lptrs, _p(out, ct.c_uint8))
+            scans.append(dict(
+                comps=comps, ss=ss, se=se, ah=ah, al=al,
+                tables=[("dc", si, t) for si, t in enumerate(tables)],
+                data=out[:n].tobytes()))
+        else:
+            ci = comps[0]
+            bh, bw = comp_block_dims(ci)
+            n_blocks = bh * bw
+            freq = np.zeros(256, np.int64)
+            lib.jt_encode_prog_ac(
+                _p(states[ci], ct.c_int32), states[ci].shape[1], bw, n_blocks,
+                ss, se, ah, al, 0, _p(freq, ct.c_int64),
+                ct.cast(None, u32p), ct.cast(None, u8p), ct.cast(None, u8p))
+            table = build_optimal_table(freq)
+            code, length = table_maps(table)
+            cap = int(n_blocks * 64 * 6 + 64)
+            out = np.zeros(cap, np.uint8)
+            n = lib.jt_encode_prog_ac(
+                _p(states[ci], ct.c_int32), states[ci].shape[1], bw, n_blocks,
+                ss, se, ah, al, 1, ct.cast(None, i64p),
+                _p(code, ct.c_uint32), _p(length, ct.c_uint8),
+                _p(out, ct.c_uint8))
+            scans.append(dict(comps=comps, ss=ss, se=se, ah=ah, al=al,
+                              tables=[("ac", 0, table)],
+                              data=out[:n].tobytes()))
+    return scans

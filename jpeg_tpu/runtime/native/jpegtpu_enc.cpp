@@ -191,4 +191,203 @@ int32_t jt_encode_scan(const int16_t* const* planes,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Progressive (SOF2) entropy ENCODE — C++ port of
+// jpeg_tpu.entropy.progressive_encode (the Python oracle; byte-identical).
+// mode 0 = statistics pass (freq[256] out), mode 1 = emit pass.
+
+namespace {
+
+inline int nbits_u(uint32_t v) { return v ? 32 - __builtin_clz(v) : 0; }
+
+struct ProgEmit {
+  int mode;             // 0 = count, 1 = emit
+  int64_t* freq;        // [256] (count mode)
+  const uint32_t* code;  // [256] (emit mode)
+  const uint8_t* len;
+  uint8_t* out;
+  int64_t pos = 0;
+  uint64_t acc = 0;
+  int nb = 0;
+
+  inline void symbol(int sym) {
+    if (mode == 0) {
+      ++freq[sym];
+    } else {
+      bits(code[sym], len[sym]);
+    }
+  }
+  inline void bits(uint32_t v, int n) {
+    if (mode == 0 || n == 0) return;
+    acc = (acc << n) | (v & ((1u << n) - 1));
+    nb += n;
+    while (nb >= 8) {
+      nb -= 8;
+      uint8_t b = (uint8_t)(acc >> nb);
+      out[pos++] = b;
+      if (b == 0xFF) out[pos++] = 0x00;
+    }
+    acc &= (1u << nb) - 1;
+  }
+  inline void flush() {
+    if (mode == 1 && nb) {
+      int pad = 8 - nb;
+      bits((1u << pad) - 1, pad);
+    }
+  }
+};
+
+}  // namespace
+
+// AC scan encode (first or refine). blocks: [n_blocks] in raster order over
+// the comp grid ([rows, cols, 64] int32, row stride cols*64). Returns bytes
+// written (emit) or 0 (count).
+int64_t jt_encode_prog_ac(
+    const int32_t* state, int64_t cols, int64_t bw, int64_t n_blocks,
+    int32_t ss, int32_t se, int32_t ah, int32_t al, int32_t mode,
+    int64_t* freq, const uint32_t* code, const uint8_t* len, uint8_t* out) {
+  ProgEmit em{mode, freq, code, len, out};
+  int64_t eobrun = 0;
+  // Pending correction bits across EOB runs (refine): worst case 63/block,
+  // EOBRUN <= 0x7FFF blocks.
+  std::vector<uint8_t> pending;
+  auto emit_eobrun = [&]() {
+    if (eobrun > 0) {
+      int n = nbits_u((uint32_t)eobrun) - 1;
+      em.symbol(n << 4);
+      if (n) em.bits((uint32_t)(eobrun & ((1 << n) - 1)), n);
+      for (uint8_t b : pending) em.bits(b, 1);
+      pending.clear();
+      eobrun = 0;
+    }
+  };
+  for (int64_t bi = 0; bi < n_blocks; ++bi) {
+    int64_t by = bi / bw, bx = bi % bw;
+    const int32_t* coef = state + (by * cols + bx) * 64;
+    if (ah == 0) {
+      int r = 0;
+      for (int k = ss; k <= se; ++k) {
+        int32_t t = coef[k];
+        uint32_t temp, temp2;
+        if (t < 0) {
+          temp = (uint32_t)(-t) >> al;
+          temp2 = ~temp;
+        } else {
+          temp = (uint32_t)t >> al;
+          temp2 = temp;
+        }
+        if (temp == 0) {
+          ++r;
+          continue;
+        }
+        emit_eobrun();
+        while (r > 15) {
+          em.symbol(0xF0);
+          r -= 16;
+        }
+        int s = nbits_u(temp);
+        em.symbol((r << 4) + s);
+        em.bits(temp2 & ((1u << s) - 1), s);
+        r = 0;
+      }
+      if (r > 0) {
+        ++eobrun;
+        if (eobrun == 0x7FFF) emit_eobrun();
+      }
+    } else {
+      uint32_t absv[64];
+      int eob = ss - 1;
+      for (int k = ss; k <= se; ++k) {
+        int32_t t = coef[k];
+        uint32_t a = (uint32_t)(t < 0 ? -t : t) >> al;
+        absv[k] = a;
+        if (a == 1) eob = k;
+      }
+      int r = 0;
+      std::vector<uint8_t> br;
+      for (int k = ss; k <= se; ++k) {
+        uint32_t temp = absv[k];
+        if (temp == 0) {
+          ++r;
+          continue;
+        }
+        while (r > 15 && k <= eob) {
+          emit_eobrun();
+          em.symbol(0xF0);
+          r -= 16;
+          for (uint8_t b : br) em.bits(b, 1);
+          br.clear();
+        }
+        if (temp > 1) {
+          br.push_back((uint8_t)(temp & 1));
+          continue;
+        }
+        emit_eobrun();
+        em.symbol((r << 4) + 1);
+        r = 0;
+        em.bits(coef[k] < 0 ? 0 : 1, 1);
+        for (uint8_t b : br) em.bits(b, 1);
+        br.clear();
+      }
+      if (r > 0 || !br.empty()) {
+        ++eobrun;
+        pending.insert(pending.end(), br.begin(), br.end());
+        if (eobrun == 0x7FFF) emit_eobrun();
+      }
+    }
+  }
+  emit_eobrun();
+  em.flush();
+  return em.pos;
+}
+
+// DC scan encode. Units iterate like the decoder's jt_decode_prog_dc.
+// Per-scan-component symbol tables for count/emit (dc refinement uses none).
+int64_t jt_encode_prog_dc(
+    const int32_t* const* state, const int64_t* state_cols,
+    int32_t n_scan_comps, const int32_t* comp_h, const int32_t* comp_v,
+    int32_t mcus_x, int64_t n_units, int32_t interleaved,
+    const int64_t* comp_bw, int32_t ah, int32_t al, int32_t mode,
+    int64_t* const* freqs, const uint32_t* const* codes,
+    const uint8_t* const* lens, uint8_t* out) {
+  ProgEmit em{mode, nullptr, nullptr, nullptr, out};
+  int64_t pred[4] = {0, 0, 0, 0};
+  auto one = [&](int si, int32_t dc) {
+    if (ah == 0) {
+      int64_t v = dc >> al;  // arithmetic shift
+      int64_t diff = v - pred[si];
+      pred[si] = v;
+      uint32_t mag = (uint32_t)(diff < 0 ? -diff : diff);
+      int s = nbits_u(mag);
+      if (mode == 0) {
+        ++freqs[si][s];
+      } else {
+        em.bits(codes[si][s], lens[si][s]);
+      }
+      if (s) {
+        em.bits((uint32_t)(diff < 0 ? diff + (1 << s) - 1 : diff), s);
+      }
+    } else {
+      em.bits((uint32_t)((dc >> al) & 1), 1);
+    }
+  };
+  for (int64_t u = 0; u < n_units; ++u) {
+    if (interleaved) {
+      int64_t my = u / mcus_x, mx = u % mcus_x;
+      for (int si = 0; si < n_scan_comps; ++si) {
+        int h = comp_h[si], v = comp_v[si];
+        for (int vi = 0; vi < v; ++vi)
+          for (int hi = 0; hi < h; ++hi)
+            one(si, state[si][((my * v + vi) * state_cols[si] + mx * h + hi) *
+                              64]);
+      }
+    } else {
+      int64_t by = u / comp_bw[0], bx = u % comp_bw[0];
+      one(0, state[0][(by * state_cols[0] + bx) * 64]);
+    }
+  }
+  em.flush();
+  return em.pos;
+}
+
 }  // extern "C"

@@ -155,3 +155,30 @@ def test_custom_scan_script():
         decode_bytes(prog), decode_bytes(encode_rgb(img, quality=88)))
     pil = np.asarray(Image.open(io.BytesIO(prog)).convert("RGB"))
     assert psnr(pil, decode_bytes(prog, rounding="round")) > 35.0
+
+
+@pytest.mark.parametrize("sub,gray", [((1, 1), False), ((2, 2), False),
+                                      ((1, 1), True)])
+def test_native_progressive_encoder_identical(sub, gray):
+    from jpeg_tpu.entropy.progressive_encode import encode_progressive_scans
+    from jpeg_tpu.models.encoder import _forward_transform
+    from jpeg_tpu.runtime import (
+        native_available,
+        native_encode_progressive_scans,
+    )
+
+    if not native_available():
+        pytest.skip("native runtime not built")
+    img = synthetic_image(112, 96, seed=82)
+    if gray:
+        img = img[..., 0]
+    blocks, samplings, _, h, w, mx, my, _ = _forward_transform(
+        img, 85, sub, gray)
+    py = encode_progressive_scans(blocks, samplings, mx, my, w, h)
+    cc = native_encode_progressive_scans(blocks, samplings, mx, my, w, h)
+    assert len(py) == len(cc)
+    for a, b in zip(py, cc):
+        assert a["data"] == b["data"]
+        for ta, tb in zip(a["tables"], b["tables"]):
+            np.testing.assert_array_equal(ta[2].bits, tb[2].bits)
+            np.testing.assert_array_equal(ta[2].values, tb[2].values)
