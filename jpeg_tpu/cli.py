@@ -27,7 +27,14 @@ def cmd_decode(args) -> int:
             plan = parse_jpeg(f.read())
         rgb = np.asarray(decode_plan_fast(plan, rounding=args.rounding))
     else:
-        rgb = decode_file(args.input, rounding=args.rounding, engine=args.engine)
+        from jpeg_tpu.io.container import parse_jpeg as _parse
+        from jpeg_tpu.models.decoder import decode_plan as _dp
+        import numpy as _np
+
+        with open(args.input, "rb") as f:
+            plan = _parse(f.read())
+        rgb = _np.asarray(_dp(plan, rounding=args.rounding,
+                              engine=args.engine, upsample=args.upsample))
     write_ppm(args.output, rgb, binary=not args.p3)
     print(f"{args.input}: {rgb.shape[1]}x{rgb.shape[0]} -> {args.output}")
     return 0
@@ -145,7 +152,12 @@ def cmd_diff(args) -> int:
 
     from jpeg_tpu.models.decoder import decode_file
 
-    ours = decode_file(args.input, rounding=args.rounding)
+    with open(args.input, "rb") as f:
+        from jpeg_tpu.io.container import parse_jpeg as _parse
+        from jpeg_tpu.models.decoder import decode_plan as _dp
+
+        ours = np.asarray(_dp(_parse(f.read()), rounding=args.rounding,
+                              upsample=args.upsample))
     pil = np.asarray(Image.open(args.input).convert("RGB"))
     mse = ((ours.astype(np.float64) - pil.astype(np.float64)) ** 2).mean()
     psnr = float("inf") if mse == 0 else 10 * np.log10(255.0**2 / mse)
@@ -173,6 +185,9 @@ def main(argv=None) -> int:
     d.add_argument("--engine", choices=["auto", "native", "oracle"], default="auto")
     d.add_argument("--path", choices=["compat", "fast"], default="compat",
                    help="fast = plane-layout Pallas pipeline (TPU)")
+    d.add_argument("--upsample", choices=["replicate", "fancy"],
+                   default="replicate",
+                   help="fancy = libjpeg-style triangular chroma filter")
     d.add_argument("--p3", action="store_true",
                    help="ASCII P3 output (reference main.rs format); default P6")
     d.set_defaults(fn=cmd_decode)
@@ -209,6 +224,8 @@ def main(argv=None) -> int:
     f = sub.add_parser("diff", help="PSNR vs libjpeg (visual-diff harness)")
     f.add_argument("input")
     f.add_argument("--rounding", choices=["truncate", "round"], default="round")
+    f.add_argument("--upsample", choices=["replicate", "fancy"],
+                   default="replicate")
     f.add_argument("--diff-output", default=None)
     f.add_argument("--amplify", type=int, default=16)
     f.set_defaults(fn=cmd_diff)

@@ -94,7 +94,7 @@ class PipelineGeometry:
 
 
 def _pipeline(coeffs, matrices, geom: PipelineGeometry, rounding: str,
-              gather_idx: tuple = ()):
+              gather_idx: tuple = (), upsample: str = "replicate"):
     """coeffs [total_blocks, 64] i32/f32, matrices [ncomp, 64, 64] f32
     -> RGB [H, W, 3] u8. Pure function of tensors; jitted via _compiled()."""
     del gather_idx  # de-interleave is a reshape+slice, no gather needed
@@ -115,6 +115,7 @@ def _pipeline(coeffs, matrices, geom: PipelineGeometry, rounding: str,
         plane = component_plane(
             pixels.reshape(-1, 8, 8), geom.mcus_y, geom.mcus_x, v, h,
             geom.v_max, geom.h_max, geom.height, geom.width,
+            upsample=upsample,
         )
         planes.append(plane)
     if len(planes) == 1:
@@ -126,8 +127,10 @@ def _pipeline(coeffs, matrices, geom: PipelineGeometry, rounding: str,
 
 
 @lru_cache(maxsize=256)
-def _compiled(geom: PipelineGeometry, rounding: str):
-    return jax.jit(partial(_pipeline, geom=geom, rounding=rounding))
+def _compiled(geom: PipelineGeometry, rounding: str,
+              upsample: str = "replicate"):
+    return jax.jit(partial(_pipeline, geom=geom, rounding=rounding,
+                           upsample=upsample))
 
 
 def plan_matrices(plan: DecodePlan) -> np.ndarray:
@@ -169,12 +172,17 @@ def decode_coefficients_host(plan: DecodePlan, engine: str = "auto") -> np.ndarr
 
 
 def decode_plan(plan: DecodePlan, rounding: str = "truncate",
-                engine: str = "auto", coefficients: np.ndarray | None = None):
-    """DecodePlan -> RGB [H, W, 3] u8 (jax array)."""
+                engine: str = "auto", coefficients: np.ndarray | None = None,
+                upsample: str = "replicate"):
+    """DecodePlan -> RGB [H, W, 3] u8 (jax array).
+
+    ``upsample``: "replicate" (reference parity) or "fancy" (libjpeg-style
+    triangular chroma filter — higher PSNR vs libjpeg's own decodes).
+    """
     if coefficients is None:
         coefficients = decode_coefficients_host(plan, engine)
     geom = PipelineGeometry.of(plan)
-    fn = _compiled(geom, rounding)
+    fn = _compiled(geom, rounding, upsample)
     return fn(jnp.asarray(coefficients), jnp.asarray(plan_matrices(plan)))
 
 
@@ -236,7 +244,8 @@ def progressive_planes(plan: DecodePlan) -> list[np.ndarray]:
 
 
 def decode_bytes(data: bytes, rounding: str = "truncate",
-                 engine: str = "auto", path: str = "compat") -> np.ndarray:
+                 engine: str = "auto", path: str = "compat",
+                 upsample: str = "replicate") -> np.ndarray:
     """JPEG bytes -> RGB [H, W, 3] u8 numpy array.
 
     Library-surface parity with reference ``JPEGImage::parse`` +
@@ -247,7 +256,8 @@ def decode_bytes(data: bytes, rounding: str = "truncate",
     plan = parse_jpeg(data)
     if path == "fast":
         return np.asarray(decode_plan_fast(plan, rounding=rounding))
-    return np.asarray(decode_plan(plan, rounding=rounding, engine=engine))
+    return np.asarray(decode_plan(plan, rounding=rounding, engine=engine,
+                                  upsample=upsample))
 
 
 def decode_file(path, rounding: str = "truncate", engine: str = "auto") -> np.ndarray:

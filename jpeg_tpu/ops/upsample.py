@@ -43,14 +43,48 @@ def upsample_replicate(plane: jnp.ndarray, fy: int, fx: int) -> jnp.ndarray:
     return plane
 
 
+def _fancy_axis(plane: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """2x triangular-filter upsample along one axis (libjpeg "fancy"):
+    out[2i] = (3*c[i] + c[i-1]) / 4, out[2i+1] = (3*c[i] + c[i+1]) / 4,
+    with edge replication."""
+    x = jnp.moveaxis(plane, axis, 0)
+    prev = jnp.concatenate([x[:1], x[:-1]], axis=0)
+    nxt = jnp.concatenate([x[1:], x[-1:]], axis=0)
+    even = (3.0 * x + prev) * 0.25
+    odd = (3.0 * x + nxt) * 0.25
+    out = jnp.stack([even, odd], axis=1).reshape((-1,) + x.shape[1:])
+    return jnp.moveaxis(out, 0, axis)
+
+
+def upsample_fancy(plane: jnp.ndarray, fy: int, fx: int) -> jnp.ndarray:
+    """Triangular-filter chroma upsample (libjpeg's default "fancy" mode).
+
+    Only 2x factors get the filter; 4x falls back to repeated 2x passes.
+    Closes most of the PSNR gap vs libjpeg's decoder on subsampled images.
+    """
+    while fy > 1:
+        plane = _fancy_axis(plane, 0)
+        fy //= 2
+    while fx > 1:
+        plane = _fancy_axis(plane, 1)
+        fx //= 2
+    return plane
+
+
 def component_plane(blocks: jnp.ndarray, mcus_y: int, mcus_x: int,
                     v: int, h: int, v_max: int, h_max: int,
-                    height: int, width: int) -> jnp.ndarray:
+                    height: int, width: int,
+                    upsample: str = "replicate") -> jnp.ndarray:
     """Full per-component path: assemble, upsample to full resolution, crop.
 
     Replaces reference decode() step 2 placement
     (``src/jpeg/decoder.rs:238-312``) including the JPEG A.1.1 sampling math.
+    ``upsample``: "replicate" (reference parity, src/jpeg/decoder.rs:355-374)
+    or "fancy" (libjpeg-style triangular filter).
     """
     plane = assemble_plane(blocks, mcus_y, mcus_x, v, h)
-    plane = upsample_replicate(plane, v_max // v, h_max // h)
+    if upsample == "fancy":
+        plane = upsample_fancy(plane, v_max // v, h_max // h)
+    else:
+        plane = upsample_replicate(plane, v_max // v, h_max // h)
     return plane[:height, :width]

@@ -89,3 +89,16 @@ def test_profitability_heuristic():
     assert len(plan.segments) == 4
     assert not device_path_profitable(plan)  # far below the 512 default
     assert device_path_profitable(plan, min_segments=2)
+
+
+def test_matches_oracle_optimized_tables():
+    """Per-image optimal Huffman tables (non-Annex-K) through the device
+    decoder — exercises LUT generality."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    data = encode_rgb(img, quality=80, subsampling=(2, 1),
+                      restart_interval_mcus=2, optimize=True)
+    plan = parse_jpeg(data)
+    got, err = decode_coefficients_device(plan)
+    assert not np.asarray(err).any()
+    np.testing.assert_array_equal(np.asarray(got), decode_coefficients(plan))
