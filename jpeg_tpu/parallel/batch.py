@@ -142,3 +142,54 @@ def decode_batch_rows_sp(coeffs, matrices, geom: PipelineGeometry, mesh: Mesh,
         out_specs=(P("data", "seg"), P()),
     )
     return jax.jit(fn)(jnp.asarray(coeffs), jnp.asarray(matrices))
+
+
+def decode_batch_rows_sp_fast(planes_batch, qpats_batch,
+                              geom: PipelineGeometry, mesh: Mesh,
+                              rounding: str = "truncate",
+                              interpret: bool | None = None):
+    """Fast-path (fused Pallas kernel) batch decode sharded over BOTH axes:
+    images over ``data``, horizontal plane bands over ``seg``.
+
+    Coefficient planes slice cleanly along rows (bands are independent), so
+    each seg shard runs the kernel with a local geometry and the planar u8
+    output stays row-sharded — no collectives in the decode itself. Requires
+    ``mcus_y`` divisible by (band_mcus * n_seg) so shards hold whole kernel
+    bands (pad images otherwise).
+    """
+    import jax as _jax
+
+    from jpeg_tpu.ops.pallas_kernels import band_mcus, fused_plane_decoder
+
+    if interpret is None:
+        interpret = _jax.default_backend() == "cpu"
+    n_seg = mesh.shape["seg"]
+    bm = band_mcus(geom)
+    if geom.mcus_y % (bm * n_seg):
+        raise ValueError(
+            f"fast row sharding needs mcus_y ({geom.mcus_y}) divisible by "
+            f"band_mcus*n_seg ({bm}*{n_seg})"
+        )
+    local = dataclasses.replace(
+        geom,
+        mcus_y=geom.mcus_y // n_seg,
+        height=(geom.mcus_y // n_seg) * 8 * geom.v_max,
+    )
+    fn = _jax.vmap(fused_plane_decoder(local, rounding, interpret))
+
+    shard = shard_map(
+        fn,
+        mesh=mesh,
+        # planes: [B, rows_c, cols_c] -> batch over data, rows over seg;
+        # qpats replicated over seg (same dequant tile per band).
+        in_specs=tuple([P("data", "seg", None)] * len(planes_batch)
+                       + [P("data", None, None)] * len(qpats_batch)),
+        out_specs=P("data", None, "seg", None),
+        # pallas_call out_shapes carry no vma info; sharding is fully
+        # specified by the specs above.
+        check_vma=False,
+    )
+    return jax.jit(shard)(
+        *[jnp.asarray(p) for p in planes_batch],
+        *[jnp.asarray(q) for q in qpats_batch],
+    )

@@ -128,3 +128,29 @@ def test_data_sharding_helper():
     mesh = make_mesh(n_data=4, n_seg=2)
     sh = data_sharding(mesh, rank=3, axis=0)
     assert sh.spec == jax.sharding.PartitionSpec("data", None, None)
+
+
+def test_rows_sp_fast_matches_single():
+    """Pallas fast path sharded over (data, seg): bands of the coefficient
+    planes decode independently per device."""
+    from jpeg_tpu.io.corpus import synthetic_jpeg
+    from jpeg_tpu.ops.pallas_kernels import plan_quant_patterns
+    from jpeg_tpu.parallel.batch import decode_batch_fast, decode_batch_rows_sp_fast
+    from jpeg_tpu.runtime import native_decode_planes
+
+    # mcus_y must be divisible by band_mcus * n_seg = 8 * 2 = 16 (4:2:0).
+    data = synthetic_jpeg(256, 16 * 16 * 2, seed=5)  # H = 512 -> mcus_y = 32
+    plan = parse_jpeg(data)
+    geom = PipelineGeometry.of(plan)
+    planes = [np.asarray(p) for p in native_decode_planes(plan)]
+    qpats = plan_quant_patterns(plan, geom)
+    B = 4
+    bp = [np.broadcast_to(p, (B,) + p.shape).copy() for p in planes]
+    bq = [np.broadcast_to(q, (B,) + q.shape).copy() for q in qpats]
+    mesh = make_mesh(n_data=4, n_seg=2)
+    out = np.asarray(decode_batch_rows_sp_fast(bp, bq, geom, mesh))
+    single = np.asarray(decode_batch_fast(
+        [p[None] for p in planes], [q[None] for q in qpats], geom))[0]
+    assert out.shape[0] == B
+    for i in range(B):
+        np.testing.assert_array_equal(out[i], single)
