@@ -160,8 +160,16 @@ def _unstuff_and_segment(data: np.ndarray, start: int):
     panics on DRI and never sees RST markers).
 
     Vectorized: find all 0xFF positions once, classify successors, then build
-    per-segment slices with the stuffed zeros dropped via np.delete.
+    per-segment slices with the stuffed zeros dropped via np.delete. Large
+    scans route through the C++ runtime's single-pass scanner when built.
     """
+    if len(data) - start > 65536:
+        try:
+            from jpeg_tpu.runtime import native_unstuff_scan
+
+            return native_unstuff_scan(data, start)
+        except (ImportError, OSError):
+            pass
     buf = data[start:]
     ff = np.flatnonzero(buf == 0xFF)
     seg_bounds = []  # (rel_start, rel_end) raw byte ranges, per segment

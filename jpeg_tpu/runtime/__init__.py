@@ -665,3 +665,25 @@ def native_encode_progressive_scans(comp_blocks_zz, samplings, mcus_x, mcus_y,
                               tables=[("ac", 0, table)],
                               data=out[:n].tobytes()))
     return scans
+
+
+def native_unstuff_scan(data: np.ndarray, start: int):
+    """C++ byte-unstuff + restart-segment scan (container hot path for large
+    scans). Same return contract as
+    ``jpeg_tpu.io.container._unstuff_and_segment``."""
+    lib = _load()
+    src = np.ascontiguousarray(data[start:], dtype=np.uint8)
+    out = np.empty(src.size, dtype=np.uint8)
+    max_segs = src.size // 2 + 2
+    seg_s = np.zeros(max_segs, dtype=np.int64)
+    seg_e = np.zeros(max_segs, dtype=np.int64)
+    out_len = np.zeros(1, dtype=np.int64)
+    consumed = np.zeros(1, dtype=np.int64)
+    n = lib.jt_unstuff_scan(
+        _p(src, ctypes.c_uint8), src.size,
+        _p(out, ctypes.c_uint8), _p(out_len, ctypes.c_int64),
+        _p(seg_s, ctypes.c_int64), _p(seg_e, ctypes.c_int64), max_segs,
+        _p(consumed, ctypes.c_int64),
+    )
+    bounds = [(int(seg_s[i]), int(seg_e[i])) for i in range(int(n))]
+    return out[: int(out_len[0])], bounds, start + int(consumed[0])

@@ -173,3 +173,31 @@ def test_garbled_app1_ignored():
     app1 = b"\xff\xe1\x00\x0aExif\x00\x00XX"
     plan = parse_jpeg(base[:2] + app1 + base[2:])
     assert plan.exif is None
+
+
+def test_native_unstuff_matches_numpy(corpus):
+    """C++ single-pass unstuff+segment scan == the NumPy implementation."""
+    import io
+
+    from PIL import Image
+
+    from jpeg_tpu.io.container import _unstuff_and_segment
+    from jpeg_tpu.io.corpus import synthetic_image
+    from jpeg_tpu.runtime import native_available, native_unstuff_scan
+
+    if not native_available():
+        pytest.skip("native runtime not built")
+    buf = io.BytesIO()
+    Image.fromarray(synthetic_image(512, 256, seed=90)).save(
+        buf, "JPEG", quality=95, restart_marker_rows=1)
+    raw = np.frombuffer(buf.getvalue(), dtype=np.uint8)
+    sos = bytes(buf.getvalue()).find(b"\xff\xda")
+    start = sos + 2 + int.from_bytes(buf.getvalue()[sos + 2 : sos + 4], "big")
+    # Compare on a slice under the dispatch threshold so
+    # _unstuff_and_segment takes the NumPy path.
+    small = raw[: start + 60000]
+    want = _unstuff_and_segment(small, start)
+    got = native_unstuff_scan(small, start)
+    assert np.array_equal(got[0], want[0])
+    assert got[1] == want[1]
+    assert got[2] == want[2]
