@@ -193,3 +193,32 @@ def decode_batch_rows_sp_fast(planes_batch, qpats_batch,
         *[jnp.asarray(p) for p in planes_batch],
         *[jnp.asarray(q) for q in qpats_batch],
     )
+
+
+def encode_batch_device(rgb_planar_batch, inv_qpats_batch,
+                        geom: PipelineGeometry, mesh: Mesh | None = None,
+                        interpret: bool | None = None):
+    """Batched device forward transform (the encoder's dense half): vmap of
+    the fused Pallas encode kernel, optionally sharded over ``data``.
+
+    ``rgb_planar_batch``: [B, 3|1, H_pad, W_pad] u8 (edge-padded planar);
+    ``inv_qpats_batch``: per-component [B, qrows, qcols] f32 reciprocal
+    quant tiles. Returns per-component int16 coefficient planes
+    [B, rows_c, stride_c] ready for the parallel entropy encoder.
+    """
+    import jax as _jax
+
+    from jpeg_tpu.ops.pallas_kernels import fused_plane_encoder
+
+    if interpret is None:
+        interpret = _jax.default_backend() == "cpu"
+    fn = _jax.vmap(fused_plane_encoder(geom, interpret))
+    if mesh is None:
+        run = jax.jit(fn)
+    else:
+        shard = NamedSharding(mesh, P("data"))
+        n_in = 1 + len(inv_qpats_batch)
+        run = jax.jit(fn, in_shardings=(shard,) * n_in,
+                      out_shardings=(shard,) * len(geom.sampling))
+    return run(jnp.asarray(rgb_planar_batch),
+               *[jnp.asarray(q) for q in inv_qpats_batch])

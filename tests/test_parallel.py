@@ -154,3 +154,42 @@ def test_rows_sp_fast_matches_single():
     assert out.shape[0] == B
     for i in range(B):
         np.testing.assert_array_equal(out[i], single)
+
+
+def test_encode_batch_device_sharded():
+    """Batched device forward transform matches the single-image encoder."""
+    from jpeg_tpu.io.corpus import synthetic_image
+    from jpeg_tpu.models.decoder import PipelineGeometry
+    from jpeg_tpu.ops.pallas_kernels import (
+        fused_plane_encoder,
+        padded_plane_shapes,
+        plan_inv_quant_patterns,
+    )
+    from jpeg_tpu.entropy.annex_k import scaled_quant_table, QUANT_CHROMA, QUANT_LUMA
+    from jpeg_tpu.parallel.batch import encode_batch_device
+
+    img = synthetic_image(128, 96, seed=91)
+    geom = PipelineGeometry(
+        width=128, height=96, mcus_x=8, mcus_y=6, h_max=2, v_max=2,
+        sampling=((2, 2), (1, 1), (1, 1)),
+    )
+    shapes = padded_plane_shapes(geom)
+    rows_pad, w_pad = shapes[0]
+    planar = np.pad(img.transpose(2, 0, 1),
+                    ((0, 0), (0, rows_pad - 96), (0, w_pad - 128)),
+                    mode="edge")
+    q = [scaled_quant_table(QUANT_LUMA, 85),
+         scaled_quant_table(QUANT_CHROMA, 85),
+         scaled_quant_table(QUANT_CHROMA, 85)]
+    iqp = plan_inv_quant_patterns(q, geom)
+    single = fused_plane_encoder(geom, interpret=True)(
+        *( [np.asarray(planar)] + [np.asarray(x) for x in iqp] ))
+    B = 4
+    bp = np.broadcast_to(planar, (B,) + planar.shape).copy()
+    bq = [np.broadcast_to(x, (B,) + x.shape).copy() for x in iqp]
+    mesh = make_mesh(n_data=4, n_seg=1)
+    out = encode_batch_device(bp, bq, geom, mesh=mesh)
+    for c in range(3):
+        for b in range(B):
+            np.testing.assert_array_equal(
+                np.asarray(out[c][b]), np.asarray(single[c]))
