@@ -94,9 +94,12 @@ class PipelineGeometry:
 
 
 def _pipeline(coeffs, matrices, geom: PipelineGeometry, rounding: str,
-              gather_idx: tuple = (), upsample: str = "replicate"):
+              gather_idx: tuple = (), upsample: str = "replicate",
+              color_space: str = "rgb"):
     """coeffs [total_blocks, 64] i32/f32, matrices [ncomp, 64, 64] f32
-    -> RGB [H, W, 3] u8. Pure function of tensors; jitted via _compiled()."""
+    -> [H, W, 3] u8 (RGB, or full-resolution YCbCr planes when
+    ``color_space="ycbcr"`` — the layout ML input pipelines typically want).
+    Pure function of tensors; jitted via _compiled()."""
     del gather_idx  # de-interleave is a reshape+slice, no gather needed
     planes = []
     coeffs = coeffs.astype(jnp.float32)
@@ -118,6 +121,13 @@ def _pipeline(coeffs, matrices, geom: PipelineGeometry, rounding: str,
             upsample=upsample,
         )
         planes.append(plane)
+    if color_space == "ycbcr":
+        from jpeg_tpu.ops.color import quantize_u8
+
+        chans = [quantize_u8(p + 128.0, rounding) for p in planes]
+        while len(chans) < 3:
+            chans.append(jnp.full_like(chans[0], 128))
+        return jnp.stack(chans, axis=-1)
     if len(planes) == 1:
         return grayscale_to_rgb(planes[0], rounding)
     if len(planes) == 3:
@@ -128,9 +138,9 @@ def _pipeline(coeffs, matrices, geom: PipelineGeometry, rounding: str,
 
 @lru_cache(maxsize=256)
 def _compiled(geom: PipelineGeometry, rounding: str,
-              upsample: str = "replicate"):
+              upsample: str = "replicate", color_space: str = "rgb"):
     return jax.jit(partial(_pipeline, geom=geom, rounding=rounding,
-                           upsample=upsample))
+                           upsample=upsample, color_space=color_space))
 
 
 def plan_matrices(plan: DecodePlan) -> np.ndarray:
@@ -173,7 +183,7 @@ def decode_coefficients_host(plan: DecodePlan, engine: str = "auto") -> np.ndarr
 
 def decode_plan(plan: DecodePlan, rounding: str = "truncate",
                 engine: str = "auto", coefficients: np.ndarray | None = None,
-                upsample: str = "replicate"):
+                upsample: str = "replicate", color_space: str = "rgb"):
     """DecodePlan -> RGB [H, W, 3] u8 (jax array).
 
     ``upsample``: "replicate" (reference parity) or "fancy" (libjpeg-style
@@ -182,7 +192,7 @@ def decode_plan(plan: DecodePlan, rounding: str = "truncate",
     if coefficients is None:
         coefficients = decode_coefficients_host(plan, engine)
     geom = PipelineGeometry.of(plan)
-    fn = _compiled(geom, rounding, upsample)
+    fn = _compiled(geom, rounding, upsample, color_space)
     return fn(jnp.asarray(coefficients), jnp.asarray(plan_matrices(plan)))
 
 
