@@ -217,11 +217,15 @@ def _ac_refine_scan(emit, blocks, ss, se, al):
 
 
 def encode_progressive_scans(comp_blocks_zz, samplings, mcus_x, mcus_y,
-                             width, height, scan_script=None):
+                             width, height, scan_script=None,
+                             restart_interval=0):
     """Quantized zigzag blocks -> list of scan dicts (header fields, tables,
     entropy bytes). ``scan_script``: list of (comps, ss, se, ah, al); default
     is libjpeg's standard script. Successive-approximation scans must step
-    al by exactly 1 with matching ah (validated)."""
+    al by exactly 1 with matching ah (validated). ``restart_interval`` (in
+    scan units: MCUs for interleaved DC scans, blocks otherwise) splits each
+    scan into independently-decodable restart segments; scan["data"] then
+    contains the RSTn markers."""
     ncomp = len(samplings)
     h_max = max(h for h, _ in samplings)
     v_max = max(v for _, v in samplings)
@@ -232,11 +236,11 @@ def encode_progressive_scans(comp_blocks_zz, samplings, mcus_x, mcus_y,
         ch = -(-height * v // v_max)
         return -(-ch // 8), -(-cw // 8)
 
-    def dc_units(comps):
-        """Yield (slot_index, dc_value) in unit order for a DC scan."""
+    def dc_units(comps, u0, u1):
+        """Yield (slot_index, dc_value) for DC-scan units [u0, u1)."""
         if len(comps) > 1:
             def it():
-                for u in range(mcus_x * mcus_y):
+                for u in range(u0, u1):
                     my, mx = divmod(u, mcus_x)
                     for si, ci in enumerate(comps):
                         h, v = samplings[ci]
@@ -249,16 +253,27 @@ def encode_progressive_scans(comp_blocks_zz, samplings, mcus_x, mcus_y,
         bh, bw = comp_block_dims(ci)
 
         def it():
-            for u in range(bh * bw):
+            for u in range(u0, u1):
                 by, bx = divmod(u, bw)
                 yield 0, comp_blocks_zz[ci][by, bx, 0]
         return it
 
-    def ac_blocks(ci):
+    def ac_blocks(ci, u0, u1):
         bh, bw = comp_block_dims(ci)
-        for u in range(bh * bw):
+        for u in range(u0, u1):
             by, bx = divmod(u, bw)
             yield comp_blocks_zz[ci][by, bx]
+
+    def segment_slices(n_units):
+        ri = restart_interval or n_units
+        return [(u, min(u + ri, n_units)) for u in range(0, n_units, ri)]
+
+    def join_segments(chunks):
+        out = bytearray(chunks[0])
+        for i, c in enumerate(chunks[1:]):
+            out += bytes([0xFF, 0xD0 + (i % 8)])
+            out += c
+        return bytes(out)
 
     scans = []
     script = scan_script or standard_scan_script(ncomp)
@@ -267,37 +282,50 @@ def encode_progressive_scans(comp_blocks_zz, samplings, mcus_x, mcus_y,
             raise ValueError(
                 f"refinement scan must step al by 1 (ah={ah}, al={al})")
         if ss == 0:
+            interleaved = len(comps) > 1
+            n_units = (mcus_x * mcus_y if interleaved
+                       else int(np.prod(comp_block_dims(comps[0]))))
+            segs = segment_slices(n_units)
             # One DC table per scan component (luma=slot of its index).
             counters = [_CountEmitter() for _ in comps]
-            _dc_scan(counters, dc_units(comps), ah, al)
+            for u0, u1 in segs:
+                _dc_scan(counters, dc_units(comps, u0, u1), ah, al)
             if ah == 0:
                 tables = [build_optimal_table(c.freq) for c in counters]
             else:
                 tables = [None] * len(comps)  # refinement: raw bits only
-            ems = [
-                _BitEmitter(t) if t is not None else _BitEmitter_raw()
-                for t in tables
-            ]
-            # All scan components share ONE bit stream; interleave by unit.
-            shared = _SharedEmitter(ems)
-            _dc_scan(shared.views(), dc_units(comps), ah, al)
-            shared.flush()
+            chunks = []
+            for u0, u1 in segs:
+                ems = [
+                    _BitEmitter(t) if t is not None else _BitEmitter_raw()
+                    for t in tables
+                ]
+                shared = _SharedEmitter(ems)
+                _dc_scan(shared.views(), dc_units(comps, u0, u1), ah, al)
+                shared.flush()
+                chunks.append(shared.data())
             scans.append(dict(comps=comps, ss=ss, se=se, ah=ah, al=al,
                               tables=[("dc", si, t) for si, t in
                                       enumerate(tables) if t is not None],
-                              data=shared.data()))
+                              data=join_segments(chunks)))
         else:
             ci = comps[0]
+            n_units = int(np.prod(comp_block_dims(ci)))
+            segs = segment_slices(n_units)
             counter = _CountEmitter()
             ac_fn = _ac_first_scan if ah == 0 else _ac_refine_scan
-            ac_fn(counter, ac_blocks(ci), ss, se, al)
+            for u0, u1 in segs:
+                ac_fn(counter, ac_blocks(ci, u0, u1), ss, se, al)
             table = build_optimal_table(counter.freq)
-            emit = _BitEmitter(table)
-            ac_fn(emit, ac_blocks(ci), ss, se, al)
-            emit.flush()
+            chunks = []
+            for u0, u1 in segs:
+                emit = _BitEmitter(table)
+                ac_fn(emit, ac_blocks(ci, u0, u1), ss, se, al)
+                emit.flush()
+                chunks.append(bytes(emit.out))
             scans.append(dict(comps=comps, ss=ss, se=se, ah=ah, al=al,
                               tables=[("ac", 0, table)],
-                              data=bytes(emit.out)))
+                              data=join_segments(chunks)))
     return scans
 
 

@@ -436,7 +436,8 @@ def encode_rgb(rgb: np.ndarray, quality: int = 85,
 def encode_rgb_progressive(rgb: np.ndarray, quality: int = 85,
                            subsampling: tuple[int, int] = (2, 2),
                            grayscale: bool = False,
-                           scan_script=None) -> bytes:
+                           scan_script=None,
+                           restart_interval: int = 0) -> bytes:
     """Encode to a progressive (SOF2) JFIF stream.
 
     libjpeg's standard scan script with per-scan optimal Huffman tables
@@ -449,16 +450,22 @@ def encode_rgb_progressive(rgb: np.ndarray, quality: int = 85,
      mcus_x, mcus_y, grayscale) = _forward_transform(
         rgb, quality, subsampling, grayscale)
 
-    try:
-        from jpeg_tpu.runtime import native_encode_progressive_scans
-
-        scans = native_encode_progressive_scans(
-            comp_blocks_zz, samplings, mcus_x, mcus_y, width, height,
-            scan_script=scan_script)
-    except (ImportError, OSError):
+    if restart_interval:
+        # Restart segments: python engine (per-segment state resets).
         scans = encode_progressive_scans(
             comp_blocks_zz, samplings, mcus_x, mcus_y, width, height,
-            scan_script=scan_script)
+            scan_script=scan_script, restart_interval=restart_interval)
+    else:
+        try:
+            from jpeg_tpu.runtime import native_encode_progressive_scans
+
+            scans = native_encode_progressive_scans(
+                comp_blocks_zz, samplings, mcus_x, mcus_y, width, height,
+                scan_script=scan_script)
+        except (ImportError, OSError):
+            scans = encode_progressive_scans(
+                comp_blocks_zz, samplings, mcus_x, mcus_y, width, height,
+                scan_script=scan_script)
 
     out = bytearray(b"\xff\xd8")
     app0 = b"JFIF\x00\x01\x01\x00" + (1).to_bytes(2, "big") * 2 + b"\x00\x00"
@@ -471,6 +478,8 @@ def encode_rgb_progressive(rgb: np.ndarray, quality: int = 85,
     for ci, (h, v) in enumerate(samplings):
         sof += bytes([ci + 1, (h << 4) | v, min(ci, 1)])
     out += b"\xff\xc2" + (len(sof) + 2).to_bytes(2, "big") + sof  # SOF2
+    if restart_interval:
+        out += b"\xff\xdd\x00\x04" + restart_interval.to_bytes(2, "big")
     for scan in scans:
         # Per-scan DHT(s): DC tables at slots by component position, AC at 0.
         for cls_name, slot, table in scan["tables"]:

@@ -182,3 +182,26 @@ def test_native_progressive_encoder_identical(sub, gray):
         for ta, tb in zip(a["tables"], b["tables"]):
             np.testing.assert_array_equal(ta[2].bits, tb[2].bits)
             np.testing.assert_array_equal(ta[2].values, tb[2].values)
+
+
+@pytest.mark.parametrize("ri", [1, 5])
+def test_progressive_restart_intervals(ri):
+    """Progressive encode with restart markers: exercises the restart reset
+    paths in BOTH progressive decoders; conformant per libjpeg."""
+    from jpeg_tpu.entropy.progressive import decode_progressive_coefficients
+    from jpeg_tpu.models.encoder import encode_rgb, encode_rgb_progressive
+    from jpeg_tpu.runtime import native_available, native_decode_progressive
+
+    img = synthetic_image(104, 88, seed=96)
+    base = encode_rgb(img, quality=85)
+    prog = encode_rgb_progressive(img, quality=85, restart_interval=ri)
+    plan = parse_jpeg(prog)
+    assert all(len(s.bounds) > 1 for s in plan.prog_scans)
+    np.testing.assert_array_equal(decode_bytes(prog), decode_bytes(base))
+    if native_available():
+        np.testing.assert_array_equal(
+            native_decode_progressive(plan),
+            decode_progressive_coefficients(plan),
+        )
+    pil = np.asarray(Image.open(io.BytesIO(prog)).convert("RGB"))
+    assert psnr(pil, decode_bytes(prog, rounding="round")) > 35.0
