@@ -450,22 +450,16 @@ def encode_rgb_progressive(rgb: np.ndarray, quality: int = 85,
      mcus_x, mcus_y, grayscale) = _forward_transform(
         rgb, quality, subsampling, grayscale)
 
-    if restart_interval:
-        # Restart segments: python engine (per-segment state resets).
+    try:
+        from jpeg_tpu.runtime import native_encode_progressive_scans
+
+        scans = native_encode_progressive_scans(
+            comp_blocks_zz, samplings, mcus_x, mcus_y, width, height,
+            scan_script=scan_script, restart_interval=restart_interval)
+    except (ImportError, OSError):
         scans = encode_progressive_scans(
             comp_blocks_zz, samplings, mcus_x, mcus_y, width, height,
             scan_script=scan_script, restart_interval=restart_interval)
-    else:
-        try:
-            from jpeg_tpu.runtime import native_encode_progressive_scans
-
-            scans = native_encode_progressive_scans(
-                comp_blocks_zz, samplings, mcus_x, mcus_y, width, height,
-                scan_script=scan_script)
-        except (ImportError, OSError):
-            scans = encode_progressive_scans(
-                comp_blocks_zz, samplings, mcus_x, mcus_y, width, height,
-                scan_script=scan_script)
 
     out = bytearray(b"\xff\xd8")
     app0 = b"JFIF\x00\x01\x01\x00" + (1).to_bytes(2, "big") * 2 + b"\x00\x00"

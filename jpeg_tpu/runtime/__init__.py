@@ -531,7 +531,8 @@ def _load_prog_enc():
     u32p = ct.POINTER(ct.c_uint32)
     lib.jt_encode_prog_ac.restype = ct.c_int64
     lib.jt_encode_prog_ac.argtypes = [
-        i32p, ct.c_int64, ct.c_int64, ct.c_int64,  # state, cols, bw, n_blocks
+        i32p, ct.c_int64, ct.c_int64,  # state, cols, bw
+        ct.c_int64, ct.c_int64,  # unit range [u0, u1)
         ct.c_int32, ct.c_int32, ct.c_int32, ct.c_int32,  # ss se ah al
         ct.c_int32,  # mode
         i64p, u32p, u8p, u8p,  # freq, code, len, out
@@ -540,7 +541,7 @@ def _load_prog_enc():
     lib.jt_encode_prog_dc.argtypes = [
         ct.POINTER(i32p), i64p,  # state ptrs, cols
         ct.c_int32, i32p, i32p,  # n comps, h, v
-        ct.c_int32, ct.c_int64, ct.c_int32, i64p,  # mcus_x, n_units, il, bw
+        ct.c_int32, ct.c_int64, ct.c_int64, ct.c_int32, i64p,  # mcus_x, u0, u1, il, bw
         ct.c_int32, ct.c_int32, ct.c_int32,  # ah, al, mode
         ct.POINTER(i64p), ct.POINTER(u32p), ct.POINTER(u8p),  # freqs/codes/lens
         u8p,  # out
@@ -550,7 +551,8 @@ def _load_prog_enc():
 
 
 def native_encode_progressive_scans(comp_blocks_zz, samplings, mcus_x, mcus_y,
-                                    width, height, scan_script=None):
+                                    width, height, scan_script=None,
+                                    restart_interval=0):
     """C++ twin of entropy.progressive_encode.encode_progressive_scans
     (byte-identical output; equivalence-tested)."""
     import ctypes as ct
@@ -582,6 +584,17 @@ def native_encode_progressive_scans(comp_blocks_zz, samplings, mcus_x, mcus_y,
     u8p = ct.POINTER(ct.c_uint8)
     i32p = ct.POINTER(ct.c_int32)
 
+    def segments(n_units):
+        ri = restart_interval or n_units
+        return [(u, min(u + ri, n_units)) for u in range(0, n_units, ri)]
+
+    def join(chunks):
+        out = bytearray(chunks[0])
+        for i, c in enumerate(chunks[1:]):
+            out += bytes([0xFF, 0xD0 + (i % 8)])
+            out += c
+        return bytes(out)
+
     scans = []
     script = scan_script or standard_scan_script(ncomp)
     for comps, ss, se, ah, al in script:
@@ -607,24 +620,25 @@ def native_encode_progressive_scans(comp_blocks_zz, samplings, mcus_x, mcus_y,
                 samplings[ci][0] * samplings[ci][1] for ci in comps
             ) * (mcus_x * mcus_y)
             cap = int(n_blocks_total * 6 + 64)
+            segs = segments(n_units)
             tables = []
             if ah == 0:
                 freqs = [np.zeros(256, np.int64) for _ in comps]
                 fptrs = (i64p * len(comps))(
                     *[_p(f, ct.c_int64) for f in freqs])
-                lib.jt_encode_prog_dc(
-                    ptrs, _p(cols, ct.c_int64), len(comps),
-                    _p(ch, ct.c_int32), _p(cv, ct.c_int32),
-                    mcus_x, n_units, int(interleaved), _p(bws, ct.c_int64),
-                    ah, al, 0, fptrs,
-                    ct.cast(None, ct.POINTER(u32p)),
-                    ct.cast(None, ct.POINTER(u8p)),
-                    ct.cast(None, u8p))
+                for u0, u1 in segs:
+                    lib.jt_encode_prog_dc(
+                        ptrs, _p(cols, ct.c_int64), len(comps),
+                        _p(ch, ct.c_int32), _p(cv, ct.c_int32),
+                        mcus_x, u0, u1, int(interleaved), _p(bws, ct.c_int64),
+                        ah, al, 0, fptrs,
+                        ct.cast(None, ct.POINTER(u32p)),
+                        ct.cast(None, ct.POINTER(u8p)),
+                        ct.cast(None, u8p))
                 tables = [build_optimal_table(f) for f in freqs]
                 maps = [table_maps(t) for t in tables]
             else:
                 maps = []
-            out = np.zeros(cap, np.uint8)
             if maps:
                 cptrs = (u32p * len(comps))(
                     *[_p(m[0], ct.c_uint32) for m in maps])
@@ -633,37 +647,47 @@ def native_encode_progressive_scans(comp_blocks_zz, samplings, mcus_x, mcus_y,
             else:
                 cptrs = ct.cast(None, ct.POINTER(u32p))
                 lptrs = ct.cast(None, ct.POINTER(u8p))
-            n = lib.jt_encode_prog_dc(
-                ptrs, _p(cols, ct.c_int64), len(comps),
-                _p(ch, ct.c_int32), _p(cv, ct.c_int32),
-                mcus_x, n_units, int(interleaved), _p(bws, ct.c_int64),
-                ah, al, 1, ct.cast(None, ct.POINTER(i64p)),
-                cptrs, lptrs, _p(out, ct.c_uint8))
+            chunks = []
+            for u0, u1 in segs:
+                out = np.zeros(cap, np.uint8)
+                n = lib.jt_encode_prog_dc(
+                    ptrs, _p(cols, ct.c_int64), len(comps),
+                    _p(ch, ct.c_int32), _p(cv, ct.c_int32),
+                    mcus_x, u0, u1, int(interleaved), _p(bws, ct.c_int64),
+                    ah, al, 1, ct.cast(None, ct.POINTER(i64p)),
+                    cptrs, lptrs, _p(out, ct.c_uint8))
+                chunks.append(out[:n].tobytes())
             scans.append(dict(
                 comps=comps, ss=ss, se=se, ah=ah, al=al,
                 tables=[("dc", si, t) for si, t in enumerate(tables)],
-                data=out[:n].tobytes()))
+                data=join(chunks)))
         else:
             ci = comps[0]
             bh, bw = comp_block_dims(ci)
             n_blocks = bh * bw
+            segs = segments(n_blocks)
             freq = np.zeros(256, np.int64)
-            lib.jt_encode_prog_ac(
-                _p(states[ci], ct.c_int32), states[ci].shape[1], bw, n_blocks,
-                ss, se, ah, al, 0, _p(freq, ct.c_int64),
-                ct.cast(None, u32p), ct.cast(None, u8p), ct.cast(None, u8p))
+            for u0, u1 in segs:
+                lib.jt_encode_prog_ac(
+                    _p(states[ci], ct.c_int32), states[ci].shape[1], bw,
+                    u0, u1, ss, se, ah, al, 0, _p(freq, ct.c_int64),
+                    ct.cast(None, u32p), ct.cast(None, u8p),
+                    ct.cast(None, u8p))
             table = build_optimal_table(freq)
             code, length = table_maps(table)
             cap = int(n_blocks * 64 * 6 + 64)
-            out = np.zeros(cap, np.uint8)
-            n = lib.jt_encode_prog_ac(
-                _p(states[ci], ct.c_int32), states[ci].shape[1], bw, n_blocks,
-                ss, se, ah, al, 1, ct.cast(None, i64p),
-                _p(code, ct.c_uint32), _p(length, ct.c_uint8),
-                _p(out, ct.c_uint8))
+            chunks = []
+            for u0, u1 in segs:
+                out = np.zeros(cap, np.uint8)
+                n = lib.jt_encode_prog_ac(
+                    _p(states[ci], ct.c_int32), states[ci].shape[1], bw,
+                    u0, u1, ss, se, ah, al, 1, ct.cast(None, i64p),
+                    _p(code, ct.c_uint32), _p(length, ct.c_uint8),
+                    _p(out, ct.c_uint8))
+                chunks.append(out[:n].tobytes())
             scans.append(dict(comps=comps, ss=ss, se=se, ah=ah, al=al,
                               tables=[("ac", 0, table)],
-                              data=out[:n].tobytes()))
+                              data=join(chunks)))
     return scans
 
 

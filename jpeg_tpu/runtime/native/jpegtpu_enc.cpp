@@ -243,7 +243,7 @@ struct ProgEmit {
 // the comp grid ([rows, cols, 64] int32, row stride cols*64). Returns bytes
 // written (emit) or 0 (count).
 int64_t jt_encode_prog_ac(
-    const int32_t* state, int64_t cols, int64_t bw, int64_t n_blocks,
+    const int32_t* state, int64_t cols, int64_t bw, int64_t u0, int64_t u1,
     int32_t ss, int32_t se, int32_t ah, int32_t al, int32_t mode,
     int64_t* freq, const uint32_t* code, const uint8_t* len, uint8_t* out) {
   ProgEmit em{mode, freq, code, len, out};
@@ -261,7 +261,7 @@ int64_t jt_encode_prog_ac(
       eobrun = 0;
     }
   };
-  for (int64_t bi = 0; bi < n_blocks; ++bi) {
+  for (int64_t bi = u0; bi < u1; ++bi) {
     int64_t by = bi / bw, bx = bi % bw;
     const int32_t* coef = state + (by * cols + bx) * 64;
     if (ah == 0) {
@@ -346,7 +346,7 @@ int64_t jt_encode_prog_ac(
 int64_t jt_encode_prog_dc(
     const int32_t* const* state, const int64_t* state_cols,
     int32_t n_scan_comps, const int32_t* comp_h, const int32_t* comp_v,
-    int32_t mcus_x, int64_t n_units, int32_t interleaved,
+    int32_t mcus_x, int64_t u0, int64_t u1, int32_t interleaved,
     const int64_t* comp_bw, int32_t ah, int32_t al, int32_t mode,
     int64_t* const* freqs, const uint32_t* const* codes,
     const uint8_t* const* lens, uint8_t* out) {
@@ -371,7 +371,7 @@ int64_t jt_encode_prog_dc(
       em.bits((uint32_t)((dc >> al) & 1), 1);
     }
   };
-  for (int64_t u = 0; u < n_units; ++u) {
+  for (int64_t u = u0; u < u1; ++u) {
     if (interleaved) {
       int64_t my = u / mcus_x, mx = u % mcus_x;
       for (int si = 0; si < n_scan_comps; ++si) {

@@ -205,3 +205,24 @@ def test_progressive_restart_intervals(ri):
         )
     pil = np.asarray(Image.open(io.BytesIO(prog)).convert("RGB"))
     assert psnr(pil, decode_bytes(prog, rounding="round")) > 35.0
+
+
+def test_native_progressive_encoder_restart_identical():
+    from jpeg_tpu.entropy.progressive_encode import encode_progressive_scans
+    from jpeg_tpu.models.encoder import _forward_transform
+    from jpeg_tpu.runtime import (
+        native_available,
+        native_encode_progressive_scans,
+    )
+
+    if not native_available():
+        pytest.skip("native runtime not built")
+    img = synthetic_image(112, 88, seed=98)
+    blocks, samplings, _, h, w, mx, my, _ = _forward_transform(
+        img, 85, (2, 2), False)
+    for ri in [1, 3]:
+        py = encode_progressive_scans(blocks, samplings, mx, my, w, h,
+                                      restart_interval=ri)
+        cc = native_encode_progressive_scans(blocks, samplings, mx, my, w, h,
+                                             restart_interval=ri)
+        assert all(a["data"] == b["data"] for a, b in zip(py, cc))
