@@ -72,3 +72,42 @@ def test_batched_corpus_decoder_sharded():
     assert all(r.ok for r in results)
     for data, r in zip(items, results):
         np.testing.assert_array_equal(r.rgb, decode_bytes(data, path="fast"))
+
+
+def test_mixed_corpus_stress():
+    """Kitchen-sink corpus through the batched decoder: mixed geometries,
+    qualities, baseline/progressive/restart/optimized, plus a corrupt file —
+    every good image must match its single-image decode."""
+    import io
+
+    from PIL import Image
+
+    from jpeg_tpu.io.corpus import synthetic_image
+    from jpeg_tpu.models.encoder import encode_rgb, encode_rgb_progressive
+    from jpeg_tpu.parallel.pipeline import BatchedCorpusDecoder
+
+    items = []
+    items.append(encode_rgb(synthetic_image(96, 64, seed=1), quality=85))
+    items.append(encode_rgb(synthetic_image(96, 64, seed=2), quality=40,
+                            subsampling=(1, 1)))
+    items.append(encode_rgb(synthetic_image(128, 96, seed=3), quality=90,
+                            restart_interval_mcus=2))
+    items.append(encode_rgb(synthetic_image(96, 64, seed=4), quality=85,
+                            optimize=True))
+    items.append(encode_rgb_progressive(synthetic_image(96, 64, seed=5),
+                                        quality=85))
+    items.append(encode_rgb_progressive(synthetic_image(96, 64, seed=6),
+                                        quality=85, restart_interval=2))
+    items.append(encode_rgb(synthetic_image(77, 53, seed=7)[..., 0],
+                            quality=88))  # grayscale, odd dims
+    buf = io.BytesIO()
+    Image.fromarray(synthetic_image(96, 64, seed=8)).save(
+        buf, "JPEG", quality=85, progressive=True)
+    items.append(buf.getvalue())  # PIL progressive
+    items.append(b"\xff\xd8 definitely broken")
+
+    results = BatchedCorpusDecoder(workers=3).decode_all(items)
+    assert [r.ok for r in results] == [True] * 8 + [False]
+    for data, r in zip(items[:8], results[:8]):
+        want = decode_bytes(data, path="fast")
+        np.testing.assert_array_equal(r.rgb, want)
