@@ -100,7 +100,7 @@ def _load() -> ctypes.CDLL:
         ctypes.POINTER(i32p), i64p,  # state ptrs, state cols
         u16p, i32p,  # dc LUTs, scan dc ids
         ctypes.c_int32, ctypes.c_int64,  # mcus_x, n_units
-        ctypes.c_int32, i64p,  # interleaved, comp_bw
+        ctypes.c_int32, i64p, ctypes.c_int64,  # interleaved, comp_bw, unit_base
     ]
     lib.jt_decode_prog_ac.restype = ctypes.c_int64
     lib.jt_decode_prog_ac.argtypes = [
@@ -109,7 +109,7 @@ def _load() -> ctypes.CDLL:
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # ss se ah al
         i32p, ctypes.c_int64,  # state, state cols
         u16p, ctypes.c_int32,  # ac LUTs, ac id
-        ctypes.c_int64, ctypes.c_int64,  # bw, n_blocks
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # bw, n_blocks, unit_base
     ]
     _lib = lib
     return lib
@@ -402,6 +402,21 @@ def _packed_table_block(tables) -> np.ndarray:
         [(t.lut_value.astype(np.uint16) << 8) | t.lut_length for t in tables]))
 
 
+def _run_segment_slices(fn, n_segs, max_workers=4):
+    """Run fn(s0, s1) over restart-segment slices, in parallel when there
+    are enough segments (each restart segment is independent)."""
+    if n_segs <= 1:
+        return [fn(0, n_segs)]
+    from concurrent.futures import ThreadPoolExecutor
+
+    nt = min(max_workers, os.cpu_count() or 1, n_segs)
+    if nt <= 1:
+        return [fn(0, n_segs)]
+    slices = [(n_segs * t // nt, n_segs * (t + 1) // nt) for t in range(nt)]
+    with ThreadPoolExecutor(max_workers=nt) as ex:
+        return list(ex.map(lambda ab: fn(*ab), slices))
+
+
 def native_decode_progressive(plan, n_threads: int | None = None) -> np.ndarray:
     """Progressive entropy decode in C++ -> [total_blocks, 64] int32.
 
@@ -454,16 +469,22 @@ def native_decode_progressive(plan, n_threads: int | None = None) -> np.ndarray:
         dc_luts = _packed_table_block(scan.dc_tables)
         dc_ids = np.array(scan.dc_ids, np.int32)
         bws = np.array([bw0], np.int64)
-        err = lib.jt_decode_prog_dc(
-            _p(data, ct.c_uint8), _p(seg_s, ct.c_int64), _p(seg_e, ct.c_int64),
-            len(scan.bounds), ri, scan.ah, scan.al,
-            len(scan.comp_indices), _p(comp_h, ct.c_int32),
-            _p(comp_v, ct.c_int32), ptrs, _p(cols, ct.c_int64),
-            _p(dc_luts, ct.c_uint16), _p(dc_ids, ct.c_int32),
-            plan.mcus_x, n_units, int(interleaved), _p(bws, ct.c_int64),
-        )
-        if err >= 0:
-            raise NativeDecodeError(int(err))
+        def dc_slice(s0, s1):
+            return lib.jt_decode_prog_dc(
+                _p(data, ct.c_uint8),
+                _p(seg_s[s0:].copy(), ct.c_int64),
+                _p(seg_e[s0:].copy(), ct.c_int64),
+                s1 - s0, ri, scan.ah, scan.al,
+                len(scan.comp_indices), _p(comp_h, ct.c_int32),
+                _p(comp_v, ct.c_int32), ptrs, _p(cols, ct.c_int64),
+                _p(dc_luts, ct.c_uint16), _p(dc_ids, ct.c_int32),
+                plan.mcus_x, min(n_units, s1 * ri), int(interleaved),
+                _p(bws, ct.c_int64), s0 * ri,
+            )
+
+        for err in _run_segment_slices(dc_slice, len(scan.bounds)):
+            if err >= 0:
+                raise NativeDecodeError(int(err))
 
     def run_ac(scan):
         if len(scan.comp_indices) != 1:
@@ -476,14 +497,20 @@ def native_decode_progressive(plan, n_threads: int | None = None) -> np.ndarray:
         seg_s = np.array([b[0] for b in scan.bounds], np.int64)
         seg_e = np.array([b[1] for b in scan.bounds], np.int64)
         ac_luts = _packed_table_block(scan.ac_tables)
-        err = lib.jt_decode_prog_ac(
-            _p(data, ct.c_uint8), _p(seg_s, ct.c_int64), _p(seg_e, ct.c_int64),
-            len(scan.bounds), ri, scan.ss, scan.se, scan.ah, scan.al,
-            _p(state[ci], ct.c_int32), state[ci].shape[1],
-            _p(ac_luts, ct.c_uint16), scan.ac_ids[0], bw, n_blocks,
-        )
-        if err >= 0:
-            raise NativeDecodeError(int(err))
+        def ac_slice(s0, s1):
+            return lib.jt_decode_prog_ac(
+                _p(data, ct.c_uint8),
+                _p(seg_s[s0:].copy(), ct.c_int64),
+                _p(seg_e[s0:].copy(), ct.c_int64),
+                s1 - s0, ri, scan.ss, scan.se, scan.ah, scan.al,
+                _p(state[ci], ct.c_int32), state[ci].shape[1],
+                _p(ac_luts, ct.c_uint16), scan.ac_ids[0], bw,
+                min(n_blocks, s1 * ri), s0 * ri,
+            )
+
+        for err in _run_segment_slices(ac_slice, len(scan.bounds)):
+            if err >= 0:
+                raise NativeDecodeError(int(err))
 
     # Build ordered chains: DC scans (all comps) + per-component AC chains.
     chains: dict = {"dc": []}

@@ -877,7 +877,7 @@ int64_t jt_decode_prog_dc(
     const int32_t* scan_comp_v, int32_t* const* state,
     const int64_t* state_cols, const uint16_t* dc_luts,
     const int32_t* scan_dc_ids, int32_t mcus_x, int64_t n_units,
-    int32_t interleaved, const int64_t* comp_bw) {
+    int32_t interleaved, const int64_t* comp_bw, int64_t unit_base) {
   TwoLevelLut dc_tab[4];
   bool built[4] = {};
   const TwoLevelLut* comp_dc[4];
@@ -889,7 +889,7 @@ int64_t jt_decode_prog_dc(
     }
     comp_dc[s] = &dc_tab[t];
   }
-  int64_t unit = 0;
+  int64_t unit = unit_base;
   for (int64_t seg = 0; seg < n_segs && unit < n_units; ++seg) {
     BitReader br(data + seg_start[seg], seg_end[seg] - seg_start[seg]);
     int64_t pred[4] = {0, 0, 0, 0};
@@ -943,12 +943,13 @@ int64_t jt_decode_prog_ac(
     const uint8_t* data, const int64_t* seg_start, const int64_t* seg_end,
     int64_t n_segs, int64_t restart_blocks, int32_t ss, int32_t se,
     int32_t ah, int32_t al, int32_t* state, int64_t state_cols,
-    const uint16_t* ac_luts, int32_t ac_id, int64_t bw, int64_t n_blocks) {
+    const uint16_t* ac_luts, int32_t ac_id, int64_t bw, int64_t n_blocks,
+    int64_t unit_base) {
   TwoLevelLut ac_tab;
   ac_tab.build(ac_luts + ac_id * kLutSize);
   const int32_t p1 = 1 << al;
   const int32_t m1 = -(1 << al);
-  int64_t bi = 0;
+  int64_t bi = unit_base;
   for (int64_t seg = 0; seg < n_segs && bi < n_blocks; ++seg) {
     BitReader br(data + seg_start[seg], seg_end[seg] - seg_start[seg]);
     int64_t eobrun = 0;
