@@ -365,11 +365,14 @@ def encode_rgb_device(rgb: np.ndarray, quality: int = 85,
 
 
 def _container(scan, samplings, quant_zz, dc_t, ac_t, height, width,
-               restart_interval_mcus) -> bytes:
+               restart_interval_mcus, comment: str | None = None) -> bytes:
     """Assemble SOI..EOI around an entropy-coded scan."""
     out = bytearray(b"\xff\xd8")  # SOI
     app0 = b"JFIF\x00\x01\x01\x00" + (1).to_bytes(2, "big") * 2 + b"\x00\x00"
     out += b"\xff\xe0" + (len(app0) + 2).to_bytes(2, "big") + app0
+    if comment:
+        body = comment.encode("utf-8")
+        out += b"\xff\xfe" + (len(body) + 2).to_bytes(2, "big") + body
     for tid, q in enumerate(quant_zz):
         body = bytes([tid]) + bytes(q.astype(np.uint8).tolist())
         out += b"\xff\xdb" + (len(body) + 2).to_bytes(2, "big") + body
@@ -400,7 +403,8 @@ def encode_rgb(rgb: np.ndarray, quality: int = 85,
                restart_interval_mcus: int = 0,
                grayscale: bool = False,
                engine: str = "native",
-               optimize: bool = False) -> bytes:
+               optimize: bool = False,
+               comment: str | None = None) -> bytes:
     """Encode [H, W, 3] u8 RGB (or [H, W] gray) to baseline JFIF bytes.
 
     ``subsampling`` is the luma sampling factor (h, v): (1,1)=4:4:4,
@@ -430,7 +434,7 @@ def encode_rgb(rgb: np.ndarray, quality: int = 85,
                                mcus_x, mcus_y, restart_interval_mcus)
 
     return _container(scan, samplings, quant_zz, dc_t, ac_t, height, width,
-                      restart_interval_mcus)
+                      restart_interval_mcus, comment=comment)
 
 
 def encode_rgb_progressive(rgb: np.ndarray, quality: int = 85,

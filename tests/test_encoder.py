@@ -168,3 +168,13 @@ def test_device_encoder_optimize():
     opt = encode_rgb_device(img, quality=88, subsampling=(2, 2), optimize=True)
     assert len(opt) < len(std)
     np.testing.assert_array_equal(decode_bytes(std), decode_bytes(opt))
+
+
+def test_comment_roundtrip():
+    """COM segment write + parse (reference parses comments,
+    src/jpeg/mod.rs:222-227; ours also writes them)."""
+    img = _test_image(32, 32)
+    data = encode_rgb(img, quality=90, comment="hello jpeg_tpu")
+    plan = parse_jpeg(data)
+    assert plan.comment == "hello jpeg_tpu"
+    decode_bytes(data)  # still decodes
