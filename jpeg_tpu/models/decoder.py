@@ -270,7 +270,32 @@ def decode_bytes(data: bytes, rounding: str = "truncate",
                                   upsample=upsample))
 
 
-def decode_file(path, rounding: str = "truncate", engine: str = "auto") -> np.ndarray:
-    """Parity with the reference CLI input path (``src/main.rs:16-31``)."""
+def apply_exif_orientation(rgb: np.ndarray, orientation: int | None) -> np.ndarray:
+    """Apply an EXIF orientation tag (1-8) to a decoded [H, W, 3] image."""
+    if not orientation or orientation == 1:
+        return rgb
+    ops = {
+        2: lambda x: x[:, ::-1],
+        3: lambda x: x[::-1, ::-1],
+        4: lambda x: x[::-1],
+        5: lambda x: x.transpose(1, 0, 2),
+        6: lambda x: x.transpose(1, 0, 2)[:, ::-1],
+        7: lambda x: x.transpose(1, 0, 2)[::-1, ::-1],
+        8: lambda x: x.transpose(1, 0, 2)[::-1],
+    }
+    fn = ops.get(orientation)
+    return np.ascontiguousarray(fn(rgb)) if fn else rgb
+
+
+def decode_file(path, rounding: str = "truncate", engine: str = "auto",
+                exif_orientation: bool = False) -> np.ndarray:
+    """Parity with the reference CLI input path (``src/main.rs:16-31``).
+    ``exif_orientation=True`` applies the EXIF orientation tag (phones)."""
     with open(path, "rb") as f:
-        return decode_bytes(f.read(), rounding=rounding, engine=engine)
+        data = f.read()
+    if not exif_orientation:
+        return decode_bytes(data, rounding=rounding, engine=engine)
+    plan = parse_jpeg(data)
+    rgb = np.asarray(decode_plan(plan, rounding=rounding, engine=engine))
+    return apply_exif_orientation(
+        rgb, (plan.exif or {}).get("orientation"))

@@ -201,3 +201,31 @@ def test_native_unstuff_matches_numpy(corpus):
     assert np.array_equal(got[0], want[0])
     assert got[1] == want[1]
     assert got[2] == want[2]
+
+
+def test_exif_orientation_applied(tmp_path):
+    """decode_file(exif_orientation=True) rotates per the EXIF tag."""
+    import struct
+
+    from jpeg_tpu.io.corpus import synthetic_jpeg
+    from jpeg_tpu.models.decoder import (
+        apply_exif_orientation,
+        decode_bytes,
+        decode_file,
+    )
+
+    base = synthetic_jpeg(48, 32, seed=10)  # 48 wide, 32 tall
+    tiff = b"II" + struct.pack("<HI", 42, 8) + struct.pack("<H", 1)
+    tiff += struct.pack("<HHII", 0x0112, 3, 1, 6)  # orientation = 6 (rot 90)
+    tiff += struct.pack("<I", 0)
+    payload = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + (len(payload) + 2).to_bytes(2, "big") + payload
+    p = tmp_path / "o.jpg"
+    p.write_bytes(base[:2] + app1 + base[2:])
+    plain = decode_bytes(base)
+    rotated = decode_file(str(p), exif_orientation=True)
+    assert rotated.shape == (48, 32, 3)  # rotated 90
+    np.testing.assert_array_equal(rotated, apply_exif_orientation(plain, 6))
+    # identity tags
+    np.testing.assert_array_equal(apply_exif_orientation(plain, 1), plain)
+    assert apply_exif_orientation(plain, 3).shape == plain.shape
