@@ -35,6 +35,11 @@ def cmd_decode(args) -> int:
             plan = _parse(f.read())
         rgb = _np.asarray(_dp(plan, rounding=args.rounding,
                               engine=args.engine, upsample=args.upsample))
+        if args.exif_orientation:
+            from jpeg_tpu.models.decoder import apply_exif_orientation
+
+            rgb = apply_exif_orientation(
+                rgb, (plan.exif or {}).get("orientation"))
     write_ppm(args.output, rgb, binary=not args.p3)
     print(f"{args.input}: {rgb.shape[1]}x{rgb.shape[0]} -> {args.output}")
     return 0
@@ -188,6 +193,8 @@ def main(argv=None) -> int:
     d.add_argument("--upsample", choices=["replicate", "fancy"],
                    default="replicate",
                    help="fancy = libjpeg-style triangular chroma filter")
+    d.add_argument("--exif-orientation", action="store_true",
+                   help="apply the EXIF orientation tag")
     d.add_argument("--p3", action="store_true",
                    help="ASCII P3 output (reference main.rs format); default P6")
     d.set_defaults(fn=cmd_decode)
