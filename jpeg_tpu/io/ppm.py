@@ -32,10 +32,21 @@ def read_ppm(path) -> np.ndarray:
     with open(path, "rb") as f:
         data = f.read()
     if data[:2] == b"P6":
-        parts = data.split(maxsplit=4)
-        w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+        # Parse the three header ints by hand: exactly ONE whitespace byte
+        # follows maxval, then the binary payload. (bytes.split would also
+        # strip payload pixels whose bytes happen to be whitespace.)
+        idx, vals = 2, []
+        while len(vals) < 3:
+            while data[idx : idx + 1].isspace():
+                idx += 1
+            start = idx
+            while not data[idx : idx + 1].isspace():
+                idx += 1
+            vals.append(int(data[start:idx]))
+        idx += 1  # the single post-maxval whitespace byte
+        w, h, maxval = vals
         assert maxval == 255
-        raw = parts[4][: w * h * 3]
+        raw = data[idx : idx + w * h * 3]
         return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
     if data[:2] == b"P3":
         tokens = data.split()
