@@ -139,7 +139,9 @@ def decode_coefficients(plan: DecodePlan) -> np.ndarray:
                 prev_dc[ci] = block[0]
                 out[bi] = block
                 bi += 1
-    assert bi == plan.total_blocks
+    # Truncated streams can carry fewer restart segments than the frame
+    # geometry implies; like libjpeg's "premature end of data" recovery (and
+    # the native engine), leave the missing tail blocks zero.
     return out
 
 

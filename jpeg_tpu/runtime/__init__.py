@@ -272,6 +272,14 @@ def native_decode_coefficients(plan, n_threads: int | None = None,
     )
     if err >= 0:
         raise NativeDecodeError(int(err))
+    # Truncated/corrupt streams can carry fewer restart segments than the
+    # frame geometry implies; C++ only writes blocks inside declared segments,
+    # so zero the tail explicitly — otherwise it would expose uninitialized
+    # heap (fresh buffer) or the previous frame (reused buffer). Matches the
+    # oracle's zero-fill recovery (entropy/oracle.py decode_coefficients).
+    covered = int(seg_mcu_count.sum()) * plan.blocks_per_mcu
+    if covered < plan.total_blocks:
+        out[covered:] = 0
     return out
 
 
@@ -354,6 +362,13 @@ def native_decode_planes(plan, n_threads: int | None = None,
         planes = [np.zeros(s, dtype=np.int16) for s in shapes]
         if reuse_buffer:
             _out_buffers[key] = planes
+    # Truncated/corrupt streams: declared segments may cover fewer MCUs than
+    # the frame. C++ writes only covered blocks, so pre-zero the planes to
+    # keep the tail at neutral coefficients (instead of uninitialized heap /
+    # the previous frame's data on buffer reuse).
+    if int(seg_mcu_count.sum()) < plan.n_mcus:
+        for p in planes:
+            p[...] = 0
     i16p = ctypes.POINTER(ctypes.c_int16)
     ptrs = (i16p * len(planes))(*[_p(p, ctypes.c_int16) for p in planes])
     strides = np.array([s[1] for s in shapes], dtype=np.int64)
