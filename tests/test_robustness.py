@@ -92,3 +92,43 @@ def test_garbage_and_empty_inputs_raise_cleanly():
     for bad in (b"", b"\xff", b"\xff\xd8", b"PNG\r\n", bytes(1000)):
         with pytest.raises(ValueError):
             jpeg_tpu.decode_bytes(bad)
+
+
+def _prog_bytes():
+    from jpeg_tpu.io.corpus import synthetic_image
+    from jpeg_tpu.models.encoder import encode_rgb_progressive
+
+    return encode_rgb_progressive(synthetic_image(160, 112, seed=5), quality=85)
+
+
+@pytest.mark.parametrize("pct", [10, 40, 70, 97])
+def test_progressive_truncation_engines_agree(pct):
+    """Truncated progressive streams render the scans that arrived (the
+    point of progressive) and stay bit-identical across engines."""
+    data = _prog_bytes()
+    d = data[: len(data) * pct // 100]
+    a = jpeg_tpu.decode_bytes(d, engine="oracle")
+    b = jpeg_tpu.decode_bytes(d, engine="native")
+    assert a.shape == (112, 160, 3)
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_progressive_bitflips_engines_agree(seed):
+    data = _prog_bytes()
+    rng = np.random.default_rng(seed)
+    d = bytearray(data)
+    for _ in range(3):
+        i = int(rng.integers(2, len(d)))
+        d[i] ^= int(rng.integers(1, 256))
+    res = {}
+    for eng in ("oracle", "native"):
+        try:
+            res[eng] = jpeg_tpu.decode_bytes(bytes(d), engine=eng)
+        except ValueError as e:
+            res[eng] = type(e).__name__
+    a, b = res["oracle"], res["native"]
+    if isinstance(a, np.ndarray):
+        np.testing.assert_array_equal(a, b)
+    else:
+        assert a == b
