@@ -249,11 +249,16 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
                 break
             i += 2
             continue
+        if i + 4 > n:
+            raise JPEGError(f"truncated marker segment at {i}")
         seg_len = _u16(vec, i + 2)
         if seg_len < 2:
             raise JPEGError(f"bad segment length {seg_len} at {i}")
         body = i + 4
         body_len = seg_len - 2
+        if body + body_len > n:
+            raise JPEGError(
+                f"marker segment at {i} runs past end of stream")
 
         if marker == COM:
             try:
@@ -287,6 +292,14 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
                 count = int(bits.sum())
                 values = vec[idx : idx + count]
                 idx += count
+                if dest > 3:
+                    raise JPEGError(f"invalid DHT destination {dest}")
+                if table_class == 0 and count and int(values.max()) > 16:
+                    # DC symbols are magnitude categories (JPEG F.1.2.1.1,
+                    # 0..16); larger values would make the entropy decoders
+                    # read >16 magnitude bits (libjpeg rejects these too).
+                    raise JPEGError(
+                        f"invalid DC Huffman symbol {int(values.max())} > 16")
                 table = HuffmanTable.from_bits_values(bits, values)
                 (dc_tables if table_class == 0 else ac_tables)[dest] = table
         elif marker == DRI:
@@ -313,7 +326,10 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
                 # vanishingly rare and not supported by the tiled kernels.
                 if h not in (1, 2, 4) or v not in (1, 2, 4):
                     raise JPEGError(f"unsupported sampling factors {h}x{v}")
-                components.append(ComponentInfo(cid, h, v, quant_id=int(vec[idx + 2])))
+                tq = int(vec[idx + 2])
+                if tq > 3:
+                    raise JPEGError(f"invalid quant table id {tq}")
+                components.append(ComponentInfo(cid, h, v, quant_id=tq))
                 idx += 3
             got_frame = True
         elif SOF_MIN <= marker <= SOF_MAX and marker not in (0xC4, 0xC8, 0xCC):
@@ -354,6 +370,10 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
             ah = (int(vec[idx + 2]) & 0xF0) >> 4
             al = int(vec[idx + 2]) & 0x0F
             idx += 3
+            if ss > 63 or se > 63 or ss > se:
+                raise JPEGError(f"invalid spectral selection {ss}..{se}")
+            if any(t > 3 for t in scan_dc_ids + scan_ac_ids):
+                raise JPEGError("invalid scan table selector > 3")
             scan_data, bounds, scan_end = _unstuff_and_segment(vec, idx)
             if progressive:
                 prog_scans.append(ProgScan(

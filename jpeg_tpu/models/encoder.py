@@ -109,9 +109,20 @@ def _plane_to_blocks(plane: np.ndarray) -> np.ndarray:
     return plane.reshape(r, 8, c, 8).transpose(0, 2, 1, 3).reshape(r * c, 64)
 
 
+def _validate_image(rgb: np.ndarray, grayscale: bool) -> None:
+    """Reject shapes the pipeline would mangle (e.g. empty images divide by
+    zero in the MCU math); coercions like float dtypes stay permitted."""
+    if rgb.ndim not in (2, 3) or rgb.shape[0] < 1 or rgb.shape[1] < 1 or (
+            rgb.ndim == 3 and rgb.shape[2] < 3 and not grayscale):
+        raise ValueError(
+            "expected [H, W, 3] RGB or [H, W] grayscale with H, W >= 1, "
+            f"got shape {rgb.shape}")
+
+
 def _forward_transform(rgb, quality, subsampling, grayscale):
     """RGB/gray -> per-component quantized zigzag blocks + geometry."""
     rgb = np.asarray(rgb)
+    _validate_image(rgb, grayscale)
     if rgb.ndim == 2:
         grayscale = True
     h_s, v_s = (1, 1) if grayscale else subsampling
@@ -283,6 +294,7 @@ def encode_rgb_device(rgb: np.ndarray, quality: int = 85,
     from jpeg_tpu.runtime import native_encode_scan
 
     rgb = np.asarray(rgb)
+    _validate_image(rgb, grayscale)
     if rgb.ndim == 2:
         grayscale = True
     h_s, v_s = (1, 1) if grayscale else subsampling

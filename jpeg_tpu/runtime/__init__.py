@@ -24,8 +24,12 @@ _enc_lib = None
 _out_buffers: dict = {}  # (thread id, shape key) -> reusable output buffer
 
 
-class NativeDecodeError(RuntimeError):
-    """Entropy decode failed (invalid Huffman prefix) in a segment."""
+class NativeDecodeError(ValueError):
+    """Entropy decode failed (invalid Huffman prefix) in a segment.
+
+    Subclasses ValueError so corrupt input raises the same exception family
+    as the Python oracle and the container parser (JPEGError) — callers can
+    catch ``ValueError`` for any malformed stream regardless of engine."""
 
     def __init__(self, segment: int):
         super().__init__(

@@ -2,8 +2,9 @@
 
 SURVEY.md §5 fault injection: truncated-bitstream fuzzing. The reference
 panics on anything unexpected (17 panic sites); this engine's contract is:
-raise JPEGError/NativeDecodeError/ValueError, or decode to *some* image
-(reference-parity 0xAA tail fill for truncation inside entropy data).
+raise ValueError (JPEGError and NativeDecodeError are subclasses), or decode
+to *some* image (reference-parity 0xAA tail fill for truncation inside
+entropy data). No other exception type may escape.
 """
 
 import numpy as np
@@ -12,9 +13,8 @@ import pytest
 from jpeg_tpu.io.container import JPEGError, parse_jpeg
 from jpeg_tpu.models.decoder import decode_bytes
 from jpeg_tpu.models.encoder import encode_rgb
-from jpeg_tpu.runtime import NativeDecodeError
 
-ACCEPTABLE = (JPEGError, NativeDecodeError, ValueError, IndexError)
+ACCEPTABLE = (ValueError,)
 
 
 def _base_jpeg():

@@ -132,3 +132,49 @@ def test_progressive_bitflips_engines_agree(seed):
         np.testing.assert_array_equal(a, b)
     else:
         assert a == b
+
+
+def test_container_validation_rejects_malformed_headers():
+    """Spec-level header validation raises JPEGError (shared by all engines):
+    DC Huffman symbols are size categories 0..16, table/quant destinations
+    are 0..3, and marker segments must not run past the stream."""
+    from jpeg_tpu.io.container import JPEGError
+
+    data = bytearray(BASE)
+
+    def patched(fn):
+        d = bytearray(data)
+        fn(d)
+        return bytes(d)
+
+    # DC Huffman symbol > 16: first DHT is the luma DC table.
+    i = bytes(data).find(b"\xff\xc4")
+    assert i > 0 and data[i + 4] & 0xF0 == 0  # class 0 = DC
+    bad_dc = patched(lambda d: d.__setitem__(i + 4 + 17, 0xFF))
+    # DHT destination > 3
+    bad_dest = patched(lambda d: d.__setitem__(i + 4, 0x0B))
+    # SOF component quant id > 3 (first component's Tq byte)
+    j = bytes(data).find(b"\xff\xc0")
+    bad_tq = patched(lambda d: d.__setitem__(j + 12, 0xE4))
+    for name, b in (("dc_sym", bad_dc), ("dest", bad_dest), ("tq", bad_tq)):
+        for eng in ("oracle", "native"):
+            with pytest.raises(JPEGError):
+                jpeg_tpu.decode_bytes(b, engine=eng)
+    # Truncation mid-marker-header (right after a marker byte pair)
+    with pytest.raises(JPEGError):
+        parse_jpeg(bytes(data[: i + 3]))
+
+
+def test_encoder_rejects_empty_and_bad_shapes():
+    from jpeg_tpu.io.corpus import synthetic_image
+    from jpeg_tpu.models.encoder import encode_rgb, encode_rgb_progressive
+
+    for bad in (np.zeros((0, 0, 3), np.uint8), np.zeros((4, 0, 3), np.uint8),
+                np.zeros((4, 4, 2), np.uint8), np.zeros((8,), np.uint8)):
+        with pytest.raises(ValueError):
+            encode_rgb(bad)
+        with pytest.raises(ValueError):
+            encode_rgb_progressive(bad)
+    # 1x1 stays valid.
+    img = synthetic_image(1, 1, seed=0)
+    assert jpeg_tpu.decode_bytes(encode_rgb(img)).shape == (1, 1, 3)
