@@ -372,6 +372,16 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
             idx += 3
             if ss > 63 or se > 63 or ss > se:
                 raise JPEGError(f"invalid spectral selection {ss}..{se}")
+            if progressive:
+                # libjpeg jdphuff start_pass checks: a refinement scan must
+                # peel exactly one bit (Ah == Al+1), Al <= 13, and AC bands
+                # are single-component.
+                if al > 13 or (ah and ah != al + 1):
+                    raise JPEGError(
+                        f"invalid successive approximation Ah={ah} Al={al}")
+                if ss > 0 and len(scan_comp_idx) != 1:
+                    raise JPEGError(
+                        "progressive AC scan must be single-component")
             if any(t > 3 for t in scan_dc_ids + scan_ac_ids):
                 raise JPEGError("invalid scan table selector > 3")
             scan_data, bounds, scan_end = _unstuff_and_segment(vec, idx)

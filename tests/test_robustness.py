@@ -178,3 +178,26 @@ def test_encoder_rejects_empty_and_bad_shapes():
     # 1x1 stays valid.
     img = synthetic_image(1, 1, seed=0)
     assert jpeg_tpu.decode_bytes(encode_rgb(img)).shape == (1, 1, 3)
+
+
+def test_invalid_progression_parameters_rejected():
+    """A refinement scan must peel exactly one bit (Ah == Al+1, libjpeg
+    jdphuff start_pass); corrupt Ah/Al previously decoded divergent garbage."""
+    from jpeg_tpu.io.container import JPEGError
+
+    data = bytearray(_prog_bytes())
+    # Find a single-component AC scan header: SOS with ncomp==1, patch Ah/Al.
+    i = 0
+    patched = None
+    while True:
+        i = bytes(data).find(b"\xff\xda", i + 1)
+        if i < 0:
+            break
+        if data[i + 4] == 1 and data[i + 7] > 0:  # ncomp=1, ss>0
+            patched = i + 9  # the Ah<<4|Al byte
+            break
+    assert patched is not None
+    data[patched] = 0x34  # Ah=3, Al=4: not a one-bit refinement
+    for eng in ("oracle", "native"):
+        with pytest.raises(JPEGError):
+            jpeg_tpu.decode_bytes(bytes(data), engine=eng)
