@@ -117,8 +117,25 @@ class DecodePlan:
     jfif_units: int | None = None
     jfif_density: tuple[int, int] | None = None
     exif: dict | None = None
+    adobe_transform: int | None = None  # APP14 color transform (0/1/2)
     progressive: bool = False
     prog_scans: list = dataclasses.field(default_factory=list)
+
+    @property
+    def color_model(self) -> str:
+        """Decoded colorspace: gray | ycbcr | rgb | cmyk | ycck.
+
+        Follows libjpeg jdcolor default_decompress_parms: 3 components are
+        YCbCr unless APP14 says transform 0 or the component ids spell R,G,B;
+        4 components are CMYK (YCCK when APP14 transform is 2)."""
+        ids = tuple(c.component_id for c in self.components)
+        if len(ids) == 1:
+            return "gray"
+        if len(ids) == 4:
+            return "ycck" if self.adobe_transform == 2 else "cmyk"
+        if self.adobe_transform == 0 or ids == (82, 71, 66):
+            return "rgb"
+        return "ycbcr"
 
     @property
     def n_mcus(self) -> int:
@@ -230,6 +247,7 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
     comment = None
     jfif_version = jfif_units = jfif_density = None
     exif = None
+    adobe_transform = None
     scan_data = np.zeros(0, np.uint8)
     segments: list[Segment] = []
     got_frame = False
@@ -432,6 +450,7 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
                 jfif_units=jfif_units,
                 jfif_density=jfif_density,
                 exif=exif,
+                adobe_transform=adobe_transform,
             )
             # Like the reference (src/jpeg/mod.rs:417): first scan only.
             return plan
@@ -440,6 +459,11 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
                 from jpeg_tpu.io.exif import parse_exif
 
                 exif = exif or parse_exif(bytes(vec[body : body + body_len]))
+            if marker == APP0 + 14 and body_len >= 12:
+                # Adobe APP14: the transform flag picks CMYK vs YCCK for
+                # 4-component and RGB vs YCbCr for 3-component streams.
+                if bytes(vec[body : body + 5]) == b"Adobe":
+                    adobe_transform = int(vec[body + 11])
             if marker == APP0 and body_len >= 14:
                 # JFIF APP0 (reference parses-and-discards with absolute-
                 # offset bugs, src/jpeg/mod.rs:429-444; we parse correctly).
@@ -465,6 +489,7 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
             mcus_y=(height + 8 * v_max - 1) // (8 * v_max),
             comment=comment, jfif_version=jfif_version,
             jfif_units=jfif_units, jfif_density=jfif_density, exif=exif,
+            adobe_transform=adobe_transform,
             progressive=True, prog_scans=prog_scans,
         )
     raise JPEGError("no SOS marker found (no image data)")

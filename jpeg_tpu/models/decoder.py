@@ -42,6 +42,8 @@ class PipelineGeometry:
     h_max: int
     v_max: int
     sampling: tuple[tuple[int, int], ...]  # (h, v) per component, scan order
+    # Final color stage: gray | ycbcr | rgb | cmyk | ycck (plan.color_model).
+    color_model: str = "ycbcr"
 
     @staticmethod
     def of(plan: DecodePlan) -> "PipelineGeometry":
@@ -53,6 +55,7 @@ class PipelineGeometry:
             h_max=plan.h_max,
             v_max=plan.v_max,
             sampling=tuple((c.h, c.v) for c in plan.components),
+            color_model=getattr(plan, "color_model", "ycbcr"),
         )
 
     @property
@@ -131,7 +134,16 @@ def _pipeline(coeffs, matrices, geom: PipelineGeometry, rounding: str,
     if len(planes) == 1:
         return grayscale_to_rgb(planes[0], rounding)
     if len(planes) == 3:
+        if geom.color_model == "rgb":  # Adobe transform 0 / R,G,B ids
+            from jpeg_tpu.ops.color import rgb_direct
+
+            return rgb_direct(planes[0], planes[1], planes[2], rounding)
         return ycbcr_to_rgb(planes[0], planes[1], planes[2], rounding)
+    if len(planes) == 4:  # Adobe CMYK / YCCK (beyond the reference)
+        from jpeg_tpu.ops.color import cmyk_to_rgb
+
+        return cmyk_to_rgb(planes[0], planes[1], planes[2], planes[3],
+                           rounding, ycck=geom.color_model == "ycck")
     raise ValueError(f"unsupported component count {len(planes)} "
                      "(reference supports 1 or 3, src/jpeg/decoder.rs:317-331)")
 
@@ -265,7 +277,10 @@ def decode_bytes(data: bytes, rounding: str = "truncate",
     """
     plan = parse_jpeg(data)
     if path == "fast":
-        return np.asarray(decode_plan_fast(plan, rounding=rounding))
+        if plan.color_model in ("ycbcr", "gray"):
+            return np.asarray(decode_plan_fast(plan, rounding=rounding))
+        # CMYK/YCCK/RGB-direct: the fused Pallas kernel bakes in the YCbCr
+        # matrix; these rarities route through the compat pipeline.
     return np.asarray(decode_plan(plan, rounding=rounding, engine=engine,
                                   upsample=upsample))
 

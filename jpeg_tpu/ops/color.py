@@ -83,3 +83,35 @@ def grayscale_to_rgb(y: jnp.ndarray, rounding: str = "truncate") -> jnp.ndarray:
     """
     u = quantize_u8(y + 128.0, rounding)
     return jnp.stack([u, u, u], axis=-1)
+
+
+def cmyk_to_rgb(c: jnp.ndarray, m: jnp.ndarray, y: jnp.ndarray,
+                k: jnp.ndarray, rounding: str = "truncate",
+                ycck: bool = False) -> jnp.ndarray:
+    """Adobe 4-component (CMYK / YCCK) centered planes -> RGB [H, W, 3] u8.
+
+    Beyond the reference (3-component only). Adobe CMYK JPEGs store inverted
+    ink values (s = 255 - ink); composing libjpeg's jdcolor output with
+    Pillow's ``CMYK;I`` read + ``cmyk2rgb`` (libImaging/Convert.c) reduces to
+    ``R = s_C * s_K / 255`` on the stored bytes. For YCCK (APP14 transform 2)
+    the first three planes hold YCbCr of the *non-inverted* CMY (libjpeg
+    ycck_cmyk_convert: C = 255 - R(ycc)), so convert, un-invert, then apply K.
+    """
+    s_k = jnp.clip(k + 128.0, 0.0, 255.0)
+    if ycck:
+        r = c + np.float32(2.0 - 2.0 * C_RED) * y  # here (c, m, y) = (Y, Cb, Cr)
+        b = c + np.float32(2.0 - 2.0 * C_BLUE) * m
+        g = (c - np.float32(C_BLUE) * b - np.float32(C_RED) * r) / np.float32(C_GREEN)
+        stored = [255.0 - jnp.clip(p + 128.0, 0.0, 255.0) for p in (r, g, b)]
+    else:
+        stored = [jnp.clip(p + 128.0, 0.0, 255.0) for p in (c, m, y)]
+    rgb = jnp.stack(stored, axis=-1) * (s_k * np.float32(1.0 / 255.0))[..., None]
+    return quantize_u8(rgb, rounding)
+
+
+def rgb_direct(r: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray,
+               rounding: str = "truncate") -> jnp.ndarray:
+    """3-component stream already in RGB (Adobe transform 0 or R/G/B
+    component ids): level shift only, no YCbCr matrix."""
+    rgb = jnp.stack([r + 128.0, g + 128.0, b + 128.0], axis=-1)
+    return quantize_u8(rgb, rounding)
