@@ -138,6 +138,8 @@ def cmd_info(args) -> int:
              "ac_table": c.ac_id}
             for c in plan.components
         ],
+        "color_model": plan.color_model,
+        "progressive": plan.progressive,
         "mcus": [plan.mcus_x, plan.mcus_y],
         "restart_interval_mcus": plan.restart_interval,
         "entropy_segments": len(plan.segments),

@@ -130,3 +130,4 @@ def test_cli_info(capsys):
     assert rep["width"] == 750 and rep["height"] == 595
     assert rep["components"][0]["sampling"] == [2, 2]
     assert rep["entropy_segments"] == 1
+    assert rep["color_model"] == "ycbcr" and rep["progressive"] is False
