@@ -22,6 +22,7 @@ __version__ = "0.1.0"
 from jpeg_tpu.io.container import DecodePlan, parse_jpeg  # noqa: F401
 from jpeg_tpu.models.decoder import decode_file, decode_bytes  # noqa: F401
 from jpeg_tpu.models.encoder import (  # noqa: F401
+    encode_cmyk,
     encode_rgb,
     encode_rgb_device,
     encode_rgb_progressive,

@@ -377,21 +377,36 @@ def encode_rgb_device(rgb: np.ndarray, quality: int = 85,
 
 
 def _container(scan, samplings, quant_zz, dc_t, ac_t, height, width,
-               restart_interval_mcus, comment: str | None = None) -> bytes:
-    """Assemble SOI..EOI around an entropy-coded scan."""
+               restart_interval_mcus, comment: str | None = None,
+               component_ids=None, quant_ids=None, table_ids=None,
+               adobe_transform: int | None = None) -> bytes:
+    """Assemble SOI..EOI around an entropy-coded scan.
+
+    Defaults emit a JFIF stream with ids 1..n and the luma/chroma table
+    split; the optional keyword args support Adobe streams (APP14 instead
+    of JFIF APP0 — JFIF only allows 1 or 3 components) with custom
+    component ids and per-component table assignments.
+    """
+    ncomp = len(samplings)
+    component_ids = component_ids or [ci + 1 for ci in range(ncomp)]
+    quant_ids = quant_ids or [min(ci, 1) for ci in range(ncomp)]
+    table_ids = table_ids or [min(ci, 1) for ci in range(ncomp)]
     out = bytearray(b"\xff\xd8")  # SOI
-    app0 = b"JFIF\x00\x01\x01\x00" + (1).to_bytes(2, "big") * 2 + b"\x00\x00"
-    out += b"\xff\xe0" + (len(app0) + 2).to_bytes(2, "big") + app0
+    if adobe_transform is None:
+        app0 = b"JFIF\x00\x01\x01\x00" + (1).to_bytes(2, "big") * 2 + b"\x00\x00"
+        out += b"\xff\xe0" + (len(app0) + 2).to_bytes(2, "big") + app0
+    else:
+        app14 = b"Adobe" + bytes([0, 100, 0, 0, 0, 0, adobe_transform])
+        out += b"\xff\xee" + (len(app14) + 2).to_bytes(2, "big") + app14
     if comment:
         body = comment.encode("utf-8")
         out += b"\xff\xfe" + (len(body) + 2).to_bytes(2, "big") + body
     for tid, q in enumerate(quant_zz):
         body = bytes([tid]) + bytes(q.astype(np.uint8).tolist())
         out += b"\xff\xdb" + (len(body) + 2).to_bytes(2, "big") + body
-    ncomp = len(samplings)
     sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big") + bytes([ncomp])
     for ci, (h, v) in enumerate(samplings):
-        sof += bytes([ci + 1, (h << 4) | v, min(ci, 1)])
+        sof += bytes([component_ids[ci], (h << 4) | v, quant_ids[ci]])
     out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
     for cls, tables in ((0, dc_t), (1, ac_t)):
         for tid, t in enumerate(tables):
@@ -401,8 +416,8 @@ def _container(scan, samplings, quant_zz, dc_t, ac_t, height, width,
         out += b"\xff\xdd\x00\x04" + restart_interval_mcus.to_bytes(2, "big")
     sos = bytes([ncomp])
     for ci in range(ncomp):
-        ti = min(ci, 1)
-        sos += bytes([ci + 1, (ti << 4) | ti])
+        ti = table_ids[ci]
+        sos += bytes([component_ids[ci], (ti << 4) | ti])
     sos += bytes([0, 63, 0])
     out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
     out += scan
@@ -507,3 +522,52 @@ def encode_rgb_progressive(rgb: np.ndarray, quality: int = 85,
         out += scan["data"]
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def encode_cmyk(cmyk: np.ndarray, quality: int = 85,
+                engine: str = "native",
+                restart_interval_mcus: int = 0,
+                comment: str | None = None) -> bytes:
+    """Encode [H, W, 4] u8 CMYK (Pillow convention) to an Adobe JPEG.
+
+    Beyond the reference (which has no encoder at all). Emits an APP14
+    transform-0 stream with C,M,Y,K component ids, 4:4:4 sampling, and the
+    luma quant/Huffman tables for every component (libjpeg's CMYK defaults).
+    Bytes are stored Adobe-inverted (255 - ink), matching what Pillow writes
+    and reads back via its ``CMYK;I`` rawmode.
+    """
+    cmyk = np.asarray(cmyk)
+    if cmyk.ndim != 3 or cmyk.shape[2] != 4 or 0 in cmyk.shape[:2]:
+        raise ValueError(f"expected [H, W, 4] CMYK with H, W >= 1, "
+                         f"got shape {cmyk.shape}")
+    height, width = cmyk.shape[:2]
+    samplings = [(1, 1)] * 4
+    mcus_x, mcus_y = -(-width // 8), -(-height // 8)
+    q_luma = annex_k.scaled_quant_table(annex_k.QUANT_LUMA, quality)
+    fwd = forward_dct_matrix()
+    stored = 255.0 - cmyk.astype(np.float32)  # Adobe inversion
+    comp_blocks_zz = []
+    for ci in range(4):
+        plane = _pad_to(stored[..., ci] - 128.0, mcus_y * 8, mcus_x * 8)
+        coeffs = _plane_to_blocks(plane) @ fwd
+        zz = np.round(zigzag(coeffs) / q_luma.astype(np.float32)).astype(np.int32)
+        comp_blocks_zz.append(zz.reshape(mcus_y, mcus_x, 64))
+
+    dc_t = [HuffmanTable.from_bits_values(
+        annex_k.DC_LUMA_BITS, annex_k.DC_LUMA_VALS)]
+    ac_t = [HuffmanTable.from_bits_values(
+        annex_k.AC_LUMA_BITS, annex_k.AC_LUMA_VALS)]
+    dc_maps = [_build_encode_maps(dc_t[0])] * 2
+    ac_maps = [_build_encode_maps(ac_t[0])] * 2
+    entropy = _entropy_native if engine == "native" else _entropy_python
+    try:
+        scan = entropy(comp_blocks_zz, samplings, dc_maps, ac_maps,
+                       mcus_x, mcus_y, restart_interval_mcus)
+    except (ImportError, OSError):
+        scan = _entropy_python(comp_blocks_zz, samplings, dc_maps, ac_maps,
+                               mcus_x, mcus_y, restart_interval_mcus)
+    return _container(scan, samplings, [q_luma], dc_t, ac_t, height, width,
+                      restart_interval_mcus, comment=comment,
+                      component_ids=[67, 77, 89, 75],  # 'C','M','Y','K'
+                      quant_ids=[0] * 4, table_ids=[0] * 4,
+                      adobe_transform=0)

@@ -102,3 +102,36 @@ def test_ycbcr_color_space_output_gives_raw_planes_for_cmyk():
 
     raw = np.asarray(decode_plan(parse_jpeg(data), color_space="ycbcr"))
     assert raw.shape[-1] == 4  # stored CMYK planes, level-shifted
+
+
+def test_encode_cmyk_roundtrip_pil_and_self():
+    """encode_cmyk emits an Adobe transform-0 stream Pillow opens as CMYK;
+    our decode matches Pillow's RGB decode within rounding."""
+    from jpeg_tpu.models.encoder import encode_cmyk
+
+    img = synthetic_image(96, 64, seed=3)
+    cmyk = np.asarray(Image.fromarray(img).convert("CMYK"))
+    data = encode_cmyk(cmyk, quality=92)
+    pil_img = Image.open(io.BytesIO(data))
+    assert pil_img.mode == "CMYK" and pil_img.size == (96, 64)
+    assert psnr(np.asarray(pil_img), cmyk) > 35.0  # lossy roundtrip
+    ours = jpeg_tpu.decode_bytes(data, rounding="round")
+    pil_rgb = np.asarray(pil_img.convert("RGB"))
+    assert psnr(ours, pil_rgb) > 55.0
+    # engines byte-identical; restart intervals parse back
+    assert data == encode_cmyk(cmyk, quality=92, engine="python")
+    rst = encode_cmyk(cmyk, quality=92, restart_interval_mcus=3)
+    plan = parse_jpeg(rst)
+    assert plan.color_model == "cmyk" and len(plan.segments) > 1
+    np.testing.assert_array_equal(
+        jpeg_tpu.decode_bytes(rst, engine="oracle"),
+        jpeg_tpu.decode_bytes(rst, engine="native"))
+
+
+def test_encode_cmyk_rejects_bad_shapes():
+    from jpeg_tpu.models.encoder import encode_cmyk
+
+    for bad in (np.zeros((4, 4, 3), np.uint8), np.zeros((0, 4, 4), np.uint8),
+                np.zeros((8, 8), np.uint8)):
+        with pytest.raises(ValueError):
+            encode_cmyk(bad)
