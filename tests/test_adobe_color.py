@@ -135,3 +135,18 @@ def test_encode_cmyk_rejects_bad_shapes():
                 np.zeros((8, 8), np.uint8)):
         with pytest.raises(ValueError):
             encode_cmyk(bad)
+
+
+def test_progressive_cmyk_matches_pil():
+    """4-component progressive (SOF2) CMYK — the generic component handling
+    covers it end to end."""
+    img = synthetic_image(96, 64, seed=3)
+    buf = io.BytesIO()
+    Image.fromarray(img).convert("CMYK").save(
+        buf, "JPEG", quality=92, progressive=True)
+    data = buf.getvalue()
+    plan = parse_jpeg(data)
+    assert plan.color_model == "cmyk" and plan.progressive
+    ours = jpeg_tpu.decode_bytes(data, rounding="round")
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert psnr(ours, pil) > 55.0
