@@ -45,6 +45,14 @@ progressive = jpeg_tpu.encode_rgb_progressive(img, quality=88)
 print(f"encode 320x240: baseline {len(baseline)}B, optimized "
       f"{len(optimized)}B, progressive {len(progressive)}B")
 
+# --- CMYK (Adobe APP14) ---
+from PIL import Image
+cmyk = np.asarray(Image.fromarray(img).convert("CMYK"))
+adobe = jpeg_tpu.encode_cmyk(cmyk, quality=88)
+rgb_from_cmyk = jpeg_tpu.decode_bytes(adobe)
+print(f"CMYK encode {len(adobe)}B -> decode {rgb_from_cmyk.shape}, "
+      f"model {parse_jpeg(adobe).color_model}")
+
 # --- batch decode (geometry-bucketed, Pallas) ---
 results = BatchedCorpusDecoder(workers=2).decode_all(
     [baseline, optimized, progressive])
