@@ -289,6 +289,8 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
             while idx < body + body_len:
                 precision = (int(vec[idx]) & 0xF0) >> 4
                 ident = int(vec[idx]) & 0x0F
+                if ident > 3:
+                    raise JPEGError(f"invalid DQT destination {ident}")
                 if precision == 0:
                     quant[ident] = vec[idx + 1 : idx + 65].astype(np.uint16)
                     idx += 65

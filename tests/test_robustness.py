@@ -201,3 +201,15 @@ def test_invalid_progression_parameters_rejected():
     for eng in ("oracle", "native"):
         with pytest.raises(JPEGError):
             jpeg_tpu.decode_bytes(bytes(data), engine=eng)
+
+
+def test_dqt_destination_out_of_range_rejected():
+    """DQT table destinations are 0..3 (fuzz pil_opt:80 regression)."""
+    from jpeg_tpu.io.container import JPEGError
+
+    data = bytearray(BASE)
+    i = bytes(data).find(b"\xff\xdb")
+    data[i + 4] = (data[i + 4] & 0xF0) | 0x0D  # dest 13
+    for eng in ("oracle", "native"):
+        with pytest.raises(JPEGError):
+            jpeg_tpu.decode_bytes(bytes(data), engine=eng)
