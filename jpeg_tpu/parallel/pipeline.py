@@ -106,6 +106,16 @@ class BatchedCorpusDecoder:
             else:
                 data = path_or_bytes
             plan = parse_jpeg(data)
+            if plan.color_model not in ("ycbcr", "gray"):
+                # CMYK/YCCK/RGB-direct: the fused batch kernel bakes in the
+                # YCbCr matrix — decode these rarities inline via the compat
+                # pipeline ("compat" sentinel geometry, no bucketing).
+                from jpeg_tpu.models.decoder import decode_plan
+
+                import numpy as _np
+
+                rgb = _np.asarray(decode_plan(plan, rounding=self.rounding))
+                return (name, plan, "compat", rgb, None)
             if plan.progressive:
                 from jpeg_tpu.models.decoder import progressive_planes
 
@@ -131,6 +141,8 @@ class BatchedCorpusDecoder:
         for i, (name, plan, geom, planes, err) in enumerate(parsed):
             if err is not None:
                 results[i] = DecodeResult(name, None, error=err)
+            elif geom == "compat":  # decoded inline by the worker
+                results[i] = DecodeResult(name, planes)
             else:
                 buckets.setdefault(geom, []).append(i)
 
@@ -148,8 +160,15 @@ class BatchedCorpusDecoder:
                 bq = [np_.stack([plan_quant_patterns(parsed[i][1], geom)[c]
                                  for i in chunk])
                       for c in range(len(geom.sampling))]
-                planar = np_.asarray(
-                    decode_batch_fast(bp, bq, geom, self.rounding, mesh=mesh))
+                try:
+                    planar = np_.asarray(decode_batch_fast(
+                        bp, bq, geom, self.rounding, mesh=mesh))
+                except Exception as e:  # noqa: BLE001 — bucket isolation
+                    for i in chunk:
+                        results[i] = DecodeResult(
+                            parsed[i][0], None,
+                            error=f"{type(e).__name__}: {e}")
+                    continue
                 rgb = planar[:, :, : geom.height, : geom.width].transpose(
                     0, 2, 3, 1)
                 for b, i in enumerate(chunk):

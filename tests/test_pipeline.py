@@ -104,10 +104,14 @@ def test_mixed_corpus_stress():
     Image.fromarray(synthetic_image(96, 64, seed=8)).save(
         buf, "JPEG", quality=85, progressive=True)
     items.append(buf.getvalue())  # PIL progressive
+    buf = io.BytesIO()
+    Image.fromarray(synthetic_image(96, 64, seed=9)).convert("CMYK").save(
+        buf, "JPEG", quality=85)
+    items.append(buf.getvalue())  # Adobe CMYK -> inline compat decode
     items.append(b"\xff\xd8 definitely broken")
 
     results = BatchedCorpusDecoder(workers=3).decode_all(items)
-    assert [r.ok for r in results] == [True] * 8 + [False]
-    for data, r in zip(items[:8], results[:8]):
+    assert [r.ok for r in results] == [True] * 9 + [False]
+    for data, r in zip(items[:9], results[:9]):
         want = decode_bytes(data, path="fast")
         np.testing.assert_array_equal(r.rgb, want)
