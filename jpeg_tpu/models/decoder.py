@@ -267,22 +267,26 @@ def progressive_planes(plan: DecodePlan) -> list[np.ndarray]:
 
 def decode_bytes(data: bytes, rounding: str = "truncate",
                  engine: str = "auto", path: str = "compat",
-                 upsample: str = "replicate") -> np.ndarray:
+                 upsample: str = "replicate",
+                 color_space: str = "rgb") -> np.ndarray:
     """JPEG bytes -> RGB [H, W, 3] u8 numpy array.
 
     Library-surface parity with reference ``JPEGImage::parse`` +
     ``image_data()`` (``src/jpeg/mod.rs:202,467-477``) — but returns an
     [H, W, 3] tensor rather than a Vec of tuples. ``path="fast"`` selects
     the plane-layout Pallas pipeline (see :func:`decode_plan_fast`).
+    ``color_space="ycbcr"`` skips the final color convert and returns the
+    level-shifted full-resolution planes (3 channels for YCbCr/gray
+    streams, 4 for CMYK/YCCK) — the ML input-pipeline layout.
     """
     plan = parse_jpeg(data)
-    if path == "fast":
+    if path == "fast" and color_space == "rgb":
         if plan.color_model in ("ycbcr", "gray"):
             return np.asarray(decode_plan_fast(plan, rounding=rounding))
         # CMYK/YCCK/RGB-direct: the fused Pallas kernel bakes in the YCbCr
         # matrix; these rarities route through the compat pipeline.
     return np.asarray(decode_plan(plan, rounding=rounding, engine=engine,
-                                  upsample=upsample))
+                                  upsample=upsample, color_space=color_space))
 
 
 def apply_exif_orientation(rgb: np.ndarray, orientation: int | None) -> np.ndarray:
