@@ -527,6 +527,7 @@ def encode_rgb_progressive(rgb: np.ndarray, quality: int = 85,
 def encode_cmyk(cmyk: np.ndarray, quality: int = 85,
                 engine: str = "native",
                 restart_interval_mcus: int = 0,
+                ycck: bool = False,
                 comment: str | None = None) -> bytes:
     """Encode [H, W, 4] u8 CMYK (Pillow convention) to an Adobe JPEG.
 
@@ -534,7 +535,9 @@ def encode_cmyk(cmyk: np.ndarray, quality: int = 85,
     transform-0 stream with C,M,Y,K component ids, 4:4:4 sampling, and the
     luma quant/Huffman tables for every component (libjpeg's CMYK defaults).
     Bytes are stored Adobe-inverted (255 - ink), matching what Pillow writes
-    and reads back via its ``CMYK;I`` rawmode.
+    and reads back via its ``CMYK;I`` rawmode. ``ycck=True`` emits APP14
+    transform 2 with the ink channels YCbCr-converted first (libjpeg
+    jccolor rgb_ycck_convert) — smaller files for photographic CMYK.
     """
     cmyk = np.asarray(cmyk)
     if cmyk.ndim != 3 or cmyk.shape[2] != 4 or 0 in cmyk.shape[:2]:
@@ -546,6 +549,16 @@ def encode_cmyk(cmyk: np.ndarray, quality: int = 85,
     q_luma = annex_k.scaled_quant_table(annex_k.QUANT_LUMA, quality)
     fwd = forward_dct_matrix()
     stored = 255.0 - cmyk.astype(np.float32)  # Adobe inversion
+    if ycck:
+        # libjpeg cmyk_ycck_convert re-inverts the ink to RGB-like values
+        # (r = 255 - stored = the Pillow-convention ink) before the YCbCr
+        # forward; K stays stored. The decode side (ops/color.py cmyk_to_rgb
+        # ycck branch: stored_equiv = 255 - ycc_rgb) inverts this exactly.
+        r, g, b = (cmyk[..., i].astype(np.float32) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = (b - y) / (2.0 - 2.0 * 0.114) + 128.0
+        cr = (r - y) / (2.0 - 2.0 * 0.299) + 128.0
+        stored = np.stack([y, cb, cr, stored[..., 3]], axis=-1)
     comp_blocks_zz = []
     for ci in range(4):
         plane = _pad_to(stored[..., ci] - 128.0, mcus_y * 8, mcus_x * 8)
@@ -570,4 +583,4 @@ def encode_cmyk(cmyk: np.ndarray, quality: int = 85,
                       restart_interval_mcus, comment=comment,
                       component_ids=[67, 77, 89, 75],  # 'C','M','Y','K'
                       quant_ids=[0] * 4, table_ids=[0] * 4,
-                      adobe_transform=0)
+                      adobe_transform=2 if ycck else 0)

@@ -150,3 +150,25 @@ def test_progressive_cmyk_matches_pil():
     ours = jpeg_tpu.decode_bytes(data, rounding="round")
     pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
     assert psnr(ours, pil) > 55.0
+
+
+def test_encode_ycck_roundtrip_pil():
+    """encode_cmyk(ycck=True) emits APP14 transform 2; Pillow/libjpeg decode
+    it to the same image as the plain-CMYK encode, and our decode matches
+    Pillow's — empirical validation of both YCCK directions."""
+    from jpeg_tpu.models.encoder import encode_cmyk
+
+    img = synthetic_image(96, 64, seed=3)
+    cmyk = np.asarray(Image.fromarray(img).convert("CMYK"))
+    d_cmyk = encode_cmyk(cmyk, quality=92)
+    d_ycck = encode_cmyk(cmyk, quality=92, ycck=True)
+    assert parse_jpeg(d_ycck).color_model == "ycck"
+    assert len(d_ycck) < len(d_cmyk)  # decorrelated chroma compresses better
+    pil_c = np.asarray(Image.open(io.BytesIO(d_cmyk)).convert("RGB"))
+    pil_y = np.asarray(Image.open(io.BytesIO(d_ycck)).convert("RGB"))
+    assert psnr(pil_y, pil_c) > 30.0   # same image through both transforms
+    ours = jpeg_tpu.decode_bytes(d_ycck, rounding="round")
+    assert psnr(ours, pil_y) > 45.0    # our YCCK decode == libjpeg's
+    np.testing.assert_array_equal(     # engines bit-identical on YCCK
+        jpeg_tpu.decode_bytes(d_ycck, engine="oracle"),
+        jpeg_tpu.decode_bytes(d_ycck, engine="native"))
