@@ -51,6 +51,17 @@ def cmd_encode(args) -> int:
 
     from jpeg_tpu.models.encoder import encode_rgb
 
+    if args.color in ("cmyk", "ycck"):
+        from jpeg_tpu.models.encoder import encode_cmyk
+
+        cmyk = np.asarray(Image.open(args.input).convert("CMYK"))
+        data = encode_cmyk(cmyk, quality=args.quality,
+                           restart_interval_mcus=args.restart_interval,
+                           ycck=args.color == "ycck")
+        with open(args.output, "wb") as f:
+            f.write(data)
+        print(f"{args.input} -> {args.output} ({len(data)} bytes)")
+        return 0
     img = np.asarray(Image.open(args.input).convert("RGB"))
     sub = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[args.subsampling]
     if args.progressive:
@@ -212,6 +223,8 @@ def main(argv=None) -> int:
                    help="per-image optimal Huffman tables (Annex K.2)")
     e.add_argument("--progressive", action="store_true",
                    help="progressive (SOF2) output, standard scan script")
+    e.add_argument("--color", choices=["auto", "cmyk", "ycck"], default="auto",
+                   help="cmyk/ycck = 4-component Adobe APP14 output")
     e.set_defaults(fn=cmd_encode)
 
     c = sub.add_parser("corpus", help="decode a corpus directory (resumable)")

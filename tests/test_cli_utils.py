@@ -131,3 +131,21 @@ def test_cli_info(capsys):
     assert rep["components"][0]["sampling"] == [2, 2]
     assert rep["entropy_segments"] == 1
     assert rep["color_model"] == "ycbcr" and rep["progressive"] is False
+
+
+def test_cli_encode_cmyk_color(tmp_path, capsys):
+    import numpy as np
+    from PIL import Image
+
+    from jpeg_tpu.io.corpus import synthetic_image
+
+    src = tmp_path / "in.png"
+    Image.fromarray(synthetic_image(64, 48, seed=2)).save(src)
+    for color in ("cmyk", "ycck"):
+        out = tmp_path / f"{color}.jpg"
+        assert cli_main(["encode", str(src), str(out),
+                         "--quality", "88", "--color", color]) == 0
+        capsys.readouterr()
+        assert cli_main(["info", str(out)]) == 0
+        rep = json.loads(capsys.readouterr().out.strip())
+        assert rep["color_model"] == color and len(rep["components"]) == 4

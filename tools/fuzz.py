@@ -2,7 +2,7 @@
 
 Usage: python tools/fuzz.py [LO HI]   (seed range, default 0 40)
 
-For each of 12 stream variants (our encoder x baseline/restart/optimized/
+For each of 13 stream variants (our encoder x baseline/restart/optimized/
 progressive/CMYK, plus Pillow/libjpeg baseline/optimized/progressive/CMYK)
 and each seed, applies 1-5 bit flips plus optionally truncation or a 16-byte
 insertion, then decodes with BOTH the NumPy oracle and the C++ native engine.
@@ -49,6 +49,9 @@ def _pil_cmyk_prog():
     Image.fromarray(img).convert("CMYK").save(buf, "JPEG", quality=80, progressive=True)
     return buf.getvalue()
 variants = {
+    "ycck_ours": jpeg_tpu.encode_cmyk(
+        __import__("numpy").asarray(Image.fromarray(img).convert("CMYK")),
+        quality=80, ycck=True),
     "cmyk_ours": jpeg_tpu.encode_cmyk(
         __import__("numpy").asarray(Image.fromarray(img).convert("CMYK")),
         quality=80, restart_interval_mcus=3),
