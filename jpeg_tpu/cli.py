@@ -186,8 +186,9 @@ def cmd_diff(args) -> int:
         "max_abs_diff": int(np.abs(ours.astype(int) - pil.astype(int)).max()),
     }))
     if args.diff_output:
-        diff = np.abs(ours.astype(int) - pil.astype(int)).astype(np.uint8)
-        Image.fromarray(diff * args.amplify).save(args.diff_output)
+        diff = np.abs(ours.astype(int) - pil.astype(int))
+        amplified = np.clip(diff * args.amplify, 0, 255).astype(np.uint8)
+        Image.fromarray(amplified).save(args.diff_output)
     return 0
 
 

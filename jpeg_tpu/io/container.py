@@ -286,30 +286,38 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
         elif marker == DQT:
             # JPEG B.2.4.1; parity src/jpeg/mod.rs:228-261 incl. 16-bit entries.
             idx = body
-            while idx < body + body_len:
+            seg_end = body + body_len
+            while idx < seg_end:
                 precision = (int(vec[idx]) & 0xF0) >> 4
                 ident = int(vec[idx]) & 0x0F
                 if ident > 3:
                     raise JPEGError(f"invalid DQT destination {ident}")
+                size = 65 if precision == 0 else 129
+                if precision > 1:
+                    raise JPEGError(f"bad quant table precision {precision}")
+                if idx + size > seg_end:
+                    raise JPEGError("truncated DQT segment")
                 if precision == 0:
                     quant[ident] = vec[idx + 1 : idx + 65].astype(np.uint16)
-                    idx += 65
-                elif precision == 1:
+                else:
                     raw = vec[idx + 1 : idx + 129].astype(np.uint16)
                     quant[ident] = (raw[0::2] << 8) | raw[1::2]
-                    idx += 129
-                else:
-                    raise JPEGError(f"bad quant table precision {precision}")
+                idx += size
         elif marker == DHT:
             # JPEG B.2.4.2; parity src/jpeg/mod.rs:299-335.
             idx = body
-            while idx < body + body_len:
+            seg_end = body + body_len
+            while idx < seg_end:
+                if idx + 17 > seg_end:
+                    raise JPEGError("truncated DHT segment")
                 table_class = (int(vec[idx]) & 0xF0) >> 4
                 dest = int(vec[idx]) & 0x0F
                 idx += 1
                 bits = vec[idx : idx + 16]
                 idx += 16
                 count = int(bits.sum())
+                if idx + count > seg_end:
+                    raise JPEGError("truncated DHT segment")
                 values = vec[idx : idx + count]
                 idx += count
                 if dest > 3:
@@ -362,7 +370,14 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
             # indexing quirk — we read each component's own bytes).
             if not got_frame:
                 raise JPEGError("SOS before SOF0")
-            ncomp_scan = int(vec[body])
+            ncomp_scan = int(vec[body]) if body_len >= 1 else -1
+            if not 1 <= ncomp_scan <= 4:
+                raise JPEGError(f"invalid scan component count {ncomp_scan}")
+            # Header is Ns byte + 2 bytes/component + Ss/Se/AhAl (B.2.3);
+            # bound every read by the declared segment length so crafted
+            # Ns/short segments raise JPEGError, not IndexError.
+            if body_len < 1 + 2 * ncomp_scan + 3:
+                raise JPEGError("truncated SOS header")
             idx = body + 1
             scan_comp_idx: list[int] = []
             scan_dc_ids: list[int] = []

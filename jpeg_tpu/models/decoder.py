@@ -223,6 +223,12 @@ def decode_plan_fast(plan: DecodePlan, rounding: str = "truncate",
     from jpeg_tpu.ops.pallas_kernels import decode_planes_fused
     from jpeg_tpu.runtime import native_decode_planes
 
+    if getattr(plan, "color_model", "ycbcr") not in ("ycbcr", "gray"):
+        # The fused kernel bakes in the YCbCr matrix; RGB-direct streams
+        # would come out silently wrong and 4-component CMYK/YCCK plans
+        # don't fit its 3-channel output. Route through the compat
+        # pipeline, which handles every color model.
+        return decode_plan(plan, rounding=rounding)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if plan.progressive:

@@ -172,3 +172,34 @@ def test_encode_ycck_roundtrip_pil():
     np.testing.assert_array_equal(     # engines bit-identical on YCCK
         jpeg_tpu.decode_bytes(d_ycck, engine="oracle"),
         jpeg_tpu.decode_bytes(d_ycck, engine="native"))
+
+
+def test_decode_plan_fast_guards_cmyk():
+    # decode_plan_fast itself (not just decode_bytes) must detect a
+    # 4-component CMYK plan and fall back to the compat pipeline rather
+    # than crash in the 3-channel Pallas kernel.
+    from jpeg_tpu.models.decoder import decode_plan, decode_plan_fast
+
+    _, data = _cmyk_bytes()
+    plan = parse_jpeg(data)
+    np.testing.assert_array_equal(
+        np.asarray(decode_plan_fast(plan)), np.asarray(decode_plan(plan)))
+
+
+def test_decode_plan_fast_guards_rgb_direct():
+    # An Adobe transform-0 RGB stream through the fast path must not be
+    # run through the kernel's baked-in YCbCr matrix.
+    import io as _io
+
+    from jpeg_tpu.models.decoder import decode_plan, decode_plan_fast
+
+    img = synthetic_image(96, 64, seed=5)
+    buf = _io.BytesIO()
+    try:
+        Image.fromarray(img).save(buf, "JPEG", quality=95, keep_rgb=True)
+    except TypeError:
+        pytest.skip("Pillow without keep_rgb")
+    plan = parse_jpeg(buf.getvalue())
+    assert plan.color_model == "rgb"
+    np.testing.assert_array_equal(
+        np.asarray(decode_plan_fast(plan)), np.asarray(decode_plan(plan)))

@@ -149,3 +149,22 @@ def test_cli_encode_cmyk_color(tmp_path, capsys):
         assert cli_main(["info", str(out)]) == 0
         rep = json.loads(capsys.readouterr().out.strip())
         assert rep["color_model"] == color and len(rep["components"]) == 4
+
+
+def test_cli_diff_amplified_output_saturates(tmp_path):
+    # Amplified diff must clip at 255, not wrap modulo 256 (a diff of 20
+    # at --amplify 16 used to render as 64).
+    from PIL import Image
+
+    out = tmp_path / "diff.png"
+    rc = cli_main(["diff", CORPUS["lena"], "--amplify", "64",
+                   "--diff-output", str(out)])
+    assert rc == 0
+    diff_img = np.asarray(Image.open(out)).astype(int)
+    import jpeg_tpu
+
+    with open(CORPUS["lena"], "rb") as f:
+        ours = np.asarray(jpeg_tpu.decode_bytes(f.read(), rounding="round"))
+    pil = np.asarray(Image.open(CORPUS["lena"]).convert("RGB"))
+    expect = np.clip(np.abs(ours.astype(int) - pil.astype(int)) * 64, 0, 255)
+    np.testing.assert_array_equal(diff_img, expect)

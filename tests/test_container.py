@@ -229,3 +229,111 @@ def test_exif_orientation_applied(tmp_path):
     # identity tags
     np.testing.assert_array_equal(apply_exif_orientation(plain, 1), plain)
     assert apply_exif_orientation(plain, 3).shape == plain.shape
+
+
+def _widen_dqt_to_16bit(data: bytes) -> bytes:
+    """Rewrite every 8-bit DQT segment as an equivalent 16-bit one
+    (Pq=1, hi byte 0) — exercises the precision-1 path of B.2.4.1
+    (parity src/jpeg/mod.rs:236-259)."""
+    d = bytes(data)
+    res = bytearray()
+    pos = 0
+    while True:
+        i = d.find(b"\xff\xdb", pos)
+        if i < 0:
+            res += d[pos:]
+            break
+        seg_len = (d[i + 2] << 8) | d[i + 3]
+        body = d[i + 4 : i + 2 + seg_len]
+        new_body = bytearray()
+        j = 0
+        while j < len(body):
+            assert body[j] >> 4 == 0, "input DQT already 16-bit"
+            new_body.append(0x10 | (body[j] & 0x0F))
+            for b in body[j + 1 : j + 65]:
+                new_body += bytes([0, b])
+            j += 65
+        new_len = 2 + len(new_body)
+        res += d[pos:i]
+        res += b"\xff\xdb" + bytes([new_len >> 8, new_len & 0xFF]) + new_body
+        pos = i + 2 + seg_len
+    return bytes(res)
+
+
+def test_16bit_dqt_parses_and_decodes_identically():
+    import jpeg_tpu
+    from jpeg_tpu.io.corpus import synthetic_image
+    from jpeg_tpu.models.encoder import encode_rgb
+
+    data = encode_rgb(synthetic_image(64, 48, seed=7), quality=80)
+    wide = _widen_dqt_to_16bit(data)
+    p8, p16 = parse_jpeg(data), parse_jpeg(wide)
+    for a, b in zip(p8.quant_tables, p16.quant_tables):
+        if a is not None or b is not None:
+            np.testing.assert_array_equal(a, b)
+    base = jpeg_tpu.decode_bytes(data)
+    for kw in ({"engine": "oracle"}, {"engine": "native"}, {"path": "fast"}):
+        np.testing.assert_array_equal(
+            jpeg_tpu.decode_bytes(wide, **kw),
+            jpeg_tpu.decode_bytes(data, **kw))
+    np.testing.assert_array_equal(jpeg_tpu.decode_bytes(wide), base)
+
+
+def test_16bit_dqt_value_above_255_decodes():
+    import jpeg_tpu
+    from jpeg_tpu.io.corpus import synthetic_image
+    from jpeg_tpu.models.encoder import encode_rgb
+
+    data = encode_rgb(synthetic_image(64, 48, seed=8), quality=80)
+    wide = bytearray(_widen_dqt_to_16bit(data))
+    i = wide.find(b"\xff\xdb")
+    # Entry 63 (highest AC frequency) of the first table -> 300.
+    wide[i + 5 + 2 * 63] = 300 >> 8
+    wide[i + 5 + 2 * 63 + 1] = 300 & 0xFF
+    plan = parse_jpeg(bytes(wide))
+    assert 300 in [int(v) for t in plan.quant_tables if t is not None
+                   for v in t]
+    a = jpeg_tpu.decode_bytes(bytes(wide), engine="oracle")
+    b = jpeg_tpu.decode_bytes(bytes(wide), engine="native")
+    np.testing.assert_array_equal(a, b)
+
+
+def test_sos_bad_component_count_rejected(corpus):
+    data = bytearray(corpus["huff_simple0"])
+    i = data.find(b"\xff\xda")
+    data[i + 4] = 255  # Ns byte
+    with pytest.raises(JPEGError):
+        parse_jpeg(bytes(data))
+
+
+def test_sos_truncated_header_rejected(corpus):
+    data = bytearray(corpus["huff_simple0"])
+    i = data.find(b"\xff\xda")
+    # Declared length too short for Ns=3 components (needs 2+1+6+3=12).
+    data[i + 2], data[i + 3] = 0, 5
+    with pytest.raises(JPEGError):
+        parse_jpeg(bytes(data))
+
+
+def test_truncated_dqt_segment_rejected():
+    # SOI + DQT whose declared length covers only 8 of 65 table bytes.
+    stream = b"\xff\xd8" + b"\xff\xdb\x00\x0a" + bytes(8) + b"\xff\xd9"
+    with pytest.raises(JPEGError):
+        parse_jpeg(stream)
+
+
+def test_truncated_dht_segment_rejected():
+    # SOI + DHT whose declared length covers only 10 of the 17 header bytes.
+    stream = b"\xff\xd8" + b"\xff\xc4\x00\x0c" + bytes(10) + b"\xff\xd9"
+    with pytest.raises(JPEGError):
+        parse_jpeg(stream)
+
+
+def test_dht_values_truncated_by_segment_length_rejected():
+    # Header says 4 symbols of length 1..16 but segment ends after the
+    # bits array: count runs past the declared length.
+    bits = bytes([4] + [0] * 15)
+    stream = (b"\xff\xd8" + b"\xff\xc4\x00\x13" + b"\x00" + bits
+              + b"\xff\xd9")
+    with pytest.raises(JPEGError):
+        parse_jpeg(stream)
