@@ -191,10 +191,15 @@ def bench_host_entropy(plan, iters=10):
     return iters / (time.perf_counter() - t0)
 
 
-def bench_host_entropy_corpus(plan, iters=12):
+def bench_host_entropy_corpus(plan, iters=24):
     """Corpus-mode entropy rate: one single-threaded decode per worker, all
     cores busy on different frames (the pipelined-corpus deployment shape —
-    scales with host cores, which on real TPU hosts outnumber this VM's 4)."""
+    scales with host cores, which on real TPU hosts outnumber this VM's 4).
+
+    Workers keep per-thread plane buffers (reuse_buffer=True; keyed by
+    thread ident) with the C++ bulk prezero: fresh 25MB np.zeros per frame
+    costs 4-10x the decode itself in mmap/page-fault/TLB churn across
+    threads (measured 16-50 fps vs ~220 fps on this VM)."""
     from concurrent.futures import ThreadPoolExecutor
 
     from jpeg_tpu.runtime import native_decode_planes
@@ -202,10 +207,10 @@ def bench_host_entropy_corpus(plan, iters=12):
     n = os.cpu_count() or 1
 
     def one(_):
-        native_decode_planes(plan, n_threads=1, reuse_buffer=False)
+        native_decode_planes(plan, n_threads=1)
 
     with ThreadPoolExecutor(max_workers=n) as ex:
-        list(ex.map(one, range(n)))  # warmup
+        list(ex.map(one, range(2 * n)))  # warmup incl. buffer allocation
         t0 = time.perf_counter()
         list(ex.map(one, range(iters)))
         return iters / (time.perf_counter() - t0)
@@ -235,12 +240,14 @@ def bench_corpus_1080p(n_images=8, iters=2):
     plans = [parse_jpeg(d) for d in datas]
     geom = PipelineGeometry.of(plans[0])
 
-    # Host entropy, one worker per image.
+    # Host entropy, one worker per image (per-thread reused buffers: all
+    # plans share one geometry, so the thread-keyed buffer cache hits).
     def one(p):
-        native_decode_planes(p, n_threads=1, reuse_buffer=False)
+        native_decode_planes(p, n_threads=1)
 
     with ThreadPoolExecutor(max_workers=os.cpu_count() or 1) as ex:
         list(ex.map(one, plans))  # warmup
+        list(ex.map(one, plans))
         t0 = time.perf_counter()
         for _ in range(iters):
             list(ex.map(one, plans))

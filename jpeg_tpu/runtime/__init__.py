@@ -80,6 +80,7 @@ def _load() -> ctypes.CDLL:
         ctypes.c_int32,  # mcus_x
         u16p, u16p,  # packed dc/ac LUTs
         ctypes.POINTER(i16p), i64p,  # plane ptrs, strides
+        i64p, ctypes.c_int32,  # plane rows, prezero mode
         ctypes.c_int32,  # n_threads
     ]
     lib.jt_decode_scan_planes_spec.restype = ctypes.c_int64
@@ -90,6 +91,7 @@ def _load() -> ctypes.CDLL:
         ctypes.c_int32,  # mcus_x
         u16p, u16p,  # packed LUTs
         ctypes.POINTER(i16p), i64p,  # plane ptrs, strides
+        i64p, ctypes.c_int32,  # plane rows, prezero mode
         ctypes.c_int32, ctypes.c_int32,  # n_chunks, n_threads
     ]
     lib.jt_unstuff_scan.restype = ctypes.c_int64
@@ -362,20 +364,21 @@ def native_decode_planes(plan, n_threads: int | None = None,
     shapes = plane_shapes(plan)
     key = ("planes", threading.get_ident(), tuple(shapes))
     planes = _out_buffers.get(key) if reuse_buffer else None
-    if planes is None:
+    fresh = planes is None
+    if fresh:
         planes = [np.zeros(s, dtype=np.int16) for s in shapes]
         if reuse_buffer:
             _out_buffers[key] = planes
-    # Truncated/corrupt streams: declared segments may cover fewer MCUs than
-    # the frame. C++ writes only covered blocks, so pre-zero the planes to
-    # keep the tail at neutral coefficients (instead of uninitialized heap /
-    # the previous frame's data on buffer reuse).
-    if int(seg_mcu_count.sum()) < plan.n_mcus:
-        for p in planes:
-            p[...] = 0
+    # prezero contract (see jpegtpu.cpp): fresh np.zeros buffers are backed
+    # by zero pages -> mode 0 (no zeroing at all, sparse coefficient writes
+    # only); reused buffers carry the previous frame -> mode 2 (bulk
+    # streaming zero inside the decode threads, ~2-3x cheaper than the old
+    # per-8x8-tile memsets).
+    prezero = 0 if fresh else 2
     i16p = ctypes.POINTER(ctypes.c_int16)
     ptrs = (i16p * len(planes))(*[_p(p, ctypes.c_int16) for p in planes])
     strides = np.array([s[1] for s in shapes], dtype=np.int64)
+    rows = np.array([s[0] for s in shapes], dtype=np.int64)
 
     if speculative is None:
         speculative = (
@@ -391,6 +394,7 @@ def native_decode_planes(plan, n_threads: int | None = None,
             len(plan.components), plan.mcus_x,
             _p(dc_luts, ctypes.c_uint16), _p(ac_luts, ctypes.c_uint16),
             ptrs, _p(strides, ctypes.c_int64),
+            _p(rows, ctypes.c_int64), prezero,
             2 * n_threads, n_threads,
         )
         if err >= 0:
@@ -408,7 +412,8 @@ def native_decode_planes(plan, n_threads: int | None = None,
         _p(comp_h, ctypes.c_uint8), _p(comp_v, ctypes.c_uint8),
         len(plan.components), plan.mcus_x,
         _p(dc_luts, ctypes.c_uint16), _p(ac_luts, ctypes.c_uint16),
-        ptrs, _p(strides, ctypes.c_int64), n_threads,
+        ptrs, _p(strides, ctypes.c_int64),
+        _p(rows, ctypes.c_int64), prezero, n_threads,
     )
     if err >= 0:
         raise NativeDecodeError(int(err))

@@ -106,6 +106,87 @@ struct FastLut {
   }
 };
 
+// Pair-symbol AC table (libdeflate-style): one 12-bit lookup resolves up to
+// TWO complete AC items — (code+magnitude, code+magnitude) or
+// (code+magnitude, EOB) — when they fit the window together. Typical scans
+// spend most symbols on short codes with 1-3 magnitude bits, so fusing
+// halves the serially-dependent lookup chain; fusing the trailing EOB
+// removes one more lookup per block. 2^12 x u64 = 32KB.
+//
+// Entry layout (u64):
+//   [63:61] kind: 0 miss, 1 EOB, 2 ZRL, 3 single coef, 4 coef+coef,
+//           5 coef+EOB
+//   [60:56] total bits consumed (both items)
+//   [55:51] bits for the first item alone (fallback when the second item
+//           would cross a block boundary and belongs to the next block)
+//   [50:46] adv1 = run1 + 1
+//   [45:41] adv2 = run2 + 1
+//   [31:16] val1 (int16)   [15:0] val2 (int16)
+constexpr int kPairBits = 12;
+constexpr int64_t kPairSize = (int64_t)1 << kPairBits;
+constexpr int kPairShift = 64 - kPairBits;
+
+struct PairLut {
+  uint64_t tab[kPairSize];
+
+  void build(const uint16_t* full_lut) {
+    for (int64_t key = 0; key < kPairSize; ++key) {
+      tab[key] = 0;  // miss
+      uint32_t peek = (uint32_t)(key << (kLutBits - kPairBits));
+      uint32_t e = full_lut[peek];
+      int len1 = e & 0xFF;
+      int sym1 = e >> 8;
+      if (len1 == 0 || len1 > kPairBits) continue;
+      if (sym1 == 0x00) {
+        tab[key] = (1ull << 61) | ((uint64_t)len1 << 56);
+        continue;
+      }
+      if (sym1 == 0xF0) {
+        tab[key] = (2ull << 61) | ((uint64_t)len1 << 56);
+        continue;
+      }
+      int run1 = (sym1 >> 4) & 0xF;
+      int size1 = sym1 & 0xF;
+      int total1 = len1 + size1;
+      if (total1 > kPairBits) continue;  // magnitude crosses window: slow path
+      uint32_t raw1 =
+          ((uint32_t)key >> (kPairBits - total1)) & ((1u << size1) - 1);
+      uint64_t val1 =
+          (uint64_t)(uint16_t)(int16_t)value_correction(raw1, size1);
+      uint64_t single = (3ull << 61) | ((uint64_t)total1 << 56) |
+                        ((uint64_t)total1 << 51) |
+                        ((uint64_t)(run1 + 1) << 46) | (val1 << 16);
+      tab[key] = single;
+      // Try to fuse a second item from the remaining window bits.
+      int rem = kPairBits - total1;
+      if (rem < 2) continue;
+      uint32_t low = (uint32_t)key & ((1u << rem) - 1);
+      uint32_t e2 = full_lut[low << (kLutBits - rem)];
+      int len2 = e2 & 0xFF;
+      int sym2 = e2 >> 8;
+      if (len2 == 0 || len2 > rem) continue;
+      if (sym2 == 0x00) {  // coef + EOB
+        tab[key] = (5ull << 61) | ((uint64_t)(total1 + len2) << 56) |
+                   ((uint64_t)total1 << 51) | ((uint64_t)(run1 + 1) << 46) |
+                   (val1 << 16);
+        continue;
+      }
+      if (sym2 == 0xF0) continue;  // coef + ZRL: rare, keep single
+      int run2 = (sym2 >> 4) & 0xF;
+      int size2 = sym2 & 0xF;
+      int total2 = len2 + size2;
+      if (total1 + total2 > kPairBits) continue;
+      uint32_t raw2 = ((uint32_t)key >> (kPairBits - total1 - total2)) &
+                      ((1u << size2) - 1);
+      uint64_t val2 =
+          (uint64_t)(uint16_t)(int16_t)value_correction(raw2, size2);
+      tab[key] = (4ull << 61) | ((uint64_t)(total1 + total2) << 56) |
+                 ((uint64_t)total1 << 51) | ((uint64_t)(run1 + 1) << 46) |
+                 ((uint64_t)(run2 + 1) << 41) | (val1 << 16) | val2;
+    }
+  }
+};
+
 // Left-aligned 64-bit bit reader: top `count` bits of `bits` are valid.
 struct BitReader {
   const uint8_t* p;
@@ -156,7 +237,7 @@ struct BitReader {
 // Returns 0 ok, 1/2 invalid DC/AC prefix.
 inline int next_block(BitReader& br, const TwoLevelLut& dc_lut,
                       const TwoLevelLut& ac_lut, const FastLut& dc_fast,
-                      const FastLut& ac_fast, int32_t* out) {
+                      const PairLut& ac_pair, int32_t* out) {
   std::memset(out, 0, 64 * sizeof(int32_t));
   if (br.count < 27) br.refill();
   uint32_t f = dc_fast.tab[(uint32_t)(br.bits >> 52)];
@@ -176,26 +257,54 @@ inline int next_block(BitReader& br, const TwoLevelLut& dc_lut,
   int k = 1;
   while (k < 64) {
     if (br.count < 27) br.refill();
-    uint32_t fa = ac_fast.tab[(uint32_t)(br.bits >> 52)];
-    uint32_t kind = fa >> 30;
-    if (__builtin_expect(kind == 0, 1)) {
-      int tb = (fa >> 25) & 31;
-      br.bits <<= tb;
-      br.count -= tb;
-      int run = (fa >> 21) & 15;
+    uint64_t fa = ac_pair.tab[(uint32_t)(br.bits >> kPairShift)];
+    uint32_t kind = (uint32_t)(fa >> 61);
+    if (__builtin_expect(kind >= 3, 1)) {
+      int adv1 = (int)((fa >> 46) & 31);
+      if (kind == 4) {  // two fused coefficients
+        int adv2 = (int)((fa >> 41) & 31);
+        if (__builtin_expect(k + adv1 + adv2 <= 64, 1)) {
+          int tb = (int)((fa >> 56) & 31);
+          br.bits <<= tb;
+          br.count -= tb;
+          k += adv1;
+          out[k - 1] = (int16_t)(uint16_t)(fa >> 16);
+          k += adv2;
+          out[k - 1] = (int16_t)(uint16_t)fa;
+          continue;
+        }
+      } else if (kind == 5) {  // coefficient + fused EOB
+        // Strict <: a coefficient that fills the block to exactly 64 ends
+        // it WITHOUT an EOB — the bits decoded as "EOB" at build time are
+        // really the next block's DC code and must not be consumed.
+        if (__builtin_expect(k + adv1 < 64, 1)) {
+          int tb = (int)((fa >> 56) & 31);
+          br.bits <<= tb;
+          br.count -= tb;
+          k += adv1;
+          out[k - 1] = (int16_t)(uint16_t)(fa >> 16);
+          return 0;
+        }
+      }
+      // Single coefficient (kind 3, or a pair whose second item belongs
+      // to the next block): consume only the first item's bits.
+      int tb1 = (int)((fa >> 51) & 31);
+      br.bits <<= tb1;
+      br.count -= tb1;
+      int run = adv1 - 1;
       int cap = 64 - k - 1;
       k += (run < cap) ? run : cap;
-      out[k++] = (int16_t)(uint16_t)fa;
+      out[k++] = (int16_t)(uint16_t)(fa >> 16);
       continue;
     }
     if (kind == 1) {  // EOB
-      int tb = (fa >> 25) & 31;
+      int tb = (int)((fa >> 56) & 31);
       br.bits <<= tb;
       br.count -= tb;
       break;
     }
     if (kind == 2) {  // ZRL
-      int tb = (fa >> 25) & 31;
+      int tb = (int)((fa >> 56) & 31);
       br.bits <<= tb;
       br.count -= tb;
       k += (64 - k < 16) ? (64 - k) : 16;
@@ -236,14 +345,20 @@ constexpr uint8_t kZigCol[64] = {
 // (row0, col0): the de-zigzag "relayout" costs nothing extra here (the
 // scatter writes happen anyway), which is what lets the TPU IDCT run as
 // plane-tiled matmuls with no reshape at all (ops/pallas_kernels.py).
+template <bool kZeroTile>
 inline int next_block_plane(BitReader& br, const TwoLevelLut& dc_lut,
                             const TwoLevelLut& ac_lut, const FastLut& dc_fast,
-                            const FastLut& ac_fast, int16_t* plane,
+                            const PairLut& ac_pair, int16_t* plane,
                             int64_t stride, const int32_t* zoff,
                             int32_t* prev_dc) {
-  // Zero the 8x8 destination tile.
-  for (int r = 0; r < 8; ++r) {
-    std::memset(plane + r * stride, 0, 8 * sizeof(int16_t));
+  if constexpr (kZeroTile) {
+    // Zero the 8x8 destination tile (prezero=1 legacy mode). The bulk
+    // prezero modes skip this: strided 16B stores cost ~17%% of the whole
+    // decode; a caller-guaranteed zero buffer (fresh calloc or the bulk
+    // zero phase) makes the sparse coefficient writes sufficient.
+    for (int r = 0; r < 8; ++r) {
+      std::memset(plane + r * stride, 0, 8 * sizeof(int16_t));
+    }
   }
   // A symbol needs at most 16 (code) + 11 (magnitude) = 27 bits, so one
   // refill up front covers the combined code+magnitude advance below.
@@ -271,26 +386,53 @@ inline int next_block_plane(BitReader& br, const TwoLevelLut& dc_lut,
   int k = 1;
   while (k < 64) {
     if (br.count < 27) br.refill();
-    uint32_t fa = ac_fast.tab[(uint32_t)(br.bits >> 52)];
-    uint32_t kind = fa >> 30;
-    if (__builtin_expect(kind == 0, 1)) {  // fused coefficient
-      int tb = (fa >> 25) & 31;
-      br.bits <<= tb;
-      br.count -= tb;
-      int run = (fa >> 21) & 15;
+    uint64_t fa = ac_pair.tab[(uint32_t)(br.bits >> kPairShift)];
+    uint32_t kind = (uint32_t)(fa >> 61);
+    if (__builtin_expect(kind >= 3, 1)) {
+      int adv1 = (int)((fa >> 46) & 31);
+      if (kind == 4) {  // two fused coefficients
+        int adv2 = (int)((fa >> 41) & 31);
+        if (__builtin_expect(k + adv1 + adv2 <= 64, 1)) {
+          int tb = (int)((fa >> 56) & 31);
+          br.bits <<= tb;
+          br.count -= tb;
+          k += adv1;
+          plane[zoff[k - 1]] = (int16_t)(uint16_t)(fa >> 16);
+          k += adv2;
+          plane[zoff[k - 1]] = (int16_t)(uint16_t)fa;
+          continue;
+        }
+      } else if (kind == 5) {  // coefficient + fused EOB
+        // Strict <: a coefficient that fills the block to exactly 64 ends
+        // it WITHOUT an EOB — the bits decoded as "EOB" at build time are
+        // really the next block's DC code and must not be consumed.
+        if (__builtin_expect(k + adv1 < 64, 1)) {
+          int tb = (int)((fa >> 56) & 31);
+          br.bits <<= tb;
+          br.count -= tb;
+          k += adv1;
+          plane[zoff[k - 1]] = (int16_t)(uint16_t)(fa >> 16);
+          return 0;
+        }
+      }
+      // Single coefficient (kind 3, or pair split at a block boundary).
+      int tb1 = (int)((fa >> 51) & 31);
+      br.bits <<= tb1;
+      br.count -= tb1;
+      int run = adv1 - 1;
       int cap = 64 - k - 1;
       k += (run < cap) ? run : cap;
-      plane[zoff[k++]] = (int16_t)(uint16_t)fa;
+      plane[zoff[k++]] = (int16_t)(uint16_t)(fa >> 16);
       continue;
     }
     if (kind == 1) {  // EOB
-      int tb = (fa >> 25) & 31;
+      int tb = (int)((fa >> 56) & 31);
       br.bits <<= tb;
       br.count -= tb;
       break;
     }
     if (kind == 2) {  // ZRL
-      int tb = (fa >> 25) & 31;
+      int tb = (int)((fa >> 56) & 31);
       br.bits <<= tb;
       br.count -= tb;
       k += (64 - k < 16) ? (64 - k) : 16;
@@ -347,18 +489,21 @@ struct PlaneJob {
   const uint16_t* ac_luts;
   int16_t* const* planes;      // [n_comp] plane base pointers
   const int64_t* plane_stride;  // [n_comp] row stride (elements)
+  const int64_t* plane_rows;    // [n_comp] allocated rows (prezero=2)
 };
 
+template <bool kZeroTile>
 void decode_segments_planes(const PlaneJob& job, int64_t lo, int64_t hi,
                             std::atomic<int64_t>* first_error) {
   const int bpm = job.blocks_per_mcu;
   TwoLevelLut dc_tab[4], ac_tab[4];
-  FastLut dc_fast[4], ac_fast[4];
+  FastLut dc_fast[4];
+  PairLut ac_pair[4];
   bool dc_built[4] = {}, ac_built[4] = {};
   const TwoLevelLut* slot_dc[64];
   const TwoLevelLut* slot_ac[64];
   const FastLut* slot_dcf[64];
-  const FastLut* slot_acf[64];
+  const PairLut* slot_acf[64];
   int slot_ci[64];
   int32_t zoff[8][64];  // per component: zigzag k -> plane offset
   for (int c = 0; c < job.n_comp; ++c) {
@@ -376,13 +521,13 @@ void decode_segments_planes(const PlaneJob& job, int64_t lo, int64_t hi,
     }
     if (!ac_built[ai]) {
       ac_tab[ai].build(job.ac_luts + ai * kLutSize);
-      ac_fast[ai].build(job.ac_luts + ai * kLutSize, false);
+      ac_pair[ai].build(job.ac_luts + ai * kLutSize);
       ac_built[ai] = true;
     }
     slot_dc[s] = &dc_tab[di];
     slot_ac[s] = &ac_tab[ai];
     slot_dcf[s] = &dc_fast[di];
-    slot_acf[s] = &ac_fast[ai];
+    slot_acf[s] = &ac_pair[ai];
   }
   for (int64_t s = lo; s < hi; ++s) {
     BitReader br(job.data + job.seg_start[s],
@@ -398,9 +543,9 @@ void decode_segments_planes(const PlaneJob& job, int64_t lo, int64_t hi,
         int64_t by = my * job.comp_v[c] + job.slot_vi[slot];
         int64_t bx = mx * job.comp_h[c] + job.slot_hi[slot];
         int16_t* dst = job.planes[c] + by * 8 * st + bx * 8;
-        int err = next_block_plane(br, *slot_dc[slot], *slot_ac[slot],
-                                   *slot_dcf[slot], *slot_acf[slot], dst, st,
-                                   zoff[c], &prev_dc[c]);
+        int err = next_block_plane<kZeroTile>(
+            br, *slot_dc[slot], *slot_ac[slot], *slot_dcf[slot],
+            *slot_acf[slot], dst, st, zoff[c], &prev_dc[c]);
         if (__builtin_expect(err != 0, 0)) {
           int64_t expect = -1;
           first_error->compare_exchange_strong(expect, s);
@@ -408,6 +553,21 @@ void decode_segments_planes(const PlaneJob& job, int64_t lo, int64_t hi,
         }
       }
     }
+  }
+}
+
+
+// Bulk plane zeroing for prezero=2: thread t zeroes its contiguous row
+// slice of every plane (streaming 64B-line stores beat the per-tile 16B
+// strided stores by ~2-3x in bytes/cycle).
+void zero_plane_slice(const PlaneJob& job, int t, int nt) {
+  for (int c = 0; c < job.n_comp; ++c) {
+    int64_t st = job.plane_stride[c];
+    int64_t rows = job.plane_rows[c];
+    int64_t r0 = rows * t / nt, r1 = rows * (t + 1) / nt;
+    if (r1 > r0)
+      std::memset(job.planes[c] + r0 * st, 0,
+                  (size_t)(r1 - r0) * st * sizeof(int16_t));
   }
 }
 
@@ -436,12 +596,13 @@ void decode_segments(const ScanJob& job, int64_t lo, int64_t hi,
   const int bpm = job.blocks_per_mcu;
   // Per-slot two-level + value-fused tables, hoisted out of the MCU loop.
   TwoLevelLut dc_tab[4], ac_tab[4];
-  FastLut dc_fast[4], ac_fast[4];
+  FastLut dc_fast[4];
+  PairLut ac_pair[4];
   bool dcb[4] = {}, acb[4] = {};
   const TwoLevelLut* slot_dc[64];
   const TwoLevelLut* slot_ac[64];
   const FastLut* slot_dcf[64];
-  const FastLut* slot_acf[64];
+  const PairLut* slot_acf[64];
   int slot_ci[64];
   for (int s = 0; s < bpm; ++s) {
     int c = job.slot_comp[s];
@@ -454,13 +615,13 @@ void decode_segments(const ScanJob& job, int64_t lo, int64_t hi,
     }
     if (!acb[ai]) {
       ac_tab[ai].build(job.ac_luts + ai * kLutSize);
-      ac_fast[ai].build(job.ac_luts + ai * kLutSize, false);
+      ac_pair[ai].build(job.ac_luts + ai * kLutSize);
       acb[ai] = true;
     }
     slot_dc[s] = &dc_tab[di];
     slot_ac[s] = &ac_tab[ai];
     slot_dcf[s] = &dc_fast[di];
-    slot_acf[s] = &ac_fast[ai];
+    slot_acf[s] = &ac_pair[ai];
   }
   for (int64_t s = lo; s < hi; ++s) {
     BitReader br(job.data + job.seg_start[s],
@@ -563,15 +724,17 @@ int64_t jt_decode_scan_planes_spec(
     const uint8_t* comp_ac_id, const uint8_t* comp_h, const uint8_t* comp_v,
     int32_t n_comp, int32_t mcus_x, const uint16_t* dc_luts,
     const uint16_t* ac_luts, int16_t* const* planes,
-    const int64_t* plane_stride, int32_t n_chunks, int32_t n_threads) {
+    const int64_t* plane_stride, const int64_t* plane_rows, int32_t prezero,
+    int32_t n_chunks, int32_t n_threads) {
   constexpr int kOverlapMcus = 96;  // recorded past chunk end for syncing
   TwoLevelLut dc_tab[4], ac_tab[4];
-  static thread_local FastLut spec_dc_fast[4], spec_ac_fast[4];
+  static thread_local FastLut spec_dc_fast[4];
+  static thread_local PairLut spec_ac_pair[4];
   bool dcb[4] = {}, acb[4] = {};
   const TwoLevelLut* slot_dc[64];
   const TwoLevelLut* slot_ac[64];
   const FastLut* slot_dcf[64];
-  const FastLut* slot_acf[64];
+  const PairLut* slot_acf[64];
   for (int s = 0; s < blocks_per_mcu; ++s) {
     int c = slot_comp[s];
     int di = comp_dc_id[c], ai = comp_ac_id[c];
@@ -582,13 +745,13 @@ int64_t jt_decode_scan_planes_spec(
     }
     if (!acb[ai]) {
       ac_tab[ai].build(ac_luts + ai * kLutSize);
-      spec_ac_fast[ai].build(ac_luts + ai * kLutSize, false);
+      spec_ac_pair[ai].build(ac_luts + ai * kLutSize);
       acb[ai] = true;
     }
     slot_dc[s] = &dc_tab[di];
     slot_ac[s] = &ac_tab[ai];
     slot_dcf[s] = &spec_dc_fast[di];
-    slot_acf[s] = &spec_ac_fast[ai];
+    slot_acf[s] = &spec_ac_pair[ai];
   }
 
   int64_t K = std::max<int64_t>(1, std::min<int64_t>(n_chunks, n_bytes / 4096));
@@ -636,7 +799,17 @@ int64_t jt_decode_scan_planes_spec(
     std::vector<std::thread> threads;
     std::atomic<int64_t> next(0);
     for (int t = 0; t < nt; ++t) {
-      threads.emplace_back([&]() {
+      threads.emplace_back([&, t, nt]() {
+        if (prezero == 2) {
+          // Bulk-zero overlapped with the speculative position scan:
+          // phase A reads only the bitstream, phase B starts after join.
+          PlaneJob zj{};
+          zj.n_comp = n_comp;
+          zj.planes = planes;
+          zj.plane_stride = plane_stride;
+          zj.plane_rows = plane_rows;
+          zero_plane_slice(zj, t, nt);
+        }
         for (;;) {
           int64_t k = next.fetch_add(1);
           if (k >= K) return;
@@ -719,9 +892,14 @@ int64_t jt_decode_scan_planes_spec(
         int64_t by = my * comp_v[c] + slot_vi[slot];
         int64_t bx = mx * comp_h[c] + slot_hi[slot];
         int16_t* dst = planes[c] + by * 8 * st + bx * 8;
-        int err = next_block_plane(br, *slot_dc[slot], *slot_ac[slot],
-                                   *slot_dcf[slot], *slot_acf[slot], dst,
-                                   st, zoff_all[c], &prev_dc[c]);
+        int err =
+            (prezero == 1)
+                ? next_block_plane<true>(br, *slot_dc[slot], *slot_ac[slot],
+                                         *slot_dcf[slot], *slot_acf[slot],
+                                         dst, st, zoff_all[c], &prev_dc[c])
+                : next_block_plane<false>(br, *slot_dc[slot], *slot_ac[slot],
+                                          *slot_dcf[slot], *slot_acf[slot],
+                                          dst, st, zoff_all[c], &prev_dc[c]);
         if (__builtin_expect(err != 0, 0)) {
           int64_t expect = -1;
           first_error.compare_exchange_strong(expect, r);
@@ -819,6 +997,12 @@ int64_t jt_decode_scan(const uint8_t* data, int64_t /*n_bytes*/,
 // n_comp pointers; each plane [mcus_y*v*8, stride] must be allocated by the
 // caller (only the 8x8 tiles written here are touched; callers pad strides).
 // Returns -1 on success, else the first failed segment index.
+// `prezero`: 1 = zero each 8x8 tile inline (works on any dirty buffer),
+// 0 = caller guarantees zeroed planes (fresh calloc) — the sparse
+// coefficient writes alone suffice, 2 = bulk-zero the planes here
+// (streaming, split across the decode threads, barrier, then decode as
+// mode 0). Mode 2 on a reused buffer beats mode 1 by ~2-3x on the zeroing
+// bytes/cycle; mode 0 is fastest when the allocator hands back zero pages.
 int64_t jt_decode_scan_planes(
     const uint8_t* data, int64_t /*n_bytes*/, const int64_t* seg_start,
     const int64_t* seg_end, const int64_t* seg_mcu_start,
@@ -827,26 +1011,43 @@ int64_t jt_decode_scan_planes(
     const uint8_t* comp_dc_id, const uint8_t* comp_ac_id,
     const uint8_t* comp_h, const uint8_t* comp_v, int32_t n_comp,
     int32_t mcus_x, const uint16_t* dc_luts, const uint16_t* ac_luts,
-    int16_t* const* planes, const int64_t* plane_stride, int32_t n_threads) {
+    int16_t* const* planes, const int64_t* plane_stride,
+    const int64_t* plane_rows, int32_t prezero, int32_t n_threads) {
   PlaneJob job{data,       seg_start, seg_end,   seg_mcu_start,
                seg_mcu_count, n_segs,  slot_comp, slot_vi,
                slot_hi,    blocks_per_mcu,       comp_dc_id,
                comp_ac_id, comp_h,    comp_v,    n_comp,
                mcus_x,     dc_luts,   ac_luts,   planes,
-               plane_stride};
+               plane_stride, plane_rows};
   std::atomic<int64_t> first_error(-1);
   if (n_threads <= 1 || n_segs <= 1) {
-    decode_segments_planes(job, 0, n_segs, &first_error);
+    if (prezero == 2) zero_plane_slice(job, 0, 1);
+    if (prezero == 1)
+      decode_segments_planes<true>(job, 0, n_segs, &first_error);
+    else
+      decode_segments_planes<false>(job, 0, n_segs, &first_error);
     return first_error.load();
   }
   int nt = (int)std::min<int64_t>(n_threads, n_segs);
   std::vector<std::thread> threads;
   threads.reserve(nt);
+  std::atomic<int> zeroed(0);
   for (int t = 0; t < nt; ++t) {
     int64_t lo = n_segs * t / nt;
     int64_t hi = n_segs * (t + 1) / nt;
-    threads.emplace_back(decode_segments_planes, std::cref(job), lo, hi,
-                         &first_error);
+    threads.emplace_back([&job, &first_error, &zeroed, t, nt, lo, hi,
+                          prezero]() {
+      if (prezero == 2) {
+        zero_plane_slice(job, t, nt);
+        zeroed.fetch_add(1, std::memory_order_acq_rel);
+        while (zeroed.load(std::memory_order_acquire) < nt)
+          std::this_thread::yield();
+      }
+      if (prezero == 1)
+        decode_segments_planes<true>(job, lo, hi, &first_error);
+      else
+        decode_segments_planes<false>(job, lo, hi, &first_error);
+    });
   }
   for (auto& th : threads) th.join();
   return first_error.load();
