@@ -758,33 +758,82 @@ int64_t jt_decode_scan_planes_spec(
   std::vector<int64_t> chunk_byte(K + 1);
   for (int64_t k = 0; k <= K; ++k) chunk_byte[k] = n_bytes * k / K;
 
-  // --- Phase A: speculative position scan per chunk ---
-  std::vector<SpecThreadResult> res(K);
+  // --- Phase A: speculative VALUE decode per chunk (single Huffman pass) ---
+  // Round-1 design scanned positions only, then re-decoded verified ranges:
+  // two full Huffman passes. Here each chunk decodes blocks into contiguous
+  // stride-8 temp tiles during the speculative scan; verified ranges are then
+  // RELOCATED into the planes (dense 128B copies + DC correction), which
+  // costs memory bandwidth instead of a second bit-serial pass.
+  // Temp budget: ~2x the chunk's fair share of MCUs (+ skew/overlap slack);
+  // a parse exceeding it is treated as failed — the chain breaks there and
+  // the tail decodes sequentially from the last verified sync.
+  int64_t cap_mcus = std::min<int64_t>(
+      n_mcus + kOverlapMcus + 2,
+      2 * (n_mcus / K + 1) + 256 + kOverlapMcus);
+  int64_t blk_cap = cap_mcus * blocks_per_mcu;
+  // thread_local: reused across calls from the same (Python worker)
+  // thread — no per-frame 50MB allocation churn. The spawned decode
+  // threads receive raw pointers (their own thread_local instances would
+  // be empty).
+  static thread_local std::vector<int16_t> temp_store;
+  static thread_local std::vector<int32_t> dc_store;
+  temp_store.resize((size_t)(K * blk_cap * 64));
+  dc_store.resize((size_t)(K * (cap_mcus + 1) * 4));
+  int16_t* const temp_base = temp_store.data();
+  int32_t* const dc_base = dc_store.data();
+
+  struct ChunkRes {
+    std::vector<int64_t> mcu_bits;  // recorded MCU-start bit offsets (abs)
+    int64_t n_dec = 0;              // MCUs fully decoded into temp
+    int64_t end_bit = 0;            // bit position after the last decode
+    int64_t start_byte = -1;        // accepted byte-aligned start
+    bool ok = false;
+  };
+  std::vector<ChunkRes> res(K);
+
+  int32_t zoff8[64];  // zigzag offsets for the contiguous stride-8 tiles
+  for (int kk = 0; kk < 64; ++kk) zoff8[kk] = kZigRow[kk] * 8 + kZigCol[kk];
+
   auto phase_a = [&](int64_t k) {
     int64_t limit_bit = (k + 1 < K) ? chunk_byte[k + 1] * 8 : n_bytes * 8;
-    // Try successive byte-aligned starts until a parse survives long enough.
+    int16_t* temp = temp_base + (size_t)(k * blk_cap * 64);
+    int32_t* dcc = dc_base + (size_t)(k * (cap_mcus + 1) * 4);
     for (int64_t start = chunk_byte[k];
          start < std::min(chunk_byte[k] + 4096, n_bytes); ++start) {
-      SpecThreadResult r;
+      ChunkRes r;
+      r.start_byte = start;
       BitReader br(data + start, n_bytes - start);
       int64_t past_end = 0;
       bool bad = false;
+      int32_t prev_dc[4] = {0, 0, 0, 0};
+      for (int c = 0; c < 4; ++c) dcc[c] = 0;
+      int64_t m = 0;
+      int64_t pos = (int64_t)start * 8;
       while (true) {
-        int64_t pos = (int64_t)start * 8 + reader_bitpos(br, data + start, 0);
+        pos = (int64_t)start * 8 + reader_bitpos(br, data + start, 0);
         if (pos >= (int64_t)n_bytes * 8) break;
+        if (m >= cap_mcus) {
+          bad = true;  // budget exceeded: almost certainly a desynced parse
+          break;
+        }
         r.mcu_bits.push_back(pos);
         if (pos >= limit_bit && ++past_end > kOverlapMcus) break;
         for (int slot = 0; slot < blocks_per_mcu; ++slot) {
-          if (skip_block(br, *slot_dc[slot], *slot_ac[slot])) {
+          int c = slot_comp[slot];
+          int16_t* dst = temp + (m * blocks_per_mcu + slot) * 64;
+          if (next_block_plane<true>(br, *slot_dc[slot], *slot_ac[slot],
+                                     *slot_dcf[slot], *slot_acf[slot], dst, 8,
+                                     zoff8, &prev_dc[c])) {
             bad = true;
             break;
           }
         }
         if (bad) break;
-        if ((int64_t)r.mcu_bits.size() >
-            (chunk_byte[k + 1] - chunk_byte[k] + 8) * 8 + kOverlapMcus)
-          break;  // runaway (paranoid bound)
+        ++m;
+        for (int c = 0; c < 4; ++c) dcc[m * 4 + c] = prev_dc[c];
       }
+      r.n_dec = m;
+      r.end_bit = (int64_t)start * 8 + reader_bitpos(br, data + start, 0);
       // Heuristic acceptance: parsed to (or past) the chunk end.
       if (!bad || (!r.mcu_bits.empty() && r.mcu_bits.back() >= limit_bit)) {
         r.ok = true;
@@ -801,8 +850,8 @@ int64_t jt_decode_scan_planes_spec(
     for (int t = 0; t < nt; ++t) {
       threads.emplace_back([&, t, nt]() {
         if (prezero == 2) {
-          // Bulk-zero overlapped with the speculative position scan:
-          // phase A reads only the bitstream, phase B starts after join.
+          // Bulk-zero overlapped with the speculative scan: phase A only
+          // writes temp, relocation starts after the join.
           PlaneJob zj{};
           zj.n_comp = n_comp;
           zj.planes = planes;
@@ -821,12 +870,16 @@ int64_t jt_decode_scan_planes_spec(
   }
 
   // --- Merge: chain sync points from the ground-truth start ---
-  // ranges: (start_bit, mcu_start). Chunk 0's parse from bit 0 is truth.
+  // Chunk 0 is ground truth ONLY if its accepted parse starts at byte 0
+  // (a retried start means the true parse from bit 0 failed -> corrupt
+  // stream -> sequential fallback reproduces the sequential error).
   std::vector<int64_t> range_bit{0};
   std::vector<int64_t> range_mcu{0};
-  bool chain_ok = res[0].ok;
-  int64_t mcu_base = 0;  // global MCU index of res[k] valid-from point
-  int64_t valid_from_idx = 0;  // index into res[k].mcu_bits of valid start
+  std::vector<int64_t> range_chunk{0};
+  std::vector<int64_t> range_idx{0};  // index into src chunk's recorded MCUs
+  bool chain_ok = res[0].ok && res[0].start_byte == 0;
+  int64_t mcu_base = 0;
+  int64_t valid_from_idx = 0;
   for (int64_t k = 0; k + 1 < K && chain_ok; ++k) {
     const auto& a = res[k].mcu_bits;
     const auto& b = res[k + 1].mcu_bits;
@@ -834,7 +887,6 @@ int64_t jt_decode_scan_planes_spec(
       chain_ok = false;
       break;
     }
-    // First common position at/after chunk k+1's byte start.
     int64_t boundary = chunk_byte[k + 1] * 8;
     size_t ia = valid_from_idx, ib = 0;
     while (ia < a.size() && a[ia] < boundary) ++ia;
@@ -857,13 +909,12 @@ int64_t jt_decode_scan_planes_spec(
     if (sync_mcu >= n_mcus) break;
     range_bit.push_back(sync);
     range_mcu.push_back(sync_mcu);
+    range_chunk.push_back(k + 1);
+    range_idx.push_back(sync_ib);
     mcu_base = sync_mcu;
     valid_from_idx = sync_ib;
   }
 
-  // --- Phase B: exact decode of verified ranges (parallel), local DC ---
-  int64_t R = (int64_t)range_bit.size();
-  std::vector<std::array<int32_t, 4>> range_final_dc(R);
   std::atomic<int64_t> first_error(-1);
   int32_t zoff_all[8][64];
   for (int c = 0; c < n_comp; ++c) {
@@ -871,18 +922,20 @@ int64_t jt_decode_scan_planes_spec(
     for (int kk = 0; kk < 64; ++kk)
       zoff_all[c][kk] = (int32_t)(kZigRow[kk] * st + kZigCol[kk]);
   }
-  auto phase_b = [&](int64_t r) {
-    int64_t bit0 = range_bit[r];
-    int64_t mcu0 = range_mcu[r];
-    int64_t mcu1 = (r + 1 < R) ? range_mcu[r + 1] : n_mcus;
-    // Reader from the byte containing bit0.
+
+  // Exact bitstream decode of MCUs [mcu0, mcu1) into the planes starting at
+  // absolute bit `bit0` with initial DC predictors `dc0` (the fallback and
+  // tail-continuation path; also the corrupt-stream path).
+  auto decode_span = [&](int64_t bit0, int64_t mcu0, int64_t mcu1,
+                         const int32_t* dc0, int64_t err_tag) {
     int64_t byte0 = bit0 >> 3;
     BitReader br(data + byte0, n_bytes - byte0);
     br.refill();
     int drop = (int)(bit0 & 7);
     br.bits <<= drop;
     br.count -= drop;
-    int32_t prev_dc[4] = {0, 0, 0, 0};
+    int32_t prev_dc[4];
+    for (int c = 0; c < 4; ++c) prev_dc[c] = dc0 ? dc0[c] : 0;
     for (int64_t mcu = mcu0; mcu < mcu1; ++mcu) {
       int64_t my = mcu / mcus_x;
       int64_t mx = mcu % mcus_x;
@@ -902,18 +955,93 @@ int64_t jt_decode_scan_planes_spec(
                                           dst, st, zoff_all[c], &prev_dc[c]);
         if (__builtin_expect(err != 0, 0)) {
           int64_t expect = -1;
-          first_error.compare_exchange_strong(expect, r);
+          first_error.compare_exchange_strong(expect, err_tag);
           return;
         }
       }
     }
-    for (int c = 0; c < 4; ++c) range_final_dc[r][c] = prev_dc[c];
   };
-  if (!chain_ok && R == 1) {
-    // Pure sequential fallback (also the corrupt-stream path).
-    phase_b(0);
-    return first_error.load() >= 0 ? 0 : -1;
+
+  if (!chain_ok && range_bit.size() == 1) {
+    // No verified parallelism at all: pure sequential (also the
+    // corrupt-stream path). Relocating chunk 0's temp would replay a
+    // possibly-retried parse, so decode straight from bit 0.
+    if (res[0].ok && res[0].start_byte == 0 && res[0].n_dec > 0) {
+      // Chunk 0 is ground truth: salvage its decode via relocation below.
+    } else {
+      decode_span(0, 0, n_mcus, nullptr, 0);
+      return first_error.load() >= 0 ? 0 : -1;
+    }
   }
+
+  // --- DC prefix chain over ranges (exact, from recorded cumulatives) ---
+  int64_t R = (int64_t)range_bit.size();
+  std::vector<std::array<int32_t, 4>> global_before(R);
+  std::vector<int64_t> range_take(R);
+  for (int64_t r = 0; r < R; ++r) {
+    int64_t cr = range_chunk[r];
+    int64_t ia = range_idx[r];
+    int64_t mcu1 = (r + 1 < R) ? range_mcu[r + 1] : n_mcus;
+    int64_t cnt = mcu1 - range_mcu[r];
+    int64_t avail = res[cr].n_dec - ia;
+    range_take[r] = std::max<int64_t>(0, std::min(cnt, avail));
+    if (r == 0) {
+      global_before[0] = {0, 0, 0, 0};
+    }
+    if (r + 1 < R) {
+      const int32_t* dcc = dc_base + (size_t)(cr * (cap_mcus + 1) * 4);
+      // Middle ranges always have take == cnt (the next sync index lies
+      // within this chunk's decoded prefix).
+      for (int c = 0; c < 4; ++c)
+        global_before[r + 1][c] =
+            global_before[r][c] +
+            (dcc[(ia + range_take[r]) * 4 + c] - dcc[ia * 4 + c]);
+    }
+  }
+
+  // --- Relocation: dense 128B tile copies + DC correction, parallel ---
+  auto relocate = [&](int64_t r) {
+    int64_t cr = range_chunk[r];
+    int64_t ia = range_idx[r];
+    int64_t mcu0 = range_mcu[r];
+    int64_t mcu1 = (r + 1 < R) ? range_mcu[r + 1] : n_mcus;
+    int64_t take = range_take[r];
+    const int16_t* temp = temp_base + (size_t)(cr * blk_cap * 64);
+    const int32_t* dcc = dc_base + (size_t)(cr * (cap_mcus + 1) * 4);
+    int32_t corr[4];
+    for (int c = 0; c < 4; ++c)
+      corr[c] = global_before[r][c] - dcc[ia * 4 + c];
+    for (int64_t m = 0; m < take; ++m) {
+      int64_t gm = mcu0 + m;
+      int64_t my = gm / mcus_x;
+      int64_t mx = gm % mcus_x;
+      const int16_t* src_mcu = temp + ((ia + m) * blocks_per_mcu) * 64;
+      for (int slot = 0; slot < blocks_per_mcu; ++slot) {
+        int c = slot_comp[slot];
+        int64_t st = plane_stride[c];
+        int64_t by = my * comp_v[c] + slot_vi[slot];
+        int64_t bx = mx * comp_h[c] + slot_hi[slot];
+        int16_t* dst = planes[c] + by * 8 * st + bx * 8;
+        const int16_t* src = src_mcu + slot * 64;
+        for (int row = 0; row < 8; ++row)
+          std::memcpy(dst + row * st, src + row * 8, 16);
+        dst[0] = (int16_t)((int32_t)src[0] + corr[c]);
+      }
+    }
+    if (take < mcu1 - mcu0) {
+      // Tail past this chunk's decoded prefix (stream end / early stop):
+      // continue exactly from the last decoded position.
+      const auto& bits = res[cr].mcu_bits;
+      int64_t cont_bit = ((size_t)(ia + take) < bits.size())
+                             ? bits[ia + take]
+                             : res[cr].end_bit;
+      int32_t dc0[4];
+      for (int c = 0; c < 4; ++c)
+        dc0[c] = global_before[r][c] +
+                 (dcc[(ia + take) * 4 + c] - dcc[ia * 4 + c]);
+      decode_span(cont_bit, mcu0 + take, mcu1, dc0, r);
+    }
+  };
   {
     int nt = (int)std::min<int64_t>(n_threads > 0 ? n_threads : 1, R);
     std::vector<std::thread> threads;
@@ -923,40 +1051,13 @@ int64_t jt_decode_scan_planes_spec(
         for (;;) {
           int64_t r = next.fetch_add(1);
           if (r >= R) return;
-          phase_b(r);
+          relocate(r);
         }
       });
     }
     for (auto& th : threads) th.join();
   }
-  if (first_error.load() >= 0) return first_error.load();
-
-  // --- DC fix-up: add prefix-sum corrections to each range's DC coeffs ---
-  std::array<int32_t, 4> corr = {0, 0, 0, 0};
-  for (int64_t r = 0; r < R; ++r) {
-    if (r > 0) {
-      bool any = false;
-      for (int c = 0; c < n_comp; ++c) any |= (corr[c] != 0);
-      if (any) {
-        int64_t mcu0 = range_mcu[r];
-        int64_t mcu1 = (r + 1 < R) ? range_mcu[r + 1] : n_mcus;
-        for (int64_t mcu = mcu0; mcu < mcu1; ++mcu) {
-          int64_t my = mcu / mcus_x;
-          int64_t mx = mcu % mcus_x;
-          for (int slot = 0; slot < blocks_per_mcu; ++slot) {
-            int c = slot_comp[slot];
-            int64_t st = plane_stride[c];
-            int64_t by = my * comp_v[c] + slot_vi[slot];
-            int64_t bx = mx * comp_h[c] + slot_hi[slot];
-            planes[c][by * 8 * st + bx * 8] =
-                (int16_t)(planes[c][by * 8 * st + bx * 8] + corr[c]);
-          }
-        }
-      }
-    }
-    for (int c = 0; c < n_comp; ++c) corr[c] += range_final_dc[r][c];
-  }
-  return -1;
+  return first_error.load() >= 0 ? first_error.load() : -1;
 }
 
 // Returns -1 on success, else the index of the first failed segment.
