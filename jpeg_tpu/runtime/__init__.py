@@ -108,6 +108,21 @@ def _load() -> ctypes.CDLL:
         ctypes.c_int32, ctypes.c_int64,  # mcus_x, n_units
         ctypes.c_int32, i64p, ctypes.c_int64,  # interleaved, comp_bw, unit_base
     ]
+    i32pp = ctypes.POINTER(i32p)
+    lib.jt_prog_assemble_stream.restype = None
+    lib.jt_prog_assemble_stream.argtypes = [
+        i32pp, i32pp, i64p,  # ac grids, dc grids, state cols
+        u8p, u8p, u8p, ctypes.c_int32,  # slot comp/vi/hi, bpm
+        u8p, u8p, ctypes.c_int32, ctypes.c_int32,  # comp h/v, n_comp, mcus_x
+        ctypes.c_int64, i32p, ctypes.c_int32,  # n_mcus, out, n_threads
+    ]
+    lib.jt_prog_assemble_planes.restype = None
+    lib.jt_prog_assemble_planes.argtypes = [
+        i32pp, i32pp, i64p,
+        u8p, u8p, u8p, ctypes.c_int32,
+        u8p, u8p, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int64, ctypes.POINTER(i16p), i64p, ctypes.c_int32,
+    ]
     lib.jt_decode_prog_ac.restype = ctypes.c_int64
     lib.jt_decode_prog_ac.argtypes = [
         u8p, i64p, i64p, ctypes.c_int64,  # data, seg bounds, n_segs
@@ -441,13 +456,14 @@ def _run_segment_slices(fn, n_segs, max_workers=4):
         return list(ex.map(lambda ab: fn(*ab), slices))
 
 
-def native_decode_progressive(plan, n_threads: int | None = None) -> np.ndarray:
-    """Progressive entropy decode in C++ -> [total_blocks, 64] int32.
+def _prog_run_scans(plan, n_threads):
+    """Run all progressive scans in C++; returns (ac_state, dc_state).
 
-    Same contract and scan semantics as
-    :func:`jpeg_tpu.entropy.progressive.decode_progressive_coefficients`
-    (equivalence-tested). Scans touching disjoint coefficients run
-    concurrently: the DC chain (k == 0) and each component's AC chain are
+    ac_state: per-component [bh, bw, 64] int32 zigzag grids (AC coeffs);
+    dc_state: per-component compact [bh, bw] int32 DC grids (DC scans touch
+    only coefficient 0, and a compact grid keeps the first DC scan's writes
+    dense instead of 256B-strided). Scans touching disjoint coefficients run
+    concurrently: the DC chain and each component's AC chain are
     independent; scans within a chain stay ordered.
     """
     import ctypes as ct
@@ -459,6 +475,10 @@ def native_decode_progressive(plan, n_threads: int | None = None) -> np.ndarray:
     ncomp = len(plan.components)
     state = [
         np.zeros((plan.mcus_y * c.v, plan.mcus_x * c.h, 64), np.int32)
+        for c in plan.components
+    ]
+    dc_state = [
+        np.zeros((plan.mcus_y * c.v, plan.mcus_x * c.h), np.int32)
         for c in plan.components
     ]
 
@@ -487,9 +507,9 @@ def native_decode_progressive(plan, n_threads: int | None = None) -> np.ndarray:
         comp_v = np.array(
             [plan.components[ci].v for ci in scan.comp_indices], np.int32)
         ptrs = (ct.POINTER(ct.c_int32) * len(scan.comp_indices))(
-            *[_p(state[ci], ct.c_int32) for ci in scan.comp_indices])
+            *[_p(dc_state[ci], ct.c_int32) for ci in scan.comp_indices])
         cols = np.array(
-            [state[ci].shape[1] for ci in scan.comp_indices], np.int64)
+            [dc_state[ci].shape[1] for ci in scan.comp_indices], np.int64)
         dc_luts = _packed_table_block(scan.dc_tables)
         dc_ids = np.array(scan.dc_ids, np.int32)
         bws = np.array([bw0], np.int64)
@@ -558,16 +578,82 @@ def native_decode_progressive(plan, n_threads: int | None = None) -> np.ndarray:
         for c in chain_lists:
             run_chain(c)
 
-    # Assemble MCU-interleaved stream order.
-    out = np.zeros((plan.total_blocks, 64), np.int32)
+    return state, dc_state
+
+
+def _prog_slot_arrays(plan):
+    import ctypes as ct
+
     slots = plan.component_block_slots()
-    bpm = plan.blocks_per_mcu
-    my, mx = np.divmod(np.arange(plan.n_mcus), plan.mcus_x)
-    for si, (ci, sub) in enumerate(slots):
-        c = plan.components[ci]
-        vi, hi = divmod(sub, c.h)
-        out[si::bpm] = state[ci][my * c.v + vi, mx * c.h + hi]
+    slot_comp = np.array([ci for ci, _ in slots], np.uint8)
+    slot_vi = np.array(
+        [sub // plan.components[ci].h for ci, sub in slots], np.uint8)
+    slot_hi = np.array(
+        [sub % plan.components[ci].h for ci, sub in slots], np.uint8)
+    comp_h = np.array([c.h for c in plan.components], np.uint8)
+    comp_v = np.array([c.v for c in plan.components], np.uint8)
+    return slot_comp, slot_vi, slot_hi, comp_h, comp_v
+
+
+def native_decode_progressive(plan, n_threads: int | None = None) -> np.ndarray:
+    """Progressive entropy decode in C++ -> [total_blocks, 64] int32.
+
+    Same contract as
+    :func:`jpeg_tpu.entropy.progressive.decode_progressive_coefficients`
+    (equivalence-tested); the MCU-interleave assembly runs as parallel C++
+    memcpys (the numpy gather cost ~65ms/4K frame).
+    """
+    import ctypes as ct
+
+    lib = _load()
+    if n_threads is None:
+        n_threads = os.cpu_count() or 1
+    state, dc_state = _prog_run_scans(plan, n_threads)
+    slot_comp, slot_vi, slot_hi, comp_h, comp_v = _prog_slot_arrays(plan)
+    out = np.empty((plan.total_blocks, 64), np.int32)
+    i32p = ct.POINTER(ct.c_int32)
+    ac_ptrs = (i32p * len(state))(*[_p(g, ct.c_int32) for g in state])
+    dc_ptrs = (i32p * len(dc_state))(*[_p(g, ct.c_int32) for g in dc_state])
+    cols = np.array([g.shape[1] for g in dc_state], np.int64)
+    lib.jt_prog_assemble_stream(
+        ac_ptrs, dc_ptrs, _p(cols, ct.c_int64),
+        _p(slot_comp, ct.c_uint8), _p(slot_vi, ct.c_uint8),
+        _p(slot_hi, ct.c_uint8), plan.blocks_per_mcu,
+        _p(comp_h, ct.c_uint8), _p(comp_v, ct.c_uint8),
+        len(plan.components), plan.mcus_x, plan.n_mcus,
+        _p(out, ct.c_int32), n_threads)
     return out
+
+
+def native_decode_progressive_planes(plan,
+                                     n_threads: int | None = None):
+    """Progressive entropy decode -> de-zigzagged int16 coefficient planes
+    in the fast-path layout (:func:`plane_shapes`) — feeds the fused Pallas
+    kernel directly, skipping the [total_blocks, 64] stream round trip."""
+    import ctypes as ct
+
+    lib = _load()
+    if n_threads is None:
+        n_threads = os.cpu_count() or 1
+    state, dc_state = _prog_run_scans(plan, n_threads)
+    slot_comp, slot_vi, slot_hi, comp_h, comp_v = _prog_slot_arrays(plan)
+    shapes = plane_shapes(plan)
+    planes = [np.zeros(sh, np.int16) for sh in shapes]
+    i32p = ct.POINTER(ct.c_int32)
+    i16p_ = ct.POINTER(ct.c_int16)
+    ac_ptrs = (i32p * len(state))(*[_p(g, ct.c_int32) for g in state])
+    dc_ptrs = (i32p * len(dc_state))(*[_p(g, ct.c_int32) for g in dc_state])
+    cols = np.array([g.shape[1] for g in dc_state], np.int64)
+    ptrs = (i16p_ * len(planes))(*[_p(p, ct.c_int16) for p in planes])
+    strides = np.array([sh[1] for sh in shapes], np.int64)
+    lib.jt_prog_assemble_planes(
+        ac_ptrs, dc_ptrs, _p(cols, ct.c_int64),
+        _p(slot_comp, ct.c_uint8), _p(slot_vi, ct.c_uint8),
+        _p(slot_hi, ct.c_uint8), plan.blocks_per_mcu,
+        _p(comp_h, ct.c_uint8), _p(comp_v, ct.c_uint8),
+        len(plan.components), plan.mcus_x, plan.n_mcus,
+        ptrs, _p(strides, ct.c_int64), n_threads)
+    return planes
 
 
 def _load_prog_enc():

