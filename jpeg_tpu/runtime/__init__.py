@@ -473,14 +473,21 @@ def _prog_run_scans(plan, n_threads):
 
     lib = _load()
     ncomp = len(plan.components)
-    state = [
-        np.zeros((plan.mcus_y * c.v, plan.mcus_x * c.h, 64), np.int32)
-        for c in plan.components
-    ]
-    dc_state = [
-        np.zeros((plan.mcus_y * c.v, plan.mcus_x * c.h), np.int32)
-        for c in plan.components
-    ]
+    # Thread-keyed reusable grids: fresh 100+MB np.zeros per frame costs
+    # more in page faults than the scans themselves (measured). Grids are
+    # zeroed per chain below (chains run concurrently, so the zeroing
+    # parallelizes and lands in warm caches right before each chain
+    # decodes into it).
+    gshapes = tuple(
+        (plan.mcus_y * c.v, plan.mcus_x * c.h) for c in plan.components)
+    key = ("prog_state", threading.get_ident(), gshapes)
+    cached = _out_buffers.get(key)
+    if cached is None:
+        state = [np.empty(sh + (64,), np.int32) for sh in gshapes]
+        dc_state = [np.empty(sh, np.int32) for sh in gshapes]
+        _out_buffers[key] = (state, dc_state)
+    else:
+        state, dc_state = cached
 
     def comp_block_dims(ci):
         c = plan.components[ci]
@@ -565,11 +572,32 @@ def _prog_run_scans(plan, n_threads):
             chains.setdefault(scan.comp_indices[0], []).append(("ac", scan))
 
     def run_chain(items):
+        zeroed = set()
         for kind, scan in items:
+            for ci in scan.comp_indices:
+                if kind == "dc" and ("dc", ci) not in zeroed:
+                    dc_state[ci][...] = 0
+                    zeroed.add(("dc", ci))
+                elif kind != "dc" and ("ac", ci) not in zeroed:
+                    state[ci][...] = 0
+                    zeroed.add(("ac", ci))
             (run_dc if kind == "dc" else run_ac)(scan)
 
     if n_threads is None:
         n_threads = os.cpu_count() or 1
+    # Reused grids are zeroed by the chain that decodes into them; a
+    # component with no AC (or DC) scans at all — legal DC-only
+    # progressive — must be zeroed here or assembly would read a stale
+    # frame.
+    ac_covered = {ci for sc in plan.prog_scans if sc.ss > 0
+                  for ci in sc.comp_indices}
+    dc_covered = {ci for sc in plan.prog_scans if sc.ss == 0
+                  for ci in sc.comp_indices}
+    for ci in range(ncomp):
+        if ci not in ac_covered:
+            state[ci][...] = 0
+        if ci not in dc_covered:
+            dc_state[ci][...] = 0
     chain_lists = [c for c in chains.values() if c]
     if n_threads > 1 and len(chain_lists) > 1:
         with ThreadPoolExecutor(max_workers=min(n_threads, len(chain_lists))) as ex:
@@ -610,7 +638,11 @@ def native_decode_progressive(plan, n_threads: int | None = None) -> np.ndarray:
         n_threads = os.cpu_count() or 1
     state, dc_state = _prog_run_scans(plan, n_threads)
     slot_comp, slot_vi, slot_hi, comp_h, comp_v = _prog_slot_arrays(plan)
-    out = np.empty((plan.total_blocks, 64), np.int32)
+    okey = ("prog_out", threading.get_ident(), plan.total_blocks)
+    out = _out_buffers.get(okey)
+    if out is None:
+        out = np.empty((plan.total_blocks, 64), np.int32)
+        _out_buffers[okey] = out
     i32p = ct.POINTER(ct.c_int32)
     ac_ptrs = (i32p * len(state))(*[_p(g, ct.c_int32) for g in state])
     dc_ptrs = (i32p * len(dc_state))(*[_p(g, ct.c_int32) for g in dc_state])
@@ -638,7 +670,11 @@ def native_decode_progressive_planes(plan,
     state, dc_state = _prog_run_scans(plan, n_threads)
     slot_comp, slot_vi, slot_hi, comp_h, comp_v = _prog_slot_arrays(plan)
     shapes = plane_shapes(plan)
-    planes = [np.zeros(sh, np.int16) for sh in shapes]
+    pkey = ("planes", threading.get_ident(), tuple(shapes))
+    planes = _out_buffers.get(pkey)
+    if planes is None:
+        planes = [np.zeros(sh, np.int16) for sh in shapes]
+        _out_buffers[pkey] = planes
     i32p = ct.POINTER(ct.c_int32)
     i16p_ = ct.POINTER(ct.c_int16)
     ac_ptrs = (i32p * len(state))(*[_p(g, ct.c_int32) for g in state])
