@@ -333,9 +333,16 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
         elif marker == DRI:
             # JPEG B.2.4.4 — reference panics here (src/jpeg/mod.rs:424-428).
             restart_interval = _u16(vec, body)
-        elif marker in (SOF0, 0xC2):
-            # JPEG B.2.2; parity src/jpeg/mod.rs:262-298. SOF2 = progressive
-            # (beyond the reference, which panics on it).
+        elif marker in (SOF0, 0xC1, 0xC2):
+            # JPEG B.2.2; parity src/jpeg/mod.rs:262-298. SOF2 = progressive,
+            # SOF1 = extended sequential — at 8-bit precision its decode is
+            # identical to baseline (more table slots, which we already
+            # support). Both are beyond the reference, which panics.
+            precision = int(vec[body])
+            if precision != 8:
+                raise JPEGError(
+                    f"unsupported sample precision {precision} "
+                    "(8-bit only; 12-bit needs SOF1 extended paths)")
             progressive = marker == 0xC2
             height = _u16(vec, body + 1)
             width = _u16(vec, body + 3)
@@ -362,8 +369,9 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
             got_frame = True
         elif SOF_MIN <= marker <= SOF_MAX and marker not in (0xC4, 0xC8, 0xCC):
             raise JPEGError(
-                f"unsupported SOF type {marker:#04x}: only baseline (SOF0) "
-                "and progressive (SOF2) DCT are supported"
+                f"unsupported SOF type {marker:#04x}: only baseline (SOF0), "
+                "extended sequential (SOF1, 8-bit) and progressive (SOF2) "
+                "DCT are supported"
             )
         elif marker == SOS:
             # JPEG B.2.3; parity src/jpeg/mod.rs:337-362 (without its i+=2

@@ -337,3 +337,31 @@ def test_dht_values_truncated_by_segment_length_rejected():
               + b"\xff\xd9")
     with pytest.raises(JPEGError):
         parse_jpeg(stream)
+
+
+def test_sof1_extended_sequential_decodes_as_baseline():
+    """SOF1 at 8-bit precision is decode-identical to baseline (more table
+    slots, already supported). Flip a baseline stream's SOF0 marker to SOF1
+    and require byte-identical pixels across every engine."""
+    import jpeg_tpu
+    from jpeg_tpu.io.corpus import synthetic_image
+    from jpeg_tpu.models.encoder import encode_rgb
+
+    data = encode_rgb(synthetic_image(64, 48, seed=9), quality=80)
+    i = data.find(b"\xff\xc0")
+    sof1 = data[:i + 1] + b"\xc1" + data[i + 2:]
+    assert parse_jpeg(sof1).progressive is False
+    base = jpeg_tpu.decode_bytes(data)
+    for kw in ({}, {"engine": "oracle"}, {"path": "fast"}):
+        np.testing.assert_array_equal(jpeg_tpu.decode_bytes(sof1, **kw), base)
+
+
+def test_non_8bit_precision_rejected():
+    from jpeg_tpu.io.corpus import synthetic_image
+    from jpeg_tpu.models.encoder import encode_rgb
+
+    data = bytearray(encode_rgb(synthetic_image(64, 48, seed=9)))
+    i = data.find(b"\xff\xc0")
+    data[i + 4] = 12  # precision byte (after marker + length)
+    with pytest.raises(JPEGError, match="precision"):
+        parse_jpeg(bytes(data))
