@@ -1358,28 +1358,26 @@ int64_t jt_decode_prog_ac(
               if (s != 1) return seg;  // invalid refinement magnitude
               s_val = br.read(1) ? p1 : m1;
             }
-            // Walk to the (r+1)-th zero at/after k: zeros decrement r,
-            // nonzeros along the way consume one correction bit each.
-            while (k <= se) {
-              uint64_t nzs = (nzmask & band) >> k;
-              int zrun = nzs ? __builtin_ctzll(nzs) : (se - k + 1);
-              if (r < zrun) {  // insertion lands in this zero run
-                k += r;
-                if (s_val) {
-                  coef[k] = s_val;
-                  nzmask |= 1ull << k;
-                }
-                ++k;
-                break;
+            // One-shot insertion: the target is the (r+1)-th ZERO at/after
+            // k (pdep selects it in one instruction); every nonzero before
+            // it consumes one correction bit, batched by refine_nonzeros.
+            // Matches the spec walk exactly: corrections in ascending
+            // position order, then the insert; if fewer than r+1 zeros
+            // remain, all remaining nonzeros get corrections and the band
+            // ends without an insert.
+            uint64_t span = band & ~((1ull << k) - 1);
+            uint64_t sel = _pdep_u64(1ull << r, ~nzmask & span);
+            if (sel) {
+              int target = __builtin_ctzll(sel);
+              refine_nonzeros(br, coef, nzmask & span & (sel - 1), p1, m1);
+              if (s_val) {
+                coef[target] = s_val;
+                nzmask |= sel;
               }
-              r -= zrun;
-              k += zrun;
-              if (k > se) break;
-              // at a nonzero: correction bit
-              int32_t* c = &coef[k];
-              if (br.read(1) && (*c & p1) == 0)
-                *c += (*c >= 0) ? p1 : m1;
-              ++k;
+              k = target + 1;
+            } else {
+              refine_nonzeros(br, coef, nzmask & span, p1, m1);
+              k = se + 1;
             }
           }
         }
