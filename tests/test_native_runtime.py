@@ -62,3 +62,38 @@ def test_native_error_isolation(corpus):
     assert ei.value.segment == 0
     # Original plan still decodes fine (no shared state).
     native_decode_coefficients(plan)
+
+
+def test_reused_buffer_bulk_prezero_clears_previous_frame():
+    """prezero=2 contract: decoding image B into the per-thread buffer that
+    just held image A (dense coefficients) must equal a fresh decode of B —
+    the bulk zero phase, not per-tile memsets, clears A's residue."""
+    from jpeg_tpu.io.corpus import synthetic_image
+    from jpeg_tpu.models.encoder import encode_rgb
+    from jpeg_tpu.runtime import native_decode_planes
+
+    rng = np.random.default_rng(3)
+    # A: noisy image -> dense nonzero coefficients everywhere.
+    a = parse_jpeg(encode_rgb(
+        rng.integers(0, 256, (96, 128, 3), dtype=np.uint8), quality=95,
+        restart_interval_mcus=2))
+    # B: flat image -> almost all-zero AC; stale residue would show.
+    b = parse_jpeg(encode_rgb(
+        np.full((96, 128, 3), 100, np.uint8), quality=95,
+        restart_interval_mcus=2))
+    fresh = [x.copy() for x in native_decode_planes(b, reuse_buffer=False)]
+    native_decode_planes(a)  # dirty the reused buffer
+    reused = native_decode_planes(b)
+    for f, r in zip(fresh, reused):
+        np.testing.assert_array_equal(f, np.asarray(r))
+    # Same through the speculative path (single-segment stream).
+    a2 = parse_jpeg(encode_rgb(
+        rng.integers(0, 256, (96, 128, 3), dtype=np.uint8), quality=95))
+    b2 = parse_jpeg(encode_rgb(np.full((96, 128, 3), 100, np.uint8),
+                               quality=95))
+    fresh2 = [x.copy() for x in native_decode_planes(
+        b2, reuse_buffer=False, speculative=True)]
+    native_decode_planes(a2, speculative=True)
+    reused2 = native_decode_planes(b2, speculative=True)
+    for f, r in zip(fresh2, reused2):
+        np.testing.assert_array_equal(f, np.asarray(r))
