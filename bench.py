@@ -386,6 +386,39 @@ def device_stage(plan_bytes_file, planes_ready):
     e2e = bench_e2e_overlapped(plan, planes)
     out["e2e_overlapped_fps"] = round(e2e, 2)
     log(f"e2e overlapped (measured): {e2e:.1f} frames/s")
+    # Approx-IDCT tier (JDCT_IFAST analogue, idct_mode="approx").
+    try:
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        from jpeg_tpu.models.decoder import PipelineGeometry as _PG
+        from jpeg_tpu.ops.pallas_kernels import (
+            fused_plane_decoder as _fpd,
+            plan_quant_patterns as _pqp,
+        )
+
+        _geom = _PG.of(plan)
+        _fn = _fpd(_geom, "truncate", False, "approx")
+        _args = [_jnp.asarray(p) for p in planes] + [
+            _jnp.asarray(q) for q in _pqp(plan, _geom)]
+        _iters = 32
+
+        @_jax.jit
+        def _loop(p0, *rest):
+            def body(i, acc):
+                o = _fn(p0 + (acc % 2).astype(_jnp.int16), *rest)
+                return acc + o.astype(_jnp.int32)[0, 0, 0]
+            return _jax.lax.fori_loop(0, _iters, body, _jnp.int32(0))
+
+        int(_loop(*_args))
+        _ovh = _dispatch_latency()
+        _t0 = time.perf_counter()
+        int(_loop(*_args))
+        _fps = _iters / (time.perf_counter() - _t0 - _ovh)
+        out["device_pipeline_approx_fps"] = round(_fps, 2)
+        log(f"device pipeline (approx IDCT): {_fps:.1f} frames/s")
+    except Exception as e:  # noqa: BLE001 — diagnostic metric only
+        log(f"approx pipeline: failed ({type(e).__name__}: {e})")
     c1080_entropy, c1080_dev = bench_corpus_1080p()
     out["corpus_1080p_entropy_fps"] = round(c1080_entropy, 2)
     out["corpus_1080p_device_fps"] = round(c1080_dev, 2)

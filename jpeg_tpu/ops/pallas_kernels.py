@@ -119,7 +119,8 @@ def idct_roll_tile(f, mrow_ref, mcol_ref):
 
 
 
-def sandwich_idct_split(f, bd_at_ref, bd_a128_ref):
+def sandwich_idct_split(f, bd_at_ref, bd_a128_ref,
+                        precision=jax.lax.Precision.HIGHEST):
     """Per-8-block 2-D transform via MXU matmuls with the column side split
     into [128, 128] block-diagonal products.
 
@@ -133,13 +134,12 @@ def sandwich_idct_split(f, bd_at_ref, bd_a128_ref):
     digit passes, landing below the f32 sandwich.
     """
     t = jnp.dot(bd_at_ref[:], f, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+                precision=precision)
     cols = t.shape[1]
     chunk = bd_a128_ref.shape[0]
     parts = [
         jnp.dot(t[:, i : i + chunk], bd_a128_ref[:],
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+                preferred_element_type=jnp.float32, precision=precision)
         for i in range(0, cols, chunk)
     ]
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
@@ -174,7 +174,8 @@ def padded_plane_shapes(geom) -> list[tuple[int, int]]:
     ]
 
 
-def _plane_kernel(*refs, geom, rounding: str):
+def _plane_kernel(*refs, geom, rounding: str,
+                  idct_precision=jax.lax.Precision.HIGHEST):
     """One (band, col-tile) cell. refs order: [comp planes i16 x n] [qpat x n]
     [per-comp static aux: bd_at, bd_a (+ rrep? + crep?)] [out u8]."""
     n_comp = len(geom.sampling)
@@ -189,7 +190,7 @@ def _plane_kernel(*refs, geom, rounding: str):
         f = comp_refs[ci][:].astype(jnp.float32) * qpat_refs[ci][:]
         bd_at = aux.pop(0)
         bd_a128 = aux.pop(0)
-        spatial = sandwich_idct_split(f, bd_at, bd_a128)
+        spatial = sandwich_idct_split(f, bd_at, bd_a128, idct_precision)
         if fy > 1:
             spatial = jnp.dot(aux.pop(0)[:], spatial,
                               preferred_element_type=jnp.float32)
@@ -227,7 +228,8 @@ def _const_spec(shape):
 
 @lru_cache(maxsize=256)
 def fused_plane_decoder(geom, rounding: str = "truncate",
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        idct_mode: str = "exact"):
     """Build jitted fn: (*comp_planes int16, *qpat f32) -> planar u8
     [3, H_pad, W_pad]. Plane shapes per :func:`padded_plane_shapes`; qpat
     tiles per :func:`quant_pattern` with that component's (rows, cols)."""
@@ -258,8 +260,11 @@ def fused_plane_decoder(geom, rounding: str = "truncate",
             static_aux.append(_col_repeat_matrix(cols, fx))
     aux_specs = [_const_spec(arr.shape) for arr in static_aux]
 
+    idct_precision = (jax.lax.Precision.HIGHEST if idct_mode == "exact"
+                      else jax.lax.Precision.DEFAULT)
     call = pl.pallas_call(
-        partial(_plane_kernel, geom=geom, rounding=rounding),
+        partial(_plane_kernel, geom=geom, rounding=rounding,
+                idct_precision=idct_precision),
         grid=grid,
         in_specs=plane_specs + qpat_specs + aux_specs,
         out_specs=pl.BlockSpec(
@@ -490,15 +495,20 @@ def plan_quant_patterns(plan, geom) -> list[np.ndarray]:
 
 
 def decode_planes_fused(planes, plan, rounding: str = "truncate",
-                        interpret: bool = False):
+                        interpret: bool = False, idct_mode: str = "exact"):
     """int16 coefficient planes (native_decode_planes layout) -> [H, W, 3] u8.
 
     The fast decode path: C++ entropy (plane layout) + this kernel.
+    ``idct_mode="approx"`` runs the IDCT matmuls at DEFAULT (one bf16
+    pass) instead of HIGHEST: ~1.8x faster kernel (measured 2161 -> 3930
+    fps on a v5e 4K ablation), with bounded pixel error vs the exact
+    kernel — the libjpeg JDCT_IFAST analogue for ML-ingestion pipelines
+    that tolerate approximate pixels.
     """
     from jpeg_tpu.models.decoder import PipelineGeometry
 
     geom = PipelineGeometry.of(plan)
-    fn = fused_plane_decoder(geom, rounding, interpret)
+    fn = fused_plane_decoder(geom, rounding, interpret, idct_mode)
     qpats = plan_quant_patterns(plan, geom)
     planar = fn(*[jnp.asarray(p) for p in planes],
                 *[jnp.asarray(q) for q in qpats])

@@ -111,3 +111,18 @@ def test_tiny_images_both_paths(shape):
     fast = decode_bytes(data, path="fast")
     assert compat.shape == img.shape == fast.shape
     assert np.abs(compat.astype(int) - fast.astype(int)).max() <= 1
+
+
+def test_idct_mode_approx_path():
+    """idct_mode="approx" (DEFAULT-precision IDCT) decodes through the same
+    kernel; on the CPU interpreter DEFAULT == exact f32, so outputs match —
+    the on-chip error bound (max +-2, >=57 dB vs exact) is measured by the
+    bench ablation."""
+    import jpeg_tpu
+
+    with open(CORPUS["lena"], "rb") as f:
+        data = f.read()
+    a = jpeg_tpu.decode_bytes(data, path="fast")
+    b = jpeg_tpu.decode_bytes(data, path="fast", idct_mode="approx")
+    assert a.shape == b.shape
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 2
