@@ -424,6 +424,32 @@ def device_stage(plan_bytes_file, planes_ready):
     out["corpus_1080p_device_fps"] = round(c1080_dev, 2)
     log(f"1080p corpus: entropy {c1080_entropy:.1f} fps, "
         f"batched device {c1080_dev:.1f} fps")
+    # Sharded-Mosaic smoke (VERDICT r1 weak #7): run the batched fused
+    # kernel under an explicit NamedSharding on a real-device mesh (1 chip
+    # here; the same code path the 8-device CPU dryrun compiles). Proves
+    # the sharding machinery + Mosaic lowering execute together on TPU.
+    try:
+        import jax as _jax
+        import numpy as _np
+        from jax.sharding import Mesh as _Mesh
+
+        from jpeg_tpu.models.decoder import PipelineGeometry as _PG2
+        from jpeg_tpu.ops.pallas_kernels import plan_quant_patterns as _pqp2
+        from jpeg_tpu.parallel.batch import decode_batch_fast as _dbf
+
+        _geom2 = _PG2.of(plan)
+        _mesh = _Mesh(_np.array(_jax.devices()[:1]), ("data",))
+        _bp = [_np.broadcast_to(_np.asarray(p), (1,) + _np.asarray(p).shape)
+               for p in planes]
+        _bq = [_np.broadcast_to(q, (1,) + q.shape)
+               for q in _pqp2(plan, _geom2)]
+        _out = _dbf(_bp, _bq, _geom2, mesh=_mesh, interpret=False)
+        _jax.block_until_ready(_out)
+        out["sharded_mosaic_smoke"] = "ok"
+        log("sharded Mosaic smoke (NamedSharding on TPU mesh): ok")
+    except Exception as e:  # noqa: BLE001 — diagnostic
+        out["sharded_mosaic_smoke"] = f"{type(e).__name__}: {e}"[:120]
+        log(f"sharded Mosaic smoke FAILED: {type(e).__name__}: {e}")
     try:
         dev_ent_fps, dev_ent_lanes = bench_device_entropy_batched()
         out["device_entropy_batched_fps"] = round(dev_ent_fps, 2)

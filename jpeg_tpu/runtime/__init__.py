@@ -16,8 +16,15 @@ import threading
 import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
-_SO_PATH = os.path.join(_NATIVE_DIR, "build", "libjpegtpu.so")
-_ENC_SO_PATH = os.path.join(_NATIVE_DIR, "build", "libjpegtpu_enc.so")
+# JPEG_TPU_ASAN=1 loads the AddressSanitizer builds (requires LD_PRELOAD of
+# libasan; used by the sanitizer sweep in tools/).
+_ASAN = os.environ.get("JPEG_TPU_ASAN") == "1"
+_SO_PATH = os.path.join(
+    _NATIVE_DIR, "build",
+    "libjpegtpu_asan.so" if _ASAN else "libjpegtpu.so")
+_ENC_SO_PATH = os.path.join(
+    _NATIVE_DIR, "build",
+    "libjpegtpu_enc_asan.so" if _ASAN else "libjpegtpu_enc.so")
 
 _lib = None
 _enc_lib = None
