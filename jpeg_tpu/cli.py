@@ -170,6 +170,7 @@ def cmd_info(args) -> int:
         ],
         "color_model": plan.color_model,
         "progressive": plan.progressive,
+        "arithmetic": plan.arith_code,
         "mcus": [plan.mcus_x, plan.mcus_y],
         "restart_interval_mcus": plan.restart_interval,
         "entropy_segments": len(plan.segments),

@@ -120,6 +120,12 @@ class DecodePlan:
     adobe_transform: int | None = None  # APP14 color transform (0/1/2)
     progressive: bool = False
     prog_scans: list = dataclasses.field(default_factory=list)
+    # Arithmetic coding (SOF9 + DAC, T.81 Annex D/F — beyond the reference,
+    # which is Huffman-only). Conditioning defaults per F.1.4.4.1.4.
+    arith_code: bool = False
+    arith_dc_L: tuple = (0, 0, 0, 0)
+    arith_dc_U: tuple = (1, 1, 1, 1)
+    arith_ac_K: tuple = (5, 5, 5, 5)
 
     @property
     def color_model(self) -> str:
@@ -241,6 +247,10 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
     quant = np.zeros((4, 64), dtype=np.uint16)
     dc_tables: list[HuffmanTable] = [empty_table() for _ in range(4)]
     ac_tables: list[HuffmanTable] = [empty_table() for _ in range(4)]
+    arith_code = False
+    arith_dc_L = [0, 0, 0, 0]
+    arith_dc_U = [1, 1, 1, 1]
+    arith_ac_K = [5, 5, 5, 5]
     components: list[ComponentInfo] = []
     width = height = 0
     restart_interval = 0
@@ -333,11 +343,12 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
         elif marker == DRI:
             # JPEG B.2.4.4 — reference panics here (src/jpeg/mod.rs:424-428).
             restart_interval = _u16(vec, body)
-        elif marker in (SOF0, 0xC1, 0xC2):
+        elif marker in (SOF0, 0xC1, 0xC2, 0xC9):
             # JPEG B.2.2; parity src/jpeg/mod.rs:262-298. SOF2 = progressive,
             # SOF1 = extended sequential — at 8-bit precision its decode is
             # identical to baseline (more table slots, which we already
-            # support). Both are beyond the reference, which panics.
+            # support). SOF9 = sequential DCT with arithmetic entropy coding
+            # (QM coder, entropy/arith.py). All beyond the reference.
             precision = int(vec[body])
             if precision != 8:
                 raise JPEGError(
@@ -366,12 +377,38 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
                     raise JPEGError(f"invalid quant table id {tq}")
                 components.append(ComponentInfo(cid, h, v, quant_id=tq))
                 idx += 3
+            arith_code = marker == 0xC9
+            if arith_code and progressive:
+                raise JPEGError("impossible SOF combination")
             got_frame = True
+        elif marker == 0xCC:
+            # DAC: arithmetic conditioning (B.2.4.3). DC: Cs = (U << 4) | L;
+            # AC: Cs = Kx.
+            idx = body
+            seg_end = body + body_len
+            while idx + 1 < seg_end:
+                tc, tb = int(vec[idx]) >> 4, int(vec[idx]) & 0x0F
+                cs = int(vec[idx + 1])
+                idx += 2
+                if tb > 3:
+                    raise JPEGError(f"invalid DAC table id {tb}")
+                if tc == 0:
+                    low, up = cs & 0x0F, cs >> 4
+                    if low > up:
+                        raise JPEGError(
+                            f"invalid DC conditioning L={low} > U={up}")
+                    arith_dc_L[tb], arith_dc_U[tb] = low, up
+                elif tc == 1:
+                    if not 1 <= cs <= 63:
+                        raise JPEGError(f"invalid AC conditioning Kx={cs}")
+                    arith_ac_K[tb] = cs
+                else:
+                    raise JPEGError(f"invalid DAC class {tc}")
         elif SOF_MIN <= marker <= SOF_MAX and marker not in (0xC4, 0xC8, 0xCC):
             raise JPEGError(
                 f"unsupported SOF type {marker:#04x}: only baseline (SOF0), "
-                "extended sequential (SOF1, 8-bit) and progressive (SOF2) "
-                "DCT are supported"
+                "extended sequential (SOF1, 8-bit), progressive (SOF2) and "
+                "sequential arithmetic (SOF9) DCT are supported"
             )
         elif marker == SOS:
             # JPEG B.2.3; parity src/jpeg/mod.rs:337-362 (without its i+=2
@@ -476,6 +513,10 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
                 jfif_density=jfif_density,
                 exif=exif,
                 adobe_transform=adobe_transform,
+                arith_code=arith_code,
+                arith_dc_L=tuple(arith_dc_L),
+                arith_dc_U=tuple(arith_dc_U),
+                arith_ac_K=tuple(arith_ac_K),
             )
             # Like the reference (src/jpeg/mod.rs:417): first scan only.
             return plan

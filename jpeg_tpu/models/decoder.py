@@ -168,6 +168,11 @@ def decode_coefficients_host(plan: DecodePlan, engine: str = "auto") -> np.ndarr
     ``engine``: "native" (threaded C++ runtime), "oracle" (NumPy reference
     semantics), or "auto" (native if built, else oracle).
     """
+    if getattr(plan, "arith_code", False):
+        # SOF9 arithmetic entropy (QM coder) — beyond the reference.
+        from jpeg_tpu.entropy.arith import decode_coefficients_arith
+
+        return decode_coefficients_arith(plan)
     if plan.progressive:
         if engine in ("auto", "native"):
             try:
@@ -228,11 +233,12 @@ def decode_plan_fast(plan: DecodePlan, rounding: str = "truncate",
     from jpeg_tpu.ops.pallas_kernels import decode_planes_fused
     from jpeg_tpu.runtime import native_decode_planes
 
-    if getattr(plan, "color_model", "ycbcr") not in ("ycbcr", "gray"):
-        # The fused kernel bakes in the YCbCr matrix; RGB-direct streams
-        # would come out silently wrong and 4-component CMYK/YCCK plans
-        # don't fit its 3-channel output. Route through the compat
-        # pipeline, which handles every color model.
+    if (getattr(plan, "color_model", "ycbcr") not in ("ycbcr", "gray")
+            or getattr(plan, "arith_code", False)):
+        # The fused kernel bakes in the YCbCr matrix (RGB-direct streams
+        # would come out silently wrong; CMYK/YCCK don't fit 3 channels),
+        # and the C++ plane-entropy runtime is Huffman-only. Route through
+        # the compat pipeline, which handles every stream type.
         return decode_plan(plan, rounding=rounding)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"

@@ -391,6 +391,7 @@ def _container(scan, samplings, quant_zz, dc_t, ac_t, height, width,
     component_ids = component_ids or [ci + 1 for ci in range(ncomp)]
     quant_ids = quant_ids or [min(ci, 1) for ci in range(ncomp)]
     table_ids = table_ids or [min(ci, 1) for ci in range(ncomp)]
+    arithmetic = dc_t is None  # SOF9 + DAC instead of SOF0 + DHT
     out = bytearray(b"\xff\xd8")  # SOI
     if adobe_transform is None:
         app0 = b"JFIF\x00\x01\x01\x00" + (1).to_bytes(2, "big") * 2 + b"\x00\x00"
@@ -407,11 +408,21 @@ def _container(scan, samplings, quant_zz, dc_t, ac_t, height, width,
     sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big") + bytes([ncomp])
     for ci, (h, v) in enumerate(samplings):
         sof += bytes([component_ids[ci], (h << 4) | v, quant_ids[ci]])
-    out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
-    for cls, tables in ((0, dc_t), (1, ac_t)):
-        for tid, t in enumerate(tables):
-            body = bytes([(cls << 4) | tid]) + bytes(t.bits.tolist()) + bytes(t.values.tolist())
-            out += b"\xff\xc4" + (len(body) + 2).to_bytes(2, "big") + body
+    out += (b"\xff\xc9" if arithmetic else b"\xff\xc0") + (
+        len(sof) + 2).to_bytes(2, "big") + sof
+    if arithmetic:
+        # DAC conditioning (defaults L=0, U=1, Kx=5 — F.1.4.4.1.4) for the
+        # table slots in use.
+        dac = b""
+        for tid in sorted(set(table_ids)):
+            dac += bytes([tid, (1 << 4) | 0])        # DC: U=1, L=0
+            dac += bytes([(1 << 4) | tid, 5])        # AC: Kx=5
+        out += b"\xff\xcc" + (len(dac) + 2).to_bytes(2, "big") + dac
+    else:
+        for cls, tables in ((0, dc_t), (1, ac_t)):
+            for tid, t in enumerate(tables):
+                body = bytes([(cls << 4) | tid]) + bytes(t.bits.tolist()) + bytes(t.values.tolist())
+                out += b"\xff\xc4" + (len(body) + 2).to_bytes(2, "big") + body
     if restart_interval_mcus:
         out += b"\xff\xdd\x00\x04" + restart_interval_mcus.to_bytes(2, "big")
     sos = bytes([ncomp])
@@ -431,7 +442,8 @@ def encode_rgb(rgb: np.ndarray, quality: int = 85,
                grayscale: bool = False,
                engine: str = "native",
                optimize: bool = False,
-               comment: str | None = None) -> bytes:
+               comment: str | None = None,
+               arithmetic: bool = False) -> bytes:
     """Encode [H, W, 3] u8 RGB (or [H, W] gray) to baseline JFIF bytes.
 
     ``subsampling`` is the luma sampling factor (h, v): (1,1)=4:4:4,
@@ -445,6 +457,17 @@ def encode_rgb(rgb: np.ndarray, quality: int = 85,
     (comp_blocks_zz, samplings, quant_zz, height, width,
      mcus_x, mcus_y, grayscale) = _forward_transform(
         rgb, quality, subsampling, grayscale)
+
+    if arithmetic:
+        # SOF9: QM-coded entropy (T.81 Annex D/F — beyond the reference,
+        # validated against libjpeg's arithmetic codec both directions).
+        from jpeg_tpu.entropy.arith import encode_scan_arith
+
+        table_ids = [min(ci, 1) for ci in range(len(samplings))]
+        scan = encode_scan_arith(comp_blocks_zz, samplings, mcus_x, mcus_y,
+                                 restart_interval_mcus, table_ids)
+        return _container(scan, samplings, quant_zz, None, None, height,
+                          width, restart_interval_mcus, comment=comment)
 
     dc_t, ac_t = _huffman_tables(grayscale, optimize, comp_blocks_zz,
                                  samplings, restart_interval_mcus,

@@ -1,0 +1,160 @@
+"""Arithmetic-coded JPEG (SOF9, T.81 Annex D/F) — validated against
+libjpeg-turbo's QM codec in BOTH directions.
+
+Goldens (tests/goldens/arith_libjpeg.npz) were produced by the system
+libjpeg via tools/jpeg_arith_ref.c: the encoded streams, their
+entropy-layer coefficient dumps (jpeg_read_coefficients), and libjpeg's
+own decoded pixels. Our encoder's streams are independently decoded by
+PIL (whose libjpeg-turbo ships the arithmetic codec).
+"""
+
+import io
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jpeg_tpu
+from jpeg_tpu.entropy.arith import decode_coefficients_arith
+from jpeg_tpu.io.container import JPEGError, parse_jpeg
+from jpeg_tpu.io.corpus import synthetic_image
+from jpeg_tpu.models.encoder import encode_rgb
+from jpeg_tpu.ops.zigzag import unzigzag
+
+from conftest import psnr
+
+GOLD = np.load(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "goldens", "arith_libjpeg.npz"))
+
+
+def _coeff_grids(plan, coeffs):
+    """[total_blocks, 64] stream -> per-component [by, bx, 64] grids."""
+    slots = plan.component_block_slots()
+    bpm = plan.blocks_per_mcu
+    my, mx = np.divmod(np.arange(plan.n_mcus), plan.mcus_x)
+    grids = {}
+    for si, (ci, sub) in enumerate(slots):
+        c = plan.components[ci]
+        vi, hi = divmod(sub, c.h)
+        if ci not in grids:
+            grids[ci] = np.zeros(
+                (plan.mcus_y * c.v, plan.mcus_x * c.h, 64), np.int32)
+        grids[ci][my * c.v + vi, mx * c.h + hi] = coeffs[si::bpm]
+    return grids
+
+
+@pytest.mark.parametrize("name", ["color", "rst", "gray"])
+def test_decode_coefficients_match_libjpeg(name):
+    data = GOLD[f"{name}_jpg"].tobytes()
+    plan = parse_jpeg(data)
+    assert plan.arith_code
+    if name == "rst":
+        assert len(plan.segments) > 1
+    grids = _coeff_grids(plan, decode_coefficients_arith(plan))
+    ci = 0
+    while f"{name}_coef{ci}" in GOLD:
+        ref = GOLD[f"{name}_coef{ci}"]
+        bh, bw = ref.shape[:2]
+        mine = np.stack([
+            unzigzag(grids[ci][by, bx])
+            for by in range(bh) for bx in range(bw)
+        ]).reshape(bh, bw, 64)
+        np.testing.assert_array_equal(mine, ref.astype(np.int32))
+        ci += 1
+
+
+@pytest.mark.parametrize("name", ["color", "rst", "gray"])
+def test_decode_pixels_close_to_libjpeg(name):
+    data = GOLD[f"{name}_jpg"].tobytes()
+    ours = np.asarray(jpeg_tpu.decode_bytes(data, rounding="round"))
+    ref = GOLD[f"{name}_pil"]
+    assert ours.shape == ref.shape
+    # Entropy-exact; remaining differences are IDCT/upsample rounding.
+    assert psnr(ours, ref) > 40.0
+
+
+def test_encode_roundtrip_and_pil_cross_decode():
+    img = synthetic_image(96, 64, seed=2)
+    data = encode_rgb(img, quality=85, arithmetic=True)
+    plan = parse_jpeg(data)
+    assert plan.arith_code
+    # Coefficient-exact vs the Huffman encode of the same transform.
+    huff = encode_rgb(img, quality=85)
+    np.testing.assert_array_equal(jpeg_tpu.decode_bytes(data),
+                                  jpeg_tpu.decode_bytes(huff))
+    # Independent: libjpeg (PIL) decodes our arithmetic stream.
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert psnr(np.asarray(jpeg_tpu.decode_bytes(data, rounding="round")),
+                pil) > 40.0
+    # And it is smaller than the Huffman stream (the point of arithmetic).
+    assert len(data) < len(huff)
+
+
+def test_encode_restart_intervals():
+    img = synthetic_image(112, 80, seed=3)
+    data = encode_rgb(img, quality=80, arithmetic=True,
+                      restart_interval_mcus=2)
+    plan = parse_jpeg(data)
+    assert plan.arith_code and len(plan.segments) > 1
+    huff = encode_rgb(img, quality=80, restart_interval_mcus=2)
+    np.testing.assert_array_equal(jpeg_tpu.decode_bytes(data),
+                                  jpeg_tpu.decode_bytes(huff))
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert psnr(np.asarray(jpeg_tpu.decode_bytes(data, rounding="round")),
+                pil) > 40.0
+
+
+def test_encode_grayscale():
+    img = synthetic_image(64, 48, seed=4)[:, :, 0].copy()
+    data = encode_rgb(img, quality=85, grayscale=True, arithmetic=True)
+    plan = parse_jpeg(data)
+    assert plan.arith_code and len(plan.components) == 1
+    huff = encode_rgb(img, quality=85, grayscale=True)
+    np.testing.assert_array_equal(jpeg_tpu.decode_bytes(data),
+                                  jpeg_tpu.decode_bytes(huff))
+
+
+def test_dac_validation():
+    data = bytearray(GOLD["color_jpg"].tobytes())
+    i = data.find(b"\xff\xcc")
+    assert i > 0
+    # DC conditioning with L > U
+    bad = bytearray(data)
+    bad[i + 5] = 0x0F  # Cs: U=0, L=15
+    with pytest.raises(JPEGError, match="conditioning"):
+        parse_jpeg(bytes(bad))
+    # AC Kx = 0
+    bad = bytearray(data)
+    assert bad[i + 6] == 0x10  # Tc=1, Tb=0
+    bad[i + 7] = 0
+    with pytest.raises(JPEGError, match="Kx"):
+        parse_jpeg(bytes(bad))
+
+
+def test_truncation_and_bitflips_do_not_crash():
+    rng = np.random.default_rng(0)
+    data = GOLD["rst_jpg"].tobytes()
+    for pct in (30, 60, 90):
+        trunc = data[: len(data) * pct // 100]
+        try:
+            rgb = jpeg_tpu.decode_bytes(trunc)
+            assert rgb.shape == (64, 96, 3)
+        except ValueError:
+            pass
+    for seed in range(8):
+        d = bytearray(data)
+        for _ in range(3):
+            d[rng.integers(2, len(d))] ^= 1 << rng.integers(0, 8)
+        try:
+            jpeg_tpu.decode_bytes(bytes(d))
+        except ValueError:
+            pass
+
+
+def test_progressive_arithmetic_rejected_cleanly():
+    data = bytearray(GOLD["color_jpg"].tobytes())
+    i = data.find(b"\xff\xc9")
+    data[i + 1] = 0xCA  # SOF10: progressive arithmetic
+    with pytest.raises(JPEGError, match="SOF"):
+        parse_jpeg(bytes(data))
