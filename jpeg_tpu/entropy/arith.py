@@ -479,3 +479,371 @@ def encode_scan_arith(comp_blocks_zz, samplings, mcus_x, mcus_y,
             _encode_ac(enc, ac_stats[ti], fixed, blk, ac_K[ti])
     scan += enc.finish()
     return bytes(scan)
+
+
+def _comp_block_dims(plan, ci):
+    c = plan.components[ci]
+    cw = -(-plan.width * c.h // plan.h_max)
+    ch = -(-plan.height * c.v // plan.v_max)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def decode_progressive_coefficients_arith(plan: DecodePlan) -> np.ndarray:
+    """Progressive arithmetic (SOF10) scans -> [total_blocks, 64] int32,
+    zigzag order, MCU stream order — the shared entropy-layer contract.
+
+    Scan semantics per T.81 G.1.3 with the QM coder: DC-first scans use the
+    sequential DC model with an Al shift, DC refinements a single fixed-bin
+    decision per block, AC-first the sequential AC model (no EOB runs —
+    the EOB decision is per block), AC refinements correction bits with the
+    per-k statistics. Restart segments reset the coder + statistics."""
+    if not (plan.progressive and plan.arith_code):
+        raise JPEGError("not a progressive arithmetic plan")
+    state = [
+        np.zeros((plan.mcus_y * c.v, plan.mcus_x * c.h, 64), np.int32)
+        for c in plan.components
+    ]
+    for scan in plan.prog_scans:
+        if scan.ss == 0:
+            if scan.se != 0:
+                raise JPEGError("progressive DC scan must have se == 0")
+            _prog_dc_scan_arith(plan, scan, state)
+        else:
+            _prog_ac_scan_arith(plan, scan, state)
+
+    out = np.zeros((plan.total_blocks, 64), np.int32)
+    slots = plan.component_block_slots()
+    bpm = plan.blocks_per_mcu
+    my, mx = np.divmod(np.arange(plan.n_mcus), plan.mcus_x)
+    for si, (ci, sub) in enumerate(slots):
+        c = plan.components[ci]
+        vi, hi = divmod(sub, c.h)
+        out[si::bpm] = state[ci][my * c.v + vi, mx * c.h + hi]
+    return out
+
+
+def _prog_dc_scan_arith(plan, scan, state):
+    interleaved = len(scan.comp_indices) > 1
+    ncomp = len(scan.comp_indices)
+    if interleaved:
+        n_units = plan.n_mcus
+    else:
+        bh, bw = _comp_block_dims(plan, scan.comp_indices[0])
+        n_units = bh * bw
+    ri = scan.restart_interval or n_units
+    al = scan.al
+    unit = 0
+    for (s, e) in scan.bounds:
+        if unit >= n_units:
+            break
+        dec = ArithDecoder(scan.scan_data[s:e])
+        dc_stats = [bytearray(64) for _ in range(4)]
+        fixed = bytearray([FIXED_BIN])
+        ctx = [0] * ncomp
+        last_dc = [0] * ncomp
+        for _ in range(min(ri, n_units - unit)):
+            if interleaved:
+                my, mx = divmod(unit, plan.mcus_x)
+                for si, ci in enumerate(scan.comp_indices):
+                    c = plan.components[ci]
+                    tid = scan.dc_ids[si]
+                    for vi in range(c.v):
+                        for hi in range(c.h):
+                            blk = state[ci][my * c.v + vi, mx * c.h + hi]
+                            _prog_dc_block(dec, dc_stats[tid], fixed, ctx,
+                                           last_dc, si, scan, tid, blk, al)
+            else:
+                ci = scan.comp_indices[0]
+                bh, bw = _comp_block_dims(plan, ci)
+                by, bx = divmod(unit, bw)
+                blk = state[ci][by, bx]
+                _prog_dc_block(dec, dc_stats[scan.dc_ids[0]], fixed, ctx,
+                               last_dc, 0, scan, scan.dc_ids[0], blk, al)
+            unit += 1
+
+
+def _prog_dc_block(dec, st_dc, fixed, ctx, last_dc, si, scan, tid, blk, al):
+    if scan.ah:  # refinement: one fixed-bin bit per block
+        if dec.decode(fixed, 0):
+            blk[0] |= 1 << al
+        return
+    L, U = scan.arith_dc_L[tid], scan.arith_dc_U[tid]
+    _decode_dc(dec, st_dc, ctx, last_dc, si, L, U)
+    blk[0] = last_dc[si] << al
+
+
+def _prog_ac_scan_arith(plan, scan, state):
+    ci = scan.comp_indices[0]
+    tid = scan.ac_ids[0]
+    kx = scan.arith_ac_K[tid]
+    bh, bw = _comp_block_dims(plan, ci)
+    n_units = bh * bw
+    ri = scan.restart_interval or n_units
+    ss, se, ah, al = scan.ss, scan.se, scan.ah, scan.al
+    p1 = 1 << al
+    m1 = -p1
+    unit = 0
+    for (s, e) in scan.bounds:
+        if unit >= n_units:
+            break
+        dec = ArithDecoder(scan.scan_data[s:e])
+        ac_stats = bytearray(256)
+        fixed = bytearray([FIXED_BIN])
+        for _ in range(min(ri, n_units - unit)):
+            by, bx = divmod(unit, bw)
+            blk = state[ci][by, bx]
+            if ah == 0:
+                k = ss
+                while k <= se:
+                    st = 3 * (k - 1)
+                    if dec.decode(ac_stats, st):
+                        break  # EOB
+                    while dec.decode(ac_stats, st + 1) == 0:
+                        st += 3
+                        k += 1
+                        if k > se:
+                            raise JPEGError("corrupt progressive AC run")
+                    sign = dec.decode(fixed, 0)
+                    st += 2
+                    if dec.decode(ac_stats, st) == 0:
+                        m = 0
+                    elif dec.decode(ac_stats, st) == 0:
+                        m = 1
+                    else:
+                        m = 2
+                        st = 189 if k <= kx else 217
+                        while dec.decode(ac_stats, st):
+                            m <<= 1
+                            if m == 0x8000:
+                                raise JPEGError(
+                                    "corrupt progressive AC magnitude")
+                            st += 1
+                    v = m
+                    st += 14
+                    while m > 1:
+                        m >>= 1
+                        if dec.decode(ac_stats, st):
+                            v |= m
+                    v += 1
+                    blk[k] = (-v if sign else v) << al
+                    k += 1
+            else:
+                kex = se
+                while kex > 0 and blk[kex] == 0:
+                    kex -= 1
+                k = ss
+                while k <= se:
+                    st = 3 * (k - 1)
+                    if k > kex and dec.decode(ac_stats, st):
+                        break  # EOB
+                    while True:
+                        c = int(blk[k])
+                        if c != 0:
+                            if dec.decode(ac_stats, st + 2):
+                                blk[k] = c + (m1 if c < 0 else p1)
+                            break
+                        if dec.decode(ac_stats, st + 1):
+                            blk[k] = m1 if dec.decode(fixed, 0) else p1
+                            break
+                        st += 3
+                        k += 1
+                        if k > se:
+                            raise JPEGError(
+                                "corrupt progressive AC refinement")
+                    k += 1
+            unit += 1
+
+
+def _enc_ac_value(enc, ac_stats, fixed, st, k, kx, val):
+    """Sign + magnitude + bits of one nonzero (scaled) AC value at k,
+    with st already at the run-end position (F.1.4.4.2 dual)."""
+    sign = 1 if val < 0 else 0
+    enc.encode(fixed, 0, sign)
+    v = (-val if sign else val) - 1
+    st += 2
+    if v == 0:
+        enc.encode(ac_stats, st, 0)
+        m = 0
+    else:
+        enc.encode(ac_stats, st, 1)
+        if v == 1:
+            enc.encode(ac_stats, st, 0)
+            m = 1
+        else:
+            enc.encode(ac_stats, st, 1)
+            m = 2
+            st = 189 if k <= kx else 217
+            while (m << 1) <= v:
+                enc.encode(ac_stats, st, 1)
+                m <<= 1
+                st += 1
+            enc.encode(ac_stats, st, 0)
+    st += 14
+    mm = m >> 1
+    while mm:
+        enc.encode(ac_stats, st, 1 if v & mm else 0)
+        mm >>= 1
+
+
+def encode_progressive_scans_arith(comp_blocks_zz, samplings, mcus_x, mcus_y,
+                                   scan_script, restart_interval,
+                                   table_ids) -> list:
+    """Arithmetic entropy for a progressive scan script -> list of
+    {"comps", "ss", "se", "ah", "al", "data"} (data includes RST markers).
+    The exact dual of :func:`decode_progressive_coefficients_arith`."""
+    ncomp = len(samplings)
+    out_scans = []
+    for comps, ss, se, ah, al in scan_script:
+        if ss == 0:
+            data = _enc_prog_dc_scan(comp_blocks_zz, samplings, mcus_x,
+                                     mcus_y, comps, ah, al,
+                                     restart_interval, table_ids)
+        else:
+            data = _enc_prog_ac_scan(comp_blocks_zz, samplings, comps[0],
+                                     ss, se, ah, al, restart_interval,
+                                     table_ids)
+        out_scans.append({"comps": list(comps), "ss": ss, "se": se,
+                          "ah": ah, "al": al, "data": data, "tables": []})
+    return out_scans
+
+
+def _enc_prog_dc_scan(comp_blocks_zz, samplings, mcus_x, mcus_y, comps,
+                      ah, al, restart_interval, table_ids):
+    interleaved = len(comps) > 1
+    if interleaved:
+        n_units = mcus_x * mcus_y
+    else:
+        bh, bw = comp_blocks_zz[comps[0]].shape[:2]
+        n_units = bh * bw
+    ri = restart_interval or n_units
+
+    scan = bytearray()
+    rst = 0
+    unit = 0
+    while unit < n_units:
+        enc = ArithEncoder()
+        dc_stats = [bytearray(64) for _ in range(4)]
+        fixed = bytearray([FIXED_BIN])
+        ctx = [0] * len(comps)
+        last_dc = [0] * len(comps)
+        for _ in range(min(ri, n_units - unit)):
+            if interleaved:
+                my, mx = divmod(unit, mcus_x)
+                for si, ci in enumerate(comps):
+                    h, v = samplings[ci]
+                    tid = table_ids[ci]
+                    for vi in range(v):
+                        for hi in range(h):
+                            blk = comp_blocks_zz[ci][my * v + vi, mx * h + hi]
+                            _enc_prog_dc_block(enc, dc_stats[tid], fixed,
+                                               ctx, last_dc, si,
+                                               int(blk[0]), ah, al)
+            else:
+                ci = comps[0]
+                bh, bw = comp_blocks_zz[ci].shape[:2]
+                by, bx = divmod(unit, bw)
+                _enc_prog_dc_block(enc, dc_stats[table_ids[ci]], fixed, ctx,
+                                   last_dc, 0,
+                                   int(comp_blocks_zz[ci][by, bx][0]),
+                                   ah, al)
+            unit += 1
+        scan += enc.finish()
+        if unit < n_units:
+            scan += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+    return bytes(scan)
+
+
+def _enc_prog_dc_block(enc, st_dc, fixed, ctx, last_dc, si, dc, ah, al):
+    if ah:  # refinement: one fixed-bin bit
+        enc.encode(fixed, 0, (dc >> al) & 1)
+        return
+    # Point transform: arithmetic shift of the signed DC (G.1.2.1).
+    _encode_dc(enc, st_dc, ctx, last_dc, si, 0, 1, dc >> al)
+
+
+def _enc_prog_ac_scan(comp_blocks_zz, samplings, ci, ss, se, ah, al,
+                      restart_interval, table_ids):
+    grid = comp_blocks_zz[ci]
+    bh, bw = grid.shape[:2]
+    n_units = bh * bw
+    ri = restart_interval or n_units
+    kx = 5
+    scan = bytearray()
+    rst = 0
+    unit = 0
+    while unit < n_units:
+        enc = ArithEncoder()
+        ac_stats = bytearray(256)
+        fixed = bytearray([FIXED_BIN])
+        for _ in range(min(ri, n_units - unit)):
+            by, bx = divmod(unit, bw)
+            blk = grid[by, bx]
+            if ah == 0:
+                _enc_prog_ac_first(enc, ac_stats, fixed, blk, ss, se, al, kx)
+            else:
+                _enc_prog_ac_refine(enc, ac_stats, fixed, blk, ss, se, al)
+            unit += 1
+        scan += enc.finish()
+        if unit < n_units:
+            scan += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+    return bytes(scan)
+
+
+def _scaled(v, al):
+    return (-((-int(v)) >> al)) if v < 0 else (int(v) >> al)
+
+
+def _enc_prog_ac_first(enc, ac_stats, fixed, blk, ss, se, al, kx):
+    ke = 0
+    for k in range(se, ss - 1, -1):
+        if _scaled(blk[k], al):
+            ke = k
+            break
+    k = ss
+    while k <= ke:
+        st = 3 * (k - 1)
+        enc.encode(ac_stats, st, 0)  # not EOB
+        while _scaled(blk[k], al) == 0:
+            enc.encode(ac_stats, st + 1, 0)
+            st += 3
+            k += 1
+        enc.encode(ac_stats, st + 1, 1)
+        _enc_ac_value(enc, ac_stats, fixed, st, k, kx, _scaled(blk[k], al))
+        k += 1
+    if ke < se:
+        enc.encode(ac_stats, 3 * (k - 1), 1)  # EOB
+
+
+def _enc_prog_ac_refine(enc, ac_stats, fixed, blk, ss, se, al):
+    ke = 0
+    for k in range(se, ss - 1, -1):
+        if abs(int(blk[k])) >> al:
+            ke = k
+            break
+    kex = 0
+    for k in range(se, ss - 1, -1):
+        if abs(int(blk[k])) >> (al + 1):
+            kex = k
+            break
+    k = ss
+    while k <= ke:
+        st = 3 * (k - 1)
+        if k > kex:
+            enc.encode(ac_stats, st, 0)  # not EOB
+        while True:
+            t = abs(int(blk[k])) >> al
+            if t > 1:  # previously nonzero: correction bit
+                enc.encode(ac_stats, st + 2, t & 1)
+                break
+            if t == 1:  # newly nonzero this stage
+                enc.encode(ac_stats, st + 1, 1)
+                enc.encode(fixed, 0, 1 if blk[k] < 0 else 0)
+                break
+            enc.encode(ac_stats, st + 1, 0)
+            st += 3
+            k += 1
+        k += 1
+    if k <= se:
+        enc.encode(ac_stats, 3 * (k - 1), 1)  # EOB

@@ -86,6 +86,11 @@ class ProgScan:
     restart_interval: int
     dc_tables: list
     ac_tables: list
+    # Arithmetic conditioning snapshot (SOF10; DAC may redefine between
+    # scans, so capture at scan time like the Huffman table snapshots).
+    arith_dc_L: tuple = (0, 0, 0, 0)
+    arith_dc_U: tuple = (1, 1, 1, 1)
+    arith_ac_K: tuple = (5, 5, 5, 5)
 
 
 @dataclasses.dataclass
@@ -343,7 +348,7 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
         elif marker == DRI:
             # JPEG B.2.4.4 — reference panics here (src/jpeg/mod.rs:424-428).
             restart_interval = _u16(vec, body)
-        elif marker in (SOF0, 0xC1, 0xC2, 0xC9):
+        elif marker in (SOF0, 0xC1, 0xC2, 0xC9, 0xCA):
             # JPEG B.2.2; parity src/jpeg/mod.rs:262-298. SOF2 = progressive,
             # SOF1 = extended sequential — at 8-bit precision its decode is
             # identical to baseline (more table slots, which we already
@@ -354,7 +359,7 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
                 raise JPEGError(
                     f"unsupported sample precision {precision} "
                     "(8-bit only; 12-bit needs SOF1 extended paths)")
-            progressive = marker == 0xC2
+            progressive = marker in (0xC2, 0xCA)
             height = _u16(vec, body + 1)
             width = _u16(vec, body + 3)
             if width == 0 or height == 0:
@@ -377,9 +382,7 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
                     raise JPEGError(f"invalid quant table id {tq}")
                 components.append(ComponentInfo(cid, h, v, quant_id=tq))
                 idx += 3
-            arith_code = marker == 0xC9
-            if arith_code and progressive:
-                raise JPEGError("impossible SOF combination")
+            arith_code = marker in (0xC9, 0xCA)
             got_frame = True
         elif marker == 0xCC:
             # DAC: arithmetic conditioning (B.2.4.3). DC: Cs = (U << 4) | L;
@@ -408,7 +411,7 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
             raise JPEGError(
                 f"unsupported SOF type {marker:#04x}: only baseline (SOF0), "
                 "extended sequential (SOF1, 8-bit), progressive (SOF2) and "
-                "sequential arithmetic (SOF9) DCT are supported"
+                "arithmetic (SOF9/SOF10) DCT are supported"
             )
         elif marker == SOS:
             # JPEG B.2.3; parity src/jpeg/mod.rs:337-362 (without its i+=2
@@ -476,6 +479,9 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
                     restart_interval=restart_interval,
                     dc_tables=list(dc_tables),
                     ac_tables=list(ac_tables),
+                    arith_dc_L=tuple(arith_dc_L),
+                    arith_dc_U=tuple(arith_dc_U),
+                    arith_ac_K=tuple(arith_ac_K),
                 ))
                 i = scan_end
                 continue
@@ -557,5 +563,8 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
             jfif_units=jfif_units, jfif_density=jfif_density, exif=exif,
             adobe_transform=adobe_transform,
             progressive=True, prog_scans=prog_scans,
+            arith_code=arith_code,
+            arith_dc_L=tuple(arith_dc_L), arith_dc_U=tuple(arith_dc_U),
+            arith_ac_K=tuple(arith_ac_K),
         )
     raise JPEGError("no SOS marker found (no image data)")

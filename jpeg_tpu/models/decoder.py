@@ -169,7 +169,13 @@ def decode_coefficients_host(plan: DecodePlan, engine: str = "auto") -> np.ndarr
     semantics), or "auto" (native if built, else oracle).
     """
     if getattr(plan, "arith_code", False):
-        # SOF9 arithmetic entropy (QM coder) — beyond the reference.
+        # SOF9/SOF10 arithmetic entropy (QM coder) — beyond the reference.
+        if plan.progressive:
+            from jpeg_tpu.entropy.arith import (
+                decode_progressive_coefficients_arith,
+            )
+
+            return decode_progressive_coefficients_arith(plan)
         from jpeg_tpu.entropy.arith import decode_coefficients_arith
 
         return decode_coefficients_arith(plan)

@@ -491,12 +491,14 @@ def encode_rgb_progressive(rgb: np.ndarray, quality: int = 85,
                            subsampling: tuple[int, int] = (2, 2),
                            grayscale: bool = False,
                            scan_script=None,
-                           restart_interval: int = 0) -> bytes:
+                           restart_interval: int = 0,
+                           arithmetic: bool = False) -> bytes:
     """Encode to a progressive (SOF2) JFIF stream.
 
     libjpeg's standard scan script with per-scan optimal Huffman tables
     (entropy/progressive_encode.py). Same quantized coefficients as the
     baseline encoder, so decoding both yields identical pixels.
+    ``arithmetic=True`` emits SOF10 (progressive arithmetic, QM coder).
     """
     from jpeg_tpu.entropy.progressive_encode import encode_progressive_scans
 
@@ -504,16 +506,26 @@ def encode_rgb_progressive(rgb: np.ndarray, quality: int = 85,
      mcus_x, mcus_y, grayscale) = _forward_transform(
         rgb, quality, subsampling, grayscale)
 
-    try:
-        from jpeg_tpu.runtime import native_encode_progressive_scans
+    if arithmetic:
+        from jpeg_tpu.entropy.arith import encode_progressive_scans_arith
+        from jpeg_tpu.entropy.progressive_encode import standard_scan_script
 
-        scans = native_encode_progressive_scans(
-            comp_blocks_zz, samplings, mcus_x, mcus_y, width, height,
-            scan_script=scan_script, restart_interval=restart_interval)
-    except (ImportError, OSError):
-        scans = encode_progressive_scans(
-            comp_blocks_zz, samplings, mcus_x, mcus_y, width, height,
-            scan_script=scan_script, restart_interval=restart_interval)
+        table_ids = [min(ci, 1) for ci in range(len(samplings))]
+        scans = encode_progressive_scans_arith(
+            comp_blocks_zz, samplings, mcus_x, mcus_y,
+            scan_script or standard_scan_script(len(samplings)),
+            restart_interval, table_ids)
+    else:
+        try:
+            from jpeg_tpu.runtime import native_encode_progressive_scans
+
+            scans = native_encode_progressive_scans(
+                comp_blocks_zz, samplings, mcus_x, mcus_y, width, height,
+                scan_script=scan_script, restart_interval=restart_interval)
+        except (ImportError, OSError):
+            scans = encode_progressive_scans(
+                comp_blocks_zz, samplings, mcus_x, mcus_y, width, height,
+                scan_script=scan_script, restart_interval=restart_interval)
 
     out = bytearray(b"\xff\xd8")
     app0 = b"JFIF\x00\x01\x01\x00" + (1).to_bytes(2, "big") * 2 + b"\x00\x00"
@@ -525,7 +537,13 @@ def encode_rgb_progressive(rgb: np.ndarray, quality: int = 85,
     sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big") + bytes([ncomp])
     for ci, (h, v) in enumerate(samplings):
         sof += bytes([ci + 1, (h << 4) | v, min(ci, 1)])
-    out += b"\xff\xc2" + (len(sof) + 2).to_bytes(2, "big") + sof  # SOF2
+    out += (b"\xff\xca" if arithmetic else b"\xff\xc2") + (
+        len(sof) + 2).to_bytes(2, "big") + sof  # SOF10 / SOF2
+    if arithmetic:
+        dac = b""
+        for tid in sorted({min(ci, 1) for ci in range(ncomp)}):
+            dac += bytes([tid, (1 << 4) | 0]) + bytes([(1 << 4) | tid, 5])
+        out += b"\xff\xcc" + (len(dac) + 2).to_bytes(2, "big") + dac
     if restart_interval:
         out += b"\xff\xdd\x00\x04" + restart_interval.to_bytes(2, "big")
     for scan in scans:
@@ -537,8 +555,11 @@ def encode_rgb_progressive(rgb: np.ndarray, quality: int = 85,
             out += b"\xff\xc4" + (len(body) + 2).to_bytes(2, "big") + body
         sos = bytes([len(scan["comps"])])
         for si, ci in enumerate(scan["comps"]):
-            dc_sel = si if scan["ss"] == 0 and scan["ah"] == 0 else 0
-            ac_sel = 0
+            if arithmetic:
+                dc_sel = ac_sel = min(ci, 1)
+            else:
+                dc_sel = si if scan["ss"] == 0 and scan["ah"] == 0 else 0
+                ac_sel = 0
             sos += bytes([ci + 1, (dc_sel << 4) | ac_sel])
         sos += bytes([scan["ss"], scan["se"], (scan["ah"] << 4) | scan["al"]])
         out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos

@@ -152,9 +152,60 @@ def test_truncation_and_bitflips_do_not_crash():
             pass
 
 
-def test_progressive_arithmetic_rejected_cleanly():
+def test_lossless_sof_rejected_cleanly():
     data = bytearray(GOLD["color_jpg"].tobytes())
     i = data.find(b"\xff\xc9")
-    data[i + 1] = 0xCA  # SOF10: progressive arithmetic
+    data[i + 1] = 0xCB  # SOF11: lossless (unsupported)
     with pytest.raises(JPEGError, match="SOF"):
         parse_jpeg(bytes(data))
+
+
+def test_progressive_arithmetic_decode_matches_libjpeg():
+    """SOF10 stream produced by libjpeg: coefficient-exact decode."""
+    from jpeg_tpu.entropy.arith import decode_progressive_coefficients_arith
+
+    data = GOLD["prog_jpg"].tobytes()
+    plan = parse_jpeg(data)
+    assert plan.progressive and plan.arith_code
+    assert len(plan.prog_scans) == 10
+    grids = _coeff_grids(plan, decode_progressive_coefficients_arith(plan))
+    ci = 0
+    while f"prog_coef{ci}" in GOLD:
+        ref = GOLD[f"prog_coef{ci}"]
+        bh, bw = ref.shape[:2]
+        mine = np.stack([
+            unzigzag(grids[ci][by, bx])
+            for by in range(bh) for bx in range(bw)
+        ]).reshape(bh, bw, 64)
+        np.testing.assert_array_equal(mine, ref.astype(np.int32))
+        ci += 1
+    ours = np.asarray(jpeg_tpu.decode_bytes(data, rounding="round"))
+    assert psnr(ours, GOLD["prog_pil"]) > 40.0
+
+
+def test_progressive_arithmetic_encode_roundtrip():
+    from jpeg_tpu.models.encoder import encode_rgb_progressive
+
+    img = synthetic_image(96, 64, seed=5)
+    base = jpeg_tpu.decode_bytes(encode_rgb(img, quality=85))
+    for kw in ({}, {"restart_interval": 3}):
+        data = encode_rgb_progressive(img, quality=85, arithmetic=True, **kw)
+        plan = parse_jpeg(data)
+        assert plan.progressive and plan.arith_code
+        np.testing.assert_array_equal(jpeg_tpu.decode_bytes(data), base)
+        # Independent cross-check: libjpeg (PIL) decodes our SOF10 stream.
+        pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        assert psnr(np.asarray(jpeg_tpu.decode_bytes(data, rounding="round")),
+                    pil) > 40.0
+
+
+def test_progressive_arithmetic_grayscale_roundtrip():
+    from jpeg_tpu.models.encoder import encode_rgb_progressive
+
+    img = synthetic_image(64, 48, seed=6)[:, :, 0].copy()
+    base = jpeg_tpu.decode_bytes(encode_rgb(img, quality=85, grayscale=True))
+    data = encode_rgb_progressive(img, quality=85, grayscale=True,
+                                  arithmetic=True)
+    plan = parse_jpeg(data)
+    assert plan.progressive and plan.arith_code
+    np.testing.assert_array_equal(jpeg_tpu.decode_bytes(data), base)
