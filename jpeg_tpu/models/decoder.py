@@ -176,6 +176,14 @@ def decode_coefficients_host(plan: DecodePlan, engine: str = "auto") -> np.ndarr
             )
 
             return decode_progressive_coefficients_arith(plan)
+        if engine in ("auto", "native"):
+            try:
+                from jpeg_tpu.runtime import native_decode_arith_coefficients
+
+                return native_decode_arith_coefficients(plan)
+            except (ImportError, OSError):
+                if engine == "native":
+                    raise
         from jpeg_tpu.entropy.arith import decode_coefficients_arith
 
         return decode_coefficients_arith(plan)
@@ -240,16 +248,20 @@ def decode_plan_fast(plan: DecodePlan, rounding: str = "truncate",
     from jpeg_tpu.runtime import native_decode_planes
 
     if (getattr(plan, "color_model", "ycbcr") not in ("ycbcr", "gray")
-            or getattr(plan, "arith_code", False)):
+            or (getattr(plan, "arith_code", False) and plan.progressive)):
         # The fused kernel bakes in the YCbCr matrix (RGB-direct streams
-        # would come out silently wrong; CMYK/YCCK don't fit 3 channels),
-        # and the C++ plane-entropy runtime is Huffman-only. Route through
-        # the compat pipeline, which handles every stream type.
+        # would come out silently wrong; CMYK/YCCK don't fit 3 channels);
+        # progressive arithmetic decodes via the Python models. Route
+        # through the compat pipeline, which handles every stream type.
         return decode_plan(plan, rounding=rounding)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if plan.progressive:
         planes = progressive_planes(plan)
+    elif getattr(plan, "arith_code", False):
+        from jpeg_tpu.runtime import native_decode_arith_planes
+
+        planes = native_decode_arith_planes(plan)
     else:
         planes = native_decode_planes(plan)
     return decode_planes_fused(planes, plan, rounding, interpret, idct_mode)

@@ -101,6 +101,26 @@ def _load() -> ctypes.CDLL:
         i64p, ctypes.c_int32,  # plane rows, prezero mode
         ctypes.c_int32, ctypes.c_int32,  # n_chunks, n_threads
     ]
+    lib.jt_decode_arith_scan_planes.restype = ctypes.c_int64
+    lib.jt_decode_arith_scan_planes.argtypes = [
+        u8p, ctypes.c_int64,
+        i64p, i64p, i64p, i64p, ctypes.c_int64,
+        u8p, u8p, u8p, ctypes.c_int32,
+        u8p, u8p, u8p, u8p, ctypes.c_int32,
+        ctypes.c_int32,
+        u8p, u8p, u8p,  # conditioning L/U/Kx
+        ctypes.POINTER(i16p), i64p, i64p, ctypes.c_int32,
+        ctypes.c_int32,
+    ]
+    lib.jt_decode_arith_scan.restype = ctypes.c_int64
+    lib.jt_decode_arith_scan.argtypes = [
+        u8p, ctypes.c_int64,
+        i64p, i64p, i64p, i64p, ctypes.c_int64,
+        u8p, ctypes.c_int32,
+        u8p, u8p, ctypes.c_int32,
+        u8p, u8p, u8p,
+        i32p, ctypes.c_int32,
+    ]
     lib.jt_unstuff_scan.restype = ctypes.c_int64
     lib.jt_unstuff_scan.argtypes = [
         u8p, ctypes.c_int64, u8p, i64p, i64p, i64p, ctypes.c_int64, i64p,
@@ -697,6 +717,104 @@ def native_decode_progressive_planes(plan,
         len(plan.components), plan.mcus_x, plan.n_mcus,
         ptrs, _p(strides, ct.c_int64), n_threads)
     return planes
+
+
+
+def _arith_args(plan):
+    import ctypes as ct
+
+    data = np.ascontiguousarray(plan.scan_data, dtype=np.uint8)
+    seg_start = np.array([s.byte_start for s in plan.segments], np.int64)
+    seg_end = np.array([s.byte_end for s in plan.segments], np.int64)
+    seg_mcu_start = np.array([s.mcu_start for s in plan.segments], np.int64)
+    seg_mcu_count = np.array([s.mcu_count for s in plan.segments], np.int64)
+    slots = plan.component_block_slots()
+    slot_comp = np.array([ci for ci, _ in slots], np.uint8)
+    slot_vi = np.array(
+        [sub // plan.components[ci].h for ci, sub in slots], np.uint8)
+    slot_hi = np.array(
+        [sub % plan.components[ci].h for ci, sub in slots], np.uint8)
+    comp_dc = np.array([c.dc_id for c in plan.components], np.uint8)
+    comp_ac = np.array([c.ac_id for c in plan.components], np.uint8)
+    comp_h = np.array([c.h for c in plan.components], np.uint8)
+    comp_v = np.array([c.v for c in plan.components], np.uint8)
+    dc_L = np.array(plan.arith_dc_L, np.uint8)
+    dc_U = np.array(plan.arith_dc_U, np.uint8)
+    ac_K = np.array(plan.arith_ac_K, np.uint8)
+    return (data, seg_start, seg_end, seg_mcu_start, seg_mcu_count,
+            slot_comp, slot_vi, slot_hi, comp_dc, comp_ac, comp_h, comp_v,
+            dc_L, dc_U, ac_K)
+
+
+def native_decode_arith_planes(plan, n_threads: int | None = None,
+                               reuse_buffer: bool = True):
+    """Arithmetic (SOF9) entropy decode into int16 planes — the production
+    twin of :func:`jpeg_tpu.entropy.arith.decode_coefficients_arith`,
+    thread-parallel over restart segments, same buffer/prezero contract as
+    :func:`native_decode_planes`."""
+    import ctypes as ct
+
+    lib = _load()
+    if n_threads is None:
+        n_threads = os.cpu_count() or 1
+    (data, seg_start, seg_end, seg_mcu_start, seg_mcu_count, slot_comp,
+     slot_vi, slot_hi, comp_dc, comp_ac, comp_h, comp_v,
+     dc_L, dc_U, ac_K) = _arith_args(plan)
+    shapes = plane_shapes(plan)
+    key = ("planes", threading.get_ident(), tuple(shapes))
+    planes = _out_buffers.get(key) if reuse_buffer else None
+    fresh = planes is None
+    if fresh:
+        planes = [np.zeros(sh, np.int16) for sh in shapes]
+        if reuse_buffer:
+            _out_buffers[key] = planes
+    prezero = 0 if fresh else 2
+    i16p = ct.POINTER(ct.c_int16)
+    ptrs = (i16p * len(planes))(*[_p(p, ct.c_int16) for p in planes])
+    strides = np.array([sh[1] for sh in shapes], np.int64)
+    rows = np.array([sh[0] for sh in shapes], np.int64)
+    err = lib.jt_decode_arith_scan_planes(
+        _p(data, ct.c_uint8), data.size,
+        _p(seg_start, ct.c_int64), _p(seg_end, ct.c_int64),
+        _p(seg_mcu_start, ct.c_int64), _p(seg_mcu_count, ct.c_int64),
+        len(plan.segments),
+        _p(slot_comp, ct.c_uint8), _p(slot_vi, ct.c_uint8),
+        _p(slot_hi, ct.c_uint8), plan.blocks_per_mcu,
+        _p(comp_dc, ct.c_uint8), _p(comp_ac, ct.c_uint8),
+        _p(comp_h, ct.c_uint8), _p(comp_v, ct.c_uint8),
+        len(plan.components), plan.mcus_x,
+        _p(dc_L, ct.c_uint8), _p(dc_U, ct.c_uint8), _p(ac_K, ct.c_uint8),
+        ptrs, _p(strides, ct.c_int64), _p(rows, ct.c_int64), prezero,
+        n_threads)
+    if err >= 0:
+        raise NativeDecodeError(int(err))
+    return planes
+
+
+def native_decode_arith_coefficients(plan, n_threads: int | None = None):
+    """Arithmetic (SOF9) decode -> [total_blocks, 64] i32 (oracle contract)."""
+    import ctypes as ct
+
+    lib = _load()
+    if n_threads is None:
+        n_threads = os.cpu_count() or 1
+    (data, seg_start, seg_end, seg_mcu_start, seg_mcu_count, slot_comp,
+     _vi, _hi, comp_dc, comp_ac, _h, _v,
+     dc_L, dc_U, ac_K) = _arith_args(plan)
+    out = np.zeros((plan.total_blocks, 64), np.int32)
+    err = lib.jt_decode_arith_scan(
+        _p(data, ct.c_uint8), data.size,
+        _p(seg_start, ct.c_int64), _p(seg_end, ct.c_int64),
+        _p(seg_mcu_start, ct.c_int64), _p(seg_mcu_count, ct.c_int64),
+        len(plan.segments),
+        _p(slot_comp, ct.c_uint8), plan.blocks_per_mcu,
+        _p(comp_dc, ct.c_uint8), _p(comp_ac, ct.c_uint8),
+        len(plan.components),
+        _p(dc_L, ct.c_uint8), _p(dc_U, ct.c_uint8), _p(ac_K, ct.c_uint8),
+        _p(out, ct.c_int32), n_threads)
+    if err >= 0:
+        raise NativeDecodeError(int(err))
+    return out
 
 
 def _load_prog_enc():

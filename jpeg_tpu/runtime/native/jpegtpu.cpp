@@ -711,6 +711,197 @@ inline int64_t reader_bitpos(const BitReader& br, const uint8_t* data,
   return (base_byte + (br.p - data)) * 8 - br.count;
 }
 
+// ---------------------------------------------------------------------------
+// Arithmetic-coded (SOF9) entropy decode: the QM coder of T.81 Annex D/E
+// with the sequential DC/AC statistical models of F.1.4.4 — the production
+// twin of jpeg_tpu.entropy.arith (equivalence-tested; that module documents
+// the register semantics, verified against the system libjpeg). Restart
+// segments decode thread-parallel exactly like the Huffman path.
+
+struct QeEntry {
+  uint16_t qe;
+  uint8_t nmps, nlps, sw;
+};
+
+// T.81 Table D.3 (113 adaptive states + the fixed ~0.5 bin at 113).
+constexpr QeEntry kQeTable[114] = {
+    {0x5A1D, 1, 1, 1}, {0x2586, 2, 14, 0}, {0x1114, 3, 16, 0}, {0x080B, 4, 18, 0},
+    {0x03D8, 5, 20, 0}, {0x01DA, 6, 23, 0}, {0x00E5, 7, 25, 0}, {0x006F, 8, 28, 0},
+    {0x0036, 9, 30, 0}, {0x001A, 10, 33, 0}, {0x000D, 11, 35, 0}, {0x0006, 12, 9, 0},
+    {0x0003, 13, 10, 0}, {0x0001, 13, 12, 0}, {0x5A7F, 15, 15, 1}, {0x3F25, 16, 36, 0},
+    {0x2CF2, 17, 38, 0}, {0x207C, 18, 39, 0}, {0x17B9, 19, 40, 0}, {0x1182, 20, 42, 0},
+    {0x0CEF, 21, 43, 0}, {0x09A1, 22, 45, 0}, {0x072F, 23, 46, 0}, {0x055C, 24, 48, 0},
+    {0x0406, 25, 49, 0}, {0x0303, 26, 51, 0}, {0x0240, 27, 52, 0}, {0x01B1, 28, 54, 0},
+    {0x0144, 29, 56, 0}, {0x00F5, 30, 57, 0}, {0x00B7, 31, 59, 0}, {0x008A, 32, 60, 0},
+    {0x0068, 33, 62, 0}, {0x004E, 34, 63, 0}, {0x003B, 35, 32, 0}, {0x002C, 9, 33, 0},
+    {0x5AE1, 37, 37, 1}, {0x484C, 38, 64, 0}, {0x3A0D, 39, 65, 0}, {0x2EF1, 40, 67, 0},
+    {0x261F, 41, 68, 0}, {0x1F33, 42, 69, 0}, {0x19A8, 43, 70, 0}, {0x1518, 44, 72, 0},
+    {0x1177, 45, 73, 0}, {0x0E74, 46, 74, 0}, {0x0BFB, 47, 75, 0}, {0x09F8, 48, 77, 0},
+    {0x0861, 49, 78, 0}, {0x0706, 50, 79, 0}, {0x05CD, 51, 48, 0}, {0x04DE, 52, 50, 0},
+    {0x040F, 53, 50, 0}, {0x0363, 54, 51, 0}, {0x02D4, 55, 52, 0}, {0x025C, 56, 53, 0},
+    {0x01F8, 57, 54, 0}, {0x01A4, 58, 55, 0}, {0x0160, 59, 56, 0}, {0x0125, 60, 57, 0},
+    {0x00F6, 61, 58, 0}, {0x00CB, 62, 59, 0}, {0x00AB, 63, 61, 0}, {0x008F, 32, 61, 0},
+    {0x5B12, 65, 65, 1}, {0x4D04, 66, 80, 0}, {0x412C, 67, 81, 0}, {0x37D8, 68, 82, 0},
+    {0x2FE8, 69, 83, 0}, {0x293C, 70, 84, 0}, {0x2379, 71, 86, 0}, {0x1EDF, 72, 87, 0},
+    {0x1AA9, 73, 87, 0}, {0x174E, 74, 72, 0}, {0x1424, 75, 72, 0}, {0x119C, 76, 74, 0},
+    {0x0F6B, 77, 74, 0}, {0x0D51, 78, 75, 0}, {0x0BB6, 79, 77, 0}, {0x0A40, 48, 77, 0},
+    {0x5832, 81, 80, 1}, {0x4D1C, 82, 88, 0}, {0x438E, 83, 89, 0}, {0x3BDD, 84, 90, 0},
+    {0x34EE, 85, 91, 0}, {0x2EAE, 86, 92, 0}, {0x299A, 87, 93, 0}, {0x2516, 71, 86, 0},
+    {0x5570, 89, 88, 1}, {0x4CA9, 90, 95, 0}, {0x44D9, 91, 96, 0}, {0x3E22, 92, 97, 0},
+    {0x3824, 93, 99, 0}, {0x32B4, 94, 99, 0}, {0x2E17, 86, 93, 0}, {0x56A8, 96, 95, 1},
+    {0x4F46, 97, 101, 0}, {0x47E5, 98, 102, 0}, {0x41CF, 99, 103, 0}, {0x3C3D, 100, 104, 0},
+    {0x375E, 93, 99, 0}, {0x5231, 102, 105, 0}, {0x4C0F, 103, 106, 0}, {0x4639, 104, 107, 0},
+    {0x415E, 99, 103, 0}, {0x5627, 106, 105, 1}, {0x50E7, 107, 108, 0}, {0x4B85, 103, 109, 0},
+    {0x5597, 109, 110, 0}, {0x504F, 107, 111, 0}, {0x5A10, 111, 110, 1}, {0x5522, 109, 112, 0},
+    {0x59EB, 111, 112, 1}, {0x5A1D, 113, 113, 0},
+};
+constexpr uint8_t kFixedBin = 113;
+
+struct QMDecoder {
+  const uint8_t* p;
+  const uint8_t* end;
+  int64_t c = 0;
+  int64_t a = 0;
+  int ct = -16;  // forces the two-byte initial fill
+
+  QMDecoder(const uint8_t* d, int64_t n) : p(d), end(d + n) {}
+
+  inline int decode(uint8_t* st) {
+    int64_t aa = a;
+    while (aa < 0x8000) {
+      if (--ct < 0) {
+        c = (c << 8) | (p < end ? *p++ : 0);  // zero fill past segment end
+        ct += 8;
+        if (ct < 0) {
+          if (++ct == 0) {
+            aa = 0x10000;
+            break;
+          }
+          continue;
+        }
+      }
+      aa <<= 1;
+    }
+    uint8_t sv = *st;
+    const QeEntry e = kQeTable[sv & 0x7F];
+    aa -= e.qe;
+    int64_t thresh = aa << ct;
+    if (c < thresh) {
+      if (aa >= 0x8000) {
+        a = aa;
+        return sv >> 7;
+      }
+      a = aa;
+      if (e.qe <= aa) {
+        *st = (sv & 0x80) | e.nmps;
+        return sv >> 7;
+      }
+      *st = (uint8_t)((e.sw ? ((sv & 0x80) ^ 0x80) : (sv & 0x80)) | e.nlps);
+      return (sv >> 7) ^ 1;
+    }
+    c -= thresh;
+    a = e.qe;
+    if (e.qe > aa) {
+      *st = (sv & 0x80) | e.nmps;
+      return sv >> 7;
+    }
+    *st = (uint8_t)((e.sw ? ((sv & 0x80) ^ 0x80) : (sv & 0x80)) | e.nlps);
+    return (sv >> 7) ^ 1;
+  }
+};
+
+struct ArithStats {
+  uint8_t dc[4][64];
+  uint8_t ac[4][256];
+  uint8_t fixed;
+  int32_t ctx[4];
+  int32_t last_dc[4];
+
+  void reset() {
+    std::memset(this, 0, sizeof(*this));
+    fixed = kFixedBin;
+  }
+};
+
+// One DC difference (F.1.4.4.1). Returns 0 ok, 1 corrupt.
+inline int qm_decode_dc(QMDecoder& dec, ArithStats& s, int tbl, int ci,
+                        int L, int U) {
+  uint8_t* st = s.dc[tbl];
+  int base = s.ctx[ci];
+  if (dec.decode(st + base) == 0) {
+    s.ctx[ci] = 0;
+    return 0;
+  }
+  int sign = dec.decode(st + base + 1);
+  int i = base + 2 + sign;
+  int m;
+  if (dec.decode(st + i) == 0) {
+    m = 0;
+  } else {
+    m = 1;
+    i = 20;
+    while (dec.decode(st + i)) {
+      if ((m <<= 1) == 0x8000) return 1;
+      ++i;
+    }
+  }
+  if (m < (1 << L) >> 1) s.ctx[ci] = 0;
+  else if (m > (1 << U) >> 1) s.ctx[ci] = 12 + sign * 4;
+  else s.ctx[ci] = 4 + sign * 4;
+  int v = m;
+  i += 14;
+  while (m > 1) {
+    m >>= 1;
+    if (dec.decode(st + i)) v |= m;
+  }
+  v += 1;
+  s.last_dc[ci] += sign ? -v : v;
+  return 0;
+}
+
+// AC coefficients 1..63 via callback-free zigzag offsets. Writes nonzeros
+// through `put(k, v)`. Returns 0 ok, 1 corrupt.
+template <typename Put>
+inline int qm_decode_ac(QMDecoder& dec, ArithStats& s, int tbl, int kx,
+                        Put put) {
+  uint8_t* st_ac = s.ac[tbl];
+  int k = 1;
+  while (k <= 63) {
+    uint8_t* st = st_ac + 3 * (k - 1);
+    if (dec.decode(st)) return 0;  // EOB
+    while (dec.decode(st + 1) == 0) {
+      st += 3;
+      if (++k > 63) return 1;
+    }
+    int sign = dec.decode(&s.fixed);
+    st += 2;
+    int m;
+    if (dec.decode(st) == 0) {
+      m = 0;
+    } else if (dec.decode(st) == 0) {
+      m = 1;
+    } else {
+      m = 2;
+      st = st_ac + (k <= kx ? 189 : 217);
+      while (dec.decode(st)) {
+        if ((m <<= 1) == 0x8000) return 1;
+        ++st;
+      }
+    }
+    int v = m;
+    st += 14;
+    while (m > 1) {
+      m >>= 1;
+      if (dec.decode(st)) v |= m;
+    }
+    v += 1;
+    put(k, sign ? -v : v);
+    ++k;
+  }
+  return 0;
+}
+
+
 }  // namespace
 
 extern "C" {
@@ -1471,6 +1662,150 @@ void jt_prog_assemble_planes(
   for (int t = 0; t < nt; ++t)
     threads.emplace_back(work, n_mcus * t / nt, n_mcus * (t + 1) / nt);
   for (auto& th : threads) th.join();
+}
+
+
+
+// Arithmetic (SOF9) scan -> de-zigzagged int16 planes, thread-parallel over
+// restart segments (same contract/prezero modes as jt_decode_scan_planes).
+int64_t jt_decode_arith_scan_planes(
+    const uint8_t* data, int64_t /*n_bytes*/, const int64_t* seg_start,
+    const int64_t* seg_end, const int64_t* seg_mcu_start,
+    const int64_t* seg_mcu_count, int64_t n_segs, const uint8_t* slot_comp,
+    const uint8_t* slot_vi, const uint8_t* slot_hi, int32_t blocks_per_mcu,
+    const uint8_t* comp_dc_id, const uint8_t* comp_ac_id,
+    const uint8_t* comp_h, const uint8_t* comp_v, int32_t n_comp,
+    int32_t mcus_x, const uint8_t* dc_L, const uint8_t* dc_U,
+    const uint8_t* ac_K, int16_t* const* planes, const int64_t* plane_stride,
+    const int64_t* plane_rows, int32_t prezero, int32_t n_threads) {
+  std::atomic<int64_t> first_error(-1);
+  int32_t zoff[8][64];
+  for (int c = 0; c < n_comp; ++c) {
+    int64_t st = plane_stride[c];
+    for (int k = 0; k < 64; ++k)
+      zoff[c][k] = (int32_t)(kZigRow[k] * st + kZigCol[k]);
+  }
+  auto work = [&](int64_t lo, int64_t hi) {
+    ArithStats stats;
+    for (int64_t sgi = lo; sgi < hi; ++sgi) {
+      QMDecoder dec(data + seg_start[sgi], seg_end[sgi] - seg_start[sgi]);
+      stats.reset();
+      int64_t mcu = seg_mcu_start[sgi];
+      for (int64_t m = 0; m < seg_mcu_count[sgi]; ++m, ++mcu) {
+        int64_t my = mcu / mcus_x;
+        int64_t mx = mcu % mcus_x;
+        for (int slot = 0; slot < blocks_per_mcu; ++slot) {
+          int ci = slot_comp[slot];
+          int64_t st = plane_stride[ci];
+          int64_t by = my * comp_v[ci] + slot_vi[slot];
+          int64_t bx = mx * comp_h[ci] + slot_hi[slot];
+          int16_t* dst = planes[ci] + by * 8 * st + bx * 8;
+          if (prezero == 1)
+            for (int r = 0; r < 8; ++r)
+              std::memset(dst + r * st, 0, 8 * sizeof(int16_t));
+          int di = comp_dc_id[ci], ai = comp_ac_id[ci];
+          int err = qm_decode_dc(dec, stats, di, ci, dc_L[di], dc_U[di]);
+          if (!err) {
+            dst[0] = (int16_t)stats.last_dc[ci];
+            const int32_t* zf = zoff[ci];
+            err = qm_decode_ac(dec, stats, ai, ac_K[ai],
+                               [&](int k, int v) {
+                                 dst[zf[k]] = (int16_t)v;
+                               });
+          }
+          if (__builtin_expect(err != 0, 0)) {
+            int64_t expect = -1;
+            first_error.compare_exchange_strong(expect, sgi);
+            return;
+          }
+        }
+      }
+    }
+  };
+  int nt = (int)std::min<int64_t>(n_threads > 0 ? n_threads : 1, n_segs);
+  if (nt <= 1) {
+    if (prezero == 2) {
+      PlaneJob zj{};
+      zj.n_comp = n_comp;
+      zj.planes = planes;
+      zj.plane_stride = plane_stride;
+      zj.plane_rows = plane_rows;
+      zero_plane_slice(zj, 0, 1);
+    }
+    work(0, n_segs);
+    return first_error.load();
+  }
+  std::vector<std::thread> threads;
+  std::atomic<int> zeroed(0);
+  for (int t = 0; t < nt; ++t) {
+    int64_t lo = n_segs * t / nt;
+    int64_t hi = n_segs * (t + 1) / nt;
+    threads.emplace_back([&, t, nt, lo, hi]() {
+      if (prezero == 2) {
+        PlaneJob zj{};
+        zj.n_comp = n_comp;
+        zj.planes = planes;
+        zj.plane_stride = plane_stride;
+        zj.plane_rows = plane_rows;
+        zero_plane_slice(zj, t, nt);
+        zeroed.fetch_add(1, std::memory_order_acq_rel);
+        while (zeroed.load(std::memory_order_acquire) < nt)
+          std::this_thread::yield();
+      }
+      work(lo, hi);
+    });
+  }
+  for (auto& th : threads) th.join();
+  return first_error.load();
+}
+
+// Arithmetic scan -> [total_blocks, 64] int32 zigzag stream (pre-zeroed by
+// the caller), the oracle contract.
+int64_t jt_decode_arith_scan(
+    const uint8_t* data, int64_t /*n_bytes*/, const int64_t* seg_start,
+    const int64_t* seg_end, const int64_t* seg_mcu_start,
+    const int64_t* seg_mcu_count, int64_t n_segs, const uint8_t* slot_comp,
+    int32_t blocks_per_mcu, const uint8_t* comp_dc_id,
+    const uint8_t* comp_ac_id, int32_t n_comp, const uint8_t* dc_L,
+    const uint8_t* dc_U, const uint8_t* ac_K, int32_t* out,
+    int32_t n_threads) {
+  (void)n_comp;
+  std::atomic<int64_t> first_error(-1);
+  auto work = [&](int64_t lo, int64_t hi) {
+    ArithStats stats;
+    for (int64_t sgi = lo; sgi < hi; ++sgi) {
+      QMDecoder dec(data + seg_start[sgi], seg_end[sgi] - seg_start[sgi]);
+      stats.reset();
+      int32_t* row = out + seg_mcu_start[sgi] * blocks_per_mcu * 64;
+      for (int64_t m = 0; m < seg_mcu_count[sgi]; ++m) {
+        for (int slot = 0; slot < blocks_per_mcu; ++slot, row += 64) {
+          int ci = slot_comp[slot];
+          int di = comp_dc_id[ci], ai = comp_ac_id[ci];
+          int err = qm_decode_dc(dec, stats, di, ci, dc_L[di], dc_U[di]);
+          if (!err) {
+            row[0] = stats.last_dc[ci];
+            err = qm_decode_ac(dec, stats, ai, ac_K[ai],
+                               [&](int k, int v) { row[k] = v; });
+          }
+          if (__builtin_expect(err != 0, 0)) {
+            int64_t expect = -1;
+            first_error.compare_exchange_strong(expect, sgi);
+            return;
+          }
+        }
+      }
+    }
+  };
+  int nt = (int)std::min<int64_t>(n_threads > 0 ? n_threads : 1, n_segs);
+  if (nt <= 1) {
+    work(0, n_segs);
+    return first_error.load();
+  }
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nt; ++t)
+    threads.emplace_back(work, n_segs * t / nt, n_segs * (t + 1) / nt);
+  for (auto& th : threads) th.join();
+  return first_error.load();
 }
 
 // Byte-unstuffing + restart-segment scan in one pass.

@@ -209,3 +209,52 @@ def test_progressive_arithmetic_grayscale_roundtrip():
     plan = parse_jpeg(data)
     assert plan.progressive and plan.arith_code
     np.testing.assert_array_equal(jpeg_tpu.decode_bytes(data), base)
+
+
+def test_native_arith_decoder_matches_python():
+    """The C++ QM decoder (thread-parallel over restart segments) is
+    bit-identical to the Python module on every golden."""
+    from jpeg_tpu.runtime import (
+        native_decode_arith_coefficients,
+        native_decode_arith_planes,
+    )
+
+    for name in ("color", "rst", "gray"):
+        plan = parse_jpeg(GOLD[f"{name}_jpg"].tobytes())
+        np.testing.assert_array_equal(
+            native_decode_arith_coefficients(plan),
+            decode_coefficients_arith(plan))
+        native_decode_arith_planes(plan, reuse_buffer=False)
+
+
+def test_fast_path_arith_sequential():
+    """Sequential arithmetic streams ride the fast Pallas path via the C++
+    plane decoder; progressive arithmetic falls back to compat."""
+    data = GOLD["rst_jpg"].tobytes()
+    a = jpeg_tpu.decode_bytes(data)
+    b = jpeg_tpu.decode_bytes(data, path="fast")
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+    pdata = GOLD["prog_jpg"].tobytes()
+    np.testing.assert_array_equal(
+        jpeg_tpu.decode_bytes(pdata, path="fast"),
+        jpeg_tpu.decode_bytes(pdata))
+
+
+def test_native_arith_corrupt_stream_raises():
+    from jpeg_tpu.runtime import NativeDecodeError, native_decode_arith_planes
+
+    data = bytearray(GOLD["color_jpg"].tobytes())
+    plan = parse_jpeg(bytes(data))
+    # Poison the conditioning so magnitudes overflow deterministically? A
+    # simpler deterministic corruption: an all-0xFF entropy body decodes
+    # garbage magnitudes that trip the 0x8000 guard or decodes cleanly —
+    # either way it must not crash; exercised via bitflips:
+    rng = np.random.default_rng(1)
+    for seed in range(6):
+        d = bytearray(data)
+        for _ in range(4):
+            d[rng.integers(len(d) - 40, len(d) - 2)] ^= 0xFF
+        try:
+            jpeg_tpu.decode_bytes(bytes(d), path="fast")
+        except ValueError:
+            pass
