@@ -461,11 +461,37 @@ def encode_rgb(rgb: np.ndarray, quality: int = 85,
     if arithmetic:
         # SOF9: QM-coded entropy (T.81 Annex D/F — beyond the reference,
         # validated against libjpeg's arithmetic codec both directions).
-        from jpeg_tpu.entropy.arith import encode_scan_arith
-
         table_ids = [min(ci, 1) for ci in range(len(samplings))]
-        scan = encode_scan_arith(comp_blocks_zz, samplings, mcus_x, mcus_y,
-                                 restart_interval_mcus, table_ids)
+        scan = None
+        if engine == "native":
+            try:
+                from jpeg_tpu.runtime import native_encode_arith_scan
+
+                nat_planes = []
+                for blocks_zz in comp_blocks_zz:
+                    rows, cols, _ = blocks_zz.shape
+                    nat = unzigzag(blocks_zz.reshape(-1, 64)).reshape(
+                        rows, cols, 8, 8)
+                    nat_planes.append(nat.transpose(0, 2, 1, 3).reshape(
+                        rows * 8, cols * 8).astype(np.int16))
+                segs = native_encode_arith_scan(
+                    nat_planes, _slots(samplings),
+                    [h for h, _ in samplings], [v for _, v in samplings],
+                    mcus_x, mcus_x * mcus_y, restart_interval_mcus,
+                    table_ids)
+                parts = bytearray(segs[0])
+                for i, seg in enumerate(segs[1:]):
+                    parts += bytes([0xFF, 0xD0 + (i % 8)])
+                    parts += seg
+                scan = bytes(parts)
+            except (ImportError, OSError):
+                pass
+        if scan is None:
+            from jpeg_tpu.entropy.arith import encode_scan_arith
+
+            scan = encode_scan_arith(comp_blocks_zz, samplings, mcus_x,
+                                     mcus_y, restart_interval_mcus,
+                                     table_ids)
         return _container(scan, samplings, quant_zz, None, None, height,
                           width, restart_interval_mcus, comment=comment)
 

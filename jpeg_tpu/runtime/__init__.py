@@ -191,6 +191,16 @@ def _load_enc() -> ctypes.CDLL:
         u8p, ctypes.c_int64, i64p,  # out, seg_capacity, seg_bytes
         ctypes.c_int32,  # n_threads
     ]
+    lib.jt_encode_arith_scan.restype = ctypes.c_int32
+    lib.jt_encode_arith_scan.argtypes = [
+        ctypes.POINTER(i16p), i64p,
+        u8p, u8p, u8p, ctypes.c_int32,
+        u8p, u8p, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int64, ctypes.c_int32,
+        u8p, u8p, u8p, u8p,  # comp_tid, dc_L, dc_U, ac_K
+        u8p, ctypes.c_int64, i64p,
+        ctypes.c_int32,
+    ]
     _enc_lib = lib
     return lib
 
@@ -245,6 +255,54 @@ def native_encode_scan(planes, slots, comp_h, comp_v, mcus_x, n_mcus,
             ]
         seg_capacity *= 4
     raise RuntimeError("encode scan capacity overflow")
+
+
+def native_encode_arith_scan(planes, slots, comp_h, comp_v, mcus_x, n_mcus,
+                             restart_interval, comp_tid,
+                             n_threads: int | None = None) -> list[bytes]:
+    """Arithmetic (SOF9) entropy encode of natural-order int16 planes ->
+    per-restart-segment byte strings (QM coder, default conditioning;
+    thread-parallel across segments)."""
+    lib = _load_enc()
+    if n_threads is None:
+        n_threads = os.cpu_count() or 1
+    planes = [np.ascontiguousarray(p, dtype=np.int16) for p in planes]
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    ptrs = (i16p * len(planes))(*[_p(p, ctypes.c_int16) for p in planes])
+    strides = np.array([p.shape[1] for p in planes], dtype=np.int64)
+    slot_comp = np.array([s[0] for s in slots], dtype=np.uint8)
+    slot_vi = np.array([s[1] for s in slots], dtype=np.uint8)
+    slot_hi = np.array([s[2] for s in slots], dtype=np.uint8)
+    bpm = len(slots)
+    ri = restart_interval or n_mcus
+    n_segs = -(-n_mcus // ri)
+    dc_L = np.zeros(4, np.uint8)
+    dc_U = np.ones(4, np.uint8)
+    ac_K = np.full(4, 5, np.uint8)
+    seg_capacity = int(ri * bpm * 64 * 4 + 256)
+    for _ in range(3):
+        out = np.empty(n_segs * seg_capacity, dtype=np.uint8)
+        seg_bytes = np.zeros(n_segs, dtype=np.int64)
+        rc = lib.jt_encode_arith_scan(
+            ptrs, _p(strides, ctypes.c_int64),
+            _p(slot_comp, ctypes.c_uint8), _p(slot_vi, ctypes.c_uint8),
+            _p(slot_hi, ctypes.c_uint8), bpm,
+            _p(np.asarray(comp_h, np.uint8), ctypes.c_uint8),
+            _p(np.asarray(comp_v, np.uint8), ctypes.c_uint8),
+            len(planes), mcus_x, n_mcus, restart_interval,
+            _p(np.asarray(comp_tid, np.uint8), ctypes.c_uint8),
+            _p(dc_L, ctypes.c_uint8), _p(dc_U, ctypes.c_uint8),
+            _p(ac_K, ctypes.c_uint8),
+            _p(out, ctypes.c_uint8), seg_capacity,
+            _p(seg_bytes, ctypes.c_int64), n_threads,
+        )
+        if rc == 0:
+            return [
+                out[s * seg_capacity : s * seg_capacity + seg_bytes[s]].tobytes()
+                for s in range(n_segs)
+            ]
+        seg_capacity *= 4
+    raise RuntimeError("arith encode scan capacity overflow")
 
 
 def _p(arr: np.ndarray, ctype):

@@ -258,3 +258,15 @@ def test_native_arith_corrupt_stream_raises():
             jpeg_tpu.decode_bytes(bytes(d), path="fast")
         except ValueError:
             pass
+
+
+def test_native_arith_encoder_byte_identical_to_python():
+    img = synthetic_image(112, 80, seed=7)
+    for ri in (0, 2):
+        nat = encode_rgb(img, quality=85, arithmetic=True,
+                         restart_interval_mcus=ri, engine="native")
+        py = encode_rgb(img, quality=85, arithmetic=True,
+                        restart_interval_mcus=ri, engine="python")
+        assert nat == py
+        pil = np.asarray(Image.open(io.BytesIO(nat)).convert("RGB"))
+        assert pil.shape == (80, 112, 3)
