@@ -2,8 +2,9 @@
 
 Usage: python tools/fuzz.py [LO HI]   (seed range, default 0 40)
 
-For each of 13 stream variants (our encoder x baseline/restart/optimized/
-progressive/CMYK, plus Pillow/libjpeg baseline/optimized/progressive/CMYK)
+For each of 16 stream variants (our encoder x baseline/restart/optimized/
+progressive/CMYK/arithmetic, plus Pillow/libjpeg baseline/optimized/
+progressive/CMYK)
 and each seed, applies 1-5 bit flips plus optionally truncation or a 16-byte
 insertion, then decodes with BOTH the NumPy oracle and the C++ native engine.
 
@@ -66,6 +67,11 @@ variants = {
     "opt": jpeg_tpu.encode_rgb(img, quality=80, optimize=True),
     "prog": jpeg_tpu.encode_rgb_progressive(img, quality=80),
     "prog_rst": jpeg_tpu.encode_rgb_progressive(img, quality=80, restart_interval=4),
+    "arith": jpeg_tpu.encode_rgb(img, quality=80, arithmetic=True),
+    "arith_rst": jpeg_tpu.encode_rgb(img, quality=80, arithmetic=True,
+                                     restart_interval_mcus=3),
+    "prog_arith": jpeg_tpu.encode_rgb_progressive(img, quality=80,
+                                                  arithmetic=True),
 }
 lo, hi = (int(sys.argv[1]), int(sys.argv[2])) if len(sys.argv) > 2 else (0, 40)
 bad = 0
