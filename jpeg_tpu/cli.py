@@ -67,11 +67,14 @@ def cmd_encode(args) -> int:
     if args.progressive:
         from jpeg_tpu.models.encoder import encode_rgb_progressive
 
-        data = encode_rgb_progressive(img, quality=args.quality, subsampling=sub)
+        data = encode_rgb_progressive(img, quality=args.quality,
+                                      subsampling=sub,
+                                      arithmetic=args.arithmetic)
     else:
         data = encode_rgb(img, quality=args.quality, subsampling=sub,
                           restart_interval_mcus=args.restart_interval,
-                          optimize=args.optimize)
+                          optimize=args.optimize,
+                          arithmetic=args.arithmetic)
     with open(args.output, "wb") as f:
         f.write(data)
     print(f"{args.input} -> {args.output} ({len(data)} bytes)")
@@ -242,6 +245,8 @@ def main(argv=None) -> int:
                    help="MCUs per restart segment (0 = none)")
     e.add_argument("--optimize", action="store_true",
                    help="per-image optimal Huffman tables (Annex K.2)")
+    e.add_argument("--arithmetic", action="store_true",
+                   help="QM arithmetic entropy coding (SOF9/SOF10)")
     e.add_argument("--progressive", action="store_true",
                    help="progressive (SOF2) output, standard scan script")
     e.add_argument("--color", choices=["auto", "cmyk", "ycck"], default="auto",

@@ -171,6 +171,14 @@ def decode_coefficients_host(plan: DecodePlan, engine: str = "auto") -> np.ndarr
     if getattr(plan, "arith_code", False):
         # SOF9/SOF10 arithmetic entropy (QM coder) — beyond the reference.
         if plan.progressive:
+            if engine in ("auto", "native"):
+                try:
+                    from jpeg_tpu.runtime import native_decode_progressive
+
+                    return native_decode_progressive(plan)
+                except (ImportError, OSError):
+                    if engine == "native":
+                        raise
             from jpeg_tpu.entropy.arith import (
                 decode_progressive_coefficients_arith,
             )
@@ -247,12 +255,11 @@ def decode_plan_fast(plan: DecodePlan, rounding: str = "truncate",
     from jpeg_tpu.ops.pallas_kernels import decode_planes_fused
     from jpeg_tpu.runtime import native_decode_planes
 
-    if (getattr(plan, "color_model", "ycbcr") not in ("ycbcr", "gray")
-            or (getattr(plan, "arith_code", False) and plan.progressive)):
-        # The fused kernel bakes in the YCbCr matrix (RGB-direct streams
-        # would come out silently wrong; CMYK/YCCK don't fit 3 channels);
-        # progressive arithmetic decodes via the Python models. Route
-        # through the compat pipeline, which handles every stream type.
+    if getattr(plan, "color_model", "ycbcr") not in ("ycbcr", "gray"):
+        # The fused kernel bakes in the YCbCr matrix: RGB-direct streams
+        # would come out silently wrong and 4-component CMYK/YCCK plans
+        # don't fit its 3-channel output. Route through the compat
+        # pipeline, which handles every color model.
         return decode_plan(plan, rounding=rounding)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -278,10 +285,18 @@ def progressive_planes(plan: DecodePlan) -> list[np.ndarray]:
         from jpeg_tpu.runtime import native_decode_progressive_planes
 
         # All-C++ path: scans + de-zigzag plane assembly, no intermediate
-        # [total_blocks, 64] stream or numpy grid relayouts.
+        # [total_blocks, 64] stream or numpy grid relayouts (Huffman AND
+        # arithmetic scans).
         return native_decode_progressive_planes(plan)
     except (ImportError, OSError):
-        coeffs = decode_progressive_coefficients(plan)
+        if getattr(plan, "arith_code", False):
+            from jpeg_tpu.entropy.arith import (
+                decode_progressive_coefficients_arith,
+            )
+
+            coeffs = decode_progressive_coefficients_arith(plan)
+        else:
+            coeffs = decode_progressive_coefficients(plan)
     shapes = plane_shapes(plan)
     planes = [np.zeros(s, np.int16) for s in shapes]
     bpm = plan.blocks_per_mcu

@@ -150,6 +150,25 @@ def _load() -> ctypes.CDLL:
         u8p, u8p, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int64, ctypes.POINTER(i16p), i64p, ctypes.c_int32,
     ]
+    lib.jt_decode_arith_prog_dc.restype = ctypes.c_int64
+    lib.jt_decode_arith_prog_dc.argtypes = [
+        u8p, i64p, i64p, ctypes.c_int64,  # data, seg bounds, n_segs
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,  # ri, ah, al
+        ctypes.c_int32, i32p, i32p,  # n_scan_comps, comp h, comp v
+        i32pp, i64p,  # dc state ptrs, state cols
+        i32p, u8p, u8p,  # scan dc ids, dc_L, dc_U
+        ctypes.c_int32, ctypes.c_int64,  # mcus_x, n_units
+        ctypes.c_int32, i64p,  # interleaved, comp_bw
+    ]
+    lib.jt_decode_arith_prog_ac.restype = ctypes.c_int64
+    lib.jt_decode_arith_prog_ac.argtypes = [
+        u8p, i64p, i64p, ctypes.c_int64,
+        ctypes.c_int64,  # restart blocks
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32,  # kx
+        i32p, ctypes.c_int64,  # state, state cols
+        ctypes.c_int64, ctypes.c_int64,  # bw, n_blocks
+    ]
     lib.jt_decode_prog_ac.restype = ctypes.c_int64
     lib.jt_decode_prog_ac.argtypes = [
         u8p, i64p, i64p, ctypes.c_int64,  # data, seg bounds, n_segs
@@ -694,6 +713,130 @@ def _prog_run_scans(plan, n_threads):
     return state, dc_state
 
 
+def _prog_run_scans_arith(plan, n_threads):
+    """Arithmetic (SOF10) twin of :func:`_prog_run_scans`: C++ per-scan
+    decoders, chain-parallel across components (same state layouts, so the
+    parallel assembly applies unchanged)."""
+    import ctypes as ct
+    from concurrent.futures import ThreadPoolExecutor
+
+    from jpeg_tpu.io.container import JPEGError
+
+    lib = _load()
+    ncomp = len(plan.components)
+    gshapes = tuple(
+        (plan.mcus_y * c.v, plan.mcus_x * c.h) for c in plan.components)
+    key = ("prog_state", threading.get_ident(), gshapes)
+    cached = _out_buffers.get(key)
+    if cached is None:
+        state = [np.empty(sh + (64,), np.int32) for sh in gshapes]
+        dc_state = [np.empty(sh, np.int32) for sh in gshapes]
+        _out_buffers[key] = (state, dc_state)
+    else:
+        state, dc_state = cached
+
+    def comp_block_dims(ci):
+        c = plan.components[ci]
+        cw = -(-plan.width * c.h // plan.h_max)
+        ch = -(-plan.height * c.v // plan.v_max)
+        return -(-ch // 8), -(-cw // 8)
+
+    def run_dc(scan):
+        if scan.se != 0:
+            raise JPEGError("progressive DC scan must have se == 0")
+        interleaved = len(scan.comp_indices) > 1
+        if interleaved:
+            n_units = plan.n_mcus
+            bw0 = 0
+        else:
+            _bh, bw0 = comp_block_dims(scan.comp_indices[0])
+            n_units = _bh * bw0
+        ri = scan.restart_interval or n_units
+        data = np.ascontiguousarray(scan.scan_data)
+        seg_s = np.array([b[0] for b in scan.bounds], np.int64)
+        seg_e = np.array([b[1] for b in scan.bounds], np.int64)
+        comp_h = np.array(
+            [plan.components[ci].h for ci in scan.comp_indices], np.int32)
+        comp_v = np.array(
+            [plan.components[ci].v for ci in scan.comp_indices], np.int32)
+        i32p = ct.POINTER(ct.c_int32)
+        ptrs = (i32p * len(scan.comp_indices))(
+            *[_p(dc_state[ci], ct.c_int32) for ci in scan.comp_indices])
+        cols = np.array(
+            [dc_state[ci].shape[1] for ci in scan.comp_indices], np.int64)
+        dc_ids = np.array(scan.dc_ids, np.int32)
+        dc_L = np.array(scan.arith_dc_L, np.uint8)
+        dc_U = np.array(scan.arith_dc_U, np.uint8)
+        bws = np.array([bw0], np.int64)
+        err = lib.jt_decode_arith_prog_dc(
+            _p(data, ct.c_uint8), _p(seg_s, ct.c_int64),
+            _p(seg_e, ct.c_int64), len(scan.bounds), ri, scan.ah, scan.al,
+            len(scan.comp_indices), _p(comp_h, ct.c_int32),
+            _p(comp_v, ct.c_int32), ptrs, _p(cols, ct.c_int64),
+            _p(dc_ids, ct.c_int32), _p(dc_L, ct.c_uint8),
+            _p(dc_U, ct.c_uint8), plan.mcus_x, n_units, int(interleaved),
+            _p(bws, ct.c_int64))
+        if err >= 0:
+            raise NativeDecodeError(int(err))
+
+    def run_ac(scan):
+        if len(scan.comp_indices) != 1:
+            raise JPEGError("progressive AC scan must have one component")
+        ci = scan.comp_indices[0]
+        bh, bw = comp_block_dims(ci)
+        n_blocks = bh * bw
+        ri = scan.restart_interval or n_blocks
+        data = np.ascontiguousarray(scan.scan_data)
+        seg_s = np.array([b[0] for b in scan.bounds], np.int64)
+        seg_e = np.array([b[1] for b in scan.bounds], np.int64)
+        kx = scan.arith_ac_K[scan.ac_ids[0]]
+        err = lib.jt_decode_arith_prog_ac(
+            _p(data, ct.c_uint8), _p(seg_s, ct.c_int64),
+            _p(seg_e, ct.c_int64), len(scan.bounds), ri,
+            scan.ss, scan.se, scan.ah, scan.al, kx,
+            _p(state[ci], ct.c_int32), state[ci].shape[1], bw, n_blocks)
+        if err >= 0:
+            raise NativeDecodeError(int(err))
+
+    chains: dict = {"dc": []}
+    for scan in plan.prog_scans:
+        if scan.ss == 0:
+            chains["dc"].append(("dc", scan))
+        else:
+            chains.setdefault(scan.comp_indices[0], []).append(("ac", scan))
+
+    def run_chain(items):
+        zeroed = set()
+        for kind, scan in items:
+            for ci in scan.comp_indices:
+                if kind == "dc" and ("dc", ci) not in zeroed:
+                    dc_state[ci][...] = 0
+                    zeroed.add(("dc", ci))
+                elif kind != "dc" and ("ac", ci) not in zeroed:
+                    state[ci][...] = 0
+                    zeroed.add(("ac", ci))
+            (run_dc if kind == "dc" else run_ac)(scan)
+
+    ac_covered = {ci for sc in plan.prog_scans if sc.ss > 0
+                  for ci in sc.comp_indices}
+    dc_covered = {ci for sc in plan.prog_scans if sc.ss == 0
+                  for ci in sc.comp_indices}
+    for ci in range(ncomp):
+        if ci not in ac_covered:
+            state[ci][...] = 0
+        if ci not in dc_covered:
+            dc_state[ci][...] = 0
+    chain_lists = [c for c in chains.values() if c]
+    if n_threads > 1 and len(chain_lists) > 1:
+        with ThreadPoolExecutor(max_workers=min(n_threads,
+                                                len(chain_lists))) as ex:
+            list(ex.map(run_chain, chain_lists))
+    else:
+        for c in chain_lists:
+            run_chain(c)
+    return state, dc_state
+
+
 def _prog_slot_arrays(plan):
     import ctypes as ct
 
@@ -721,7 +864,9 @@ def native_decode_progressive(plan, n_threads: int | None = None) -> np.ndarray:
     lib = _load()
     if n_threads is None:
         n_threads = os.cpu_count() or 1
-    state, dc_state = _prog_run_scans(plan, n_threads)
+    runner = (_prog_run_scans_arith if getattr(plan, "arith_code", False)
+              else _prog_run_scans)
+    state, dc_state = runner(plan, n_threads)
     slot_comp, slot_vi, slot_hi, comp_h, comp_v = _prog_slot_arrays(plan)
     okey = ("prog_out", threading.get_ident(), plan.total_blocks)
     out = _out_buffers.get(okey)
@@ -752,7 +897,9 @@ def native_decode_progressive_planes(plan,
     lib = _load()
     if n_threads is None:
         n_threads = os.cpu_count() or 1
-    state, dc_state = _prog_run_scans(plan, n_threads)
+    runner = (_prog_run_scans_arith if getattr(plan, "arith_code", False)
+              else _prog_run_scans)
+    state, dc_state = runner(plan, n_threads)
     slot_comp, slot_vi, slot_hi, comp_h, comp_v = _prog_slot_arrays(plan)
     shapes = plane_shapes(plan)
     pkey = ("planes", threading.get_ident(), tuple(shapes))

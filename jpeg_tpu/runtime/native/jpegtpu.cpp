@@ -1808,6 +1808,146 @@ int64_t jt_decode_arith_scan(
   return first_error.load();
 }
 
+
+// Progressive arithmetic (SOF10) scan decode — C++ twins of
+// jpeg_tpu.entropy.arith._prog_dc_scan_arith/_prog_ac_scan_arith
+// (equivalence-tested). State layouts match the Huffman progressive path:
+// compact int32 DC grids + [bh, bw, 64] zigzag AC grids, so the existing
+// parallel assembly (jt_prog_assemble_*) applies unchanged.
+
+// DC scan (ss == 0). Returns -1 ok, >= 0 first bad segment.
+int64_t jt_decode_arith_prog_dc(
+    const uint8_t* data, const int64_t* seg_start, const int64_t* seg_end,
+    int64_t n_segs, int64_t restart_units, int32_t ah, int32_t al,
+    int32_t n_scan_comps, const int32_t* scan_comp_h,
+    const int32_t* scan_comp_v, int32_t* const* state,
+    const int64_t* state_cols, const int32_t* scan_dc_ids,
+    const uint8_t* dc_L, const uint8_t* dc_U, int32_t mcus_x,
+    int64_t n_units, int32_t interleaved, const int64_t* comp_bw) {
+  int64_t unit = 0;
+  for (int64_t seg = 0; seg < n_segs && unit < n_units; ++seg) {
+    QMDecoder dec(data + seg_start[seg], seg_end[seg] - seg_start[seg]);
+    ArithStats stats;
+    stats.reset();
+    for (int64_t u = 0; u < restart_units && unit < n_units; ++u, ++unit) {
+      if (interleaved) {
+        int64_t my = unit / mcus_x;
+        int64_t mx = unit % mcus_x;
+        for (int s = 0; s < n_scan_comps; ++s) {
+          int h = scan_comp_h[s], v = scan_comp_v[s];
+          int tid = scan_dc_ids[s];
+          for (int vi = 0; vi < v; ++vi) {
+            for (int hi = 0; hi < h; ++hi) {
+              int32_t* coef =
+                  state[s] + (my * v + vi) * state_cols[s] + mx * h + hi;
+              if (ah) {
+                if (dec.decode(&stats.fixed)) *coef |= 1 << al;
+              } else {
+                if (qm_decode_dc(dec, stats, tid, s, dc_L[tid], dc_U[tid]))
+                  return seg;
+                *coef = stats.last_dc[s] << al;
+              }
+            }
+          }
+        }
+      } else {
+        int64_t by = unit / comp_bw[0];
+        int64_t bx = unit % comp_bw[0];
+        int32_t* coef = state[0] + by * state_cols[0] + bx;
+        int tid = scan_dc_ids[0];
+        if (ah) {
+          if (dec.decode(&stats.fixed)) *coef |= 1 << al;
+        } else {
+          if (qm_decode_dc(dec, stats, tid, 0, dc_L[tid], dc_U[tid]))
+            return seg;
+          *coef = stats.last_dc[0] << al;
+        }
+      }
+    }
+  }
+  return -1;
+}
+
+// AC scan (single component). Returns -1 ok, >= 0 first bad segment.
+int64_t jt_decode_arith_prog_ac(
+    const uint8_t* data, const int64_t* seg_start, const int64_t* seg_end,
+    int64_t n_segs, int64_t restart_blocks, int32_t ss, int32_t se,
+    int32_t ah, int32_t al, int32_t kx, int32_t* state, int64_t state_cols,
+    int64_t bw, int64_t n_blocks) {
+  const int32_t p1 = 1 << al;
+  const int32_t m1_ = -p1;
+  int64_t bi = 0;
+  for (int64_t seg = 0; seg < n_segs && bi < n_blocks; ++seg) {
+    QMDecoder dec(data + seg_start[seg], seg_end[seg] - seg_start[seg]);
+    ArithStats stats;
+    stats.reset();
+    uint8_t* st_ac = stats.ac[0];
+    for (int64_t u = 0; u < restart_blocks && bi < n_blocks; ++u, ++bi) {
+      int64_t by = bi / bw;
+      int64_t bx = bi % bw;
+      int32_t* blk = state + (by * state_cols + bx) * 64;
+      if (ah == 0) {
+        int k = ss;
+        while (k <= se) {
+          uint8_t* st = st_ac + 3 * (k - 1);
+          if (dec.decode(st)) break;  // EOB
+          while (dec.decode(st + 1) == 0) {
+            st += 3;
+            if (++k > se) return seg;
+          }
+          int sign = dec.decode(&stats.fixed);
+          st += 2;
+          int m;
+          if (dec.decode(st) == 0) {
+            m = 0;
+          } else if (dec.decode(st) == 0) {
+            m = 1;
+          } else {
+            m = 2;
+            st = st_ac + (k <= kx ? 189 : 217);
+            while (dec.decode(st)) {
+              if ((m <<= 1) == 0x8000) return seg;
+              ++st;
+            }
+          }
+          int v = m;
+          st += 14;
+          while (m > 1) {
+            m >>= 1;
+            if (dec.decode(st)) v |= m;
+          }
+          v += 1;
+          blk[k] = (sign ? -v : v) * p1;
+          ++k;
+        }
+      } else {
+        int kex = se;
+        while (kex > 0 && blk[kex] == 0) --kex;
+        int k = ss;
+        while (k <= se) {
+          uint8_t* st = st_ac + 3 * (k - 1);
+          if (k > kex && dec.decode(st)) break;  // EOB
+          for (;;) {
+            int32_t c = blk[k];
+            if (c != 0) {
+              if (dec.decode(st + 2)) blk[k] = c + (c < 0 ? m1_ : p1);
+              break;
+            }
+            if (dec.decode(st + 1)) {
+              blk[k] = dec.decode(&stats.fixed) ? m1_ : p1;
+              break;
+            }
+            st += 3;
+            if (++k > se) return seg;
+          }
+          ++k;
+        }
+      }
+    }
+  }
+  return -1;
+}
+
 // Byte-unstuffing + restart-segment scan in one pass.
 // Parity: reference unstuff loop (src/jpeg/mod.rs:371-385) + the RST
 // handling it lacks. Writes unstuffed bytes to `out` (same size or smaller

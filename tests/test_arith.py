@@ -270,3 +270,53 @@ def test_native_arith_encoder_byte_identical_to_python():
         assert nat == py
         pil = np.asarray(Image.open(io.BytesIO(nat)).convert("RGB"))
         assert pil.shape == (80, 112, 3)
+
+
+@pytest.mark.parametrize("sub", [(1, 1), (2, 1), (2, 2)])
+def test_arith_subsampling_matrix(sub):
+    img = synthetic_image(96, 64, seed=13)
+    data = encode_rgb(img, quality=85, subsampling=sub, arithmetic=True)
+    huff = encode_rgb(img, quality=85, subsampling=sub)
+    np.testing.assert_array_equal(jpeg_tpu.decode_bytes(data),
+                                  jpeg_tpu.decode_bytes(huff))
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert psnr(np.asarray(jpeg_tpu.decode_bytes(data, rounding="round")),
+                pil) > 40.0
+
+
+def test_cli_encode_arithmetic(tmp_path):
+    from PIL import Image as _I
+
+    from jpeg_tpu.cli import main as cli_main
+
+    src = tmp_path / "in.png"
+    _I.fromarray(synthetic_image(64, 48, seed=14)).save(src)
+    out = tmp_path / "out.jpg"
+    assert cli_main(["encode", str(src), str(out), "--arithmetic"]) == 0
+    plan = parse_jpeg(out.read_bytes())
+    assert plan.arith_code and not plan.progressive
+    assert cli_main(["encode", str(src), str(out), "--arithmetic",
+                     "--progressive"]) == 0
+    plan = parse_jpeg(out.read_bytes())
+    assert plan.arith_code and plan.progressive
+
+
+def test_native_progressive_arith_matches_python():
+    from jpeg_tpu.entropy.arith import decode_progressive_coefficients_arith
+    from jpeg_tpu.models.encoder import encode_rgb_progressive
+    from jpeg_tpu.runtime import native_decode_progressive
+
+    plan = parse_jpeg(GOLD["prog_jpg"].tobytes())
+    np.testing.assert_array_equal(native_decode_progressive(plan),
+                                  decode_progressive_coefficients_arith(plan))
+    # Our own SOF10 with restart intervals.
+    img = synthetic_image(96, 64, seed=5)
+    d = encode_rgb_progressive(img, quality=85, arithmetic=True,
+                               restart_interval=3)
+    p2 = parse_jpeg(d)
+    np.testing.assert_array_equal(native_decode_progressive(p2),
+                                  decode_progressive_coefficients_arith(p2))
+    # SOF10 rides the fast Pallas path via the native plane assembly.
+    a = jpeg_tpu.decode_bytes(d)
+    b = jpeg_tpu.decode_bytes(d, path="fast")
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
