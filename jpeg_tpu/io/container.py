@@ -362,8 +362,11 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
             progressive = marker in (0xC2, 0xCA)
             height = _u16(vec, body + 1)
             width = _u16(vec, body + 3)
-            if width == 0 or height == 0:
+            if width == 0 or (height == 0 and progressive):
                 raise JPEGError(f"invalid frame dimensions {width}x{height}")
+            # height == 0 is legal for sequential frames: the real height
+            # arrives in a DNL marker after the first scan (B.2.5 — beyond
+            # the reference AND libjpeg, which ignores DNL).
             ncomp = int(vec[body + 5])
             if ncomp == 0 or ncomp > 4:
                 raise JPEGError(f"unsupported component count {ncomp}")
@@ -468,6 +471,17 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
             if any(t > 3 for t in scan_dc_ids + scan_ac_ids):
                 raise JPEGError("invalid scan table selector > 3")
             scan_data, bounds, scan_end = _unstuff_and_segment(vec, idx)
+            if height == 0:
+                # DNL (B.2.5): FF DC 00 04 NL — defines the number of lines
+                # when the frame header deferred it.
+                if (scan_end + 6 > n or vec[scan_end] != 0xFF
+                        or vec[scan_end + 1] != 0xDC):
+                    raise JPEGError(
+                        "frame height 0 requires a DNL marker after the "
+                        "first scan")
+                height = _u16(vec, scan_end + 4)
+                if height == 0:
+                    raise JPEGError("invalid DNL line count 0")
             if progressive:
                 prog_scans.append(ProgScan(
                     comp_indices=scan_comp_idx,

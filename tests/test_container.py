@@ -365,3 +365,33 @@ def test_non_8bit_precision_rejected():
     data[i + 4] = 12  # precision byte (after marker + length)
     with pytest.raises(JPEGError, match="precision"):
         parse_jpeg(bytes(data))
+
+
+def test_dnl_marker_defines_height():
+    """B.2.5: a sequential frame may declare height 0 and supply the real
+    line count in a DNL marker after the first scan (beyond the reference
+    AND libjpeg, which ignores DNL)."""
+    import jpeg_tpu
+    from jpeg_tpu.io.corpus import synthetic_image
+    from jpeg_tpu.models.encoder import encode_rgb
+
+    img = synthetic_image(64, 48, seed=15)
+    data = bytearray(encode_rgb(img, quality=85))
+    base = jpeg_tpu.decode_bytes(bytes(data))
+    i = data.find(b"\xff\xc0")
+    h = (data[i + 5] << 8) | data[i + 6]
+    data[i + 5] = data[i + 6] = 0  # SOF height := 0
+    assert data[-2:] == b"\xff\xd9"
+    dnl = bytes([0xFF, 0xDC, 0, 4, h >> 8, h & 0xFF])
+    data = bytes(data[:-2]) + dnl + b"\xff\xd9"
+    plan = parse_jpeg(data)
+    assert plan.height == h
+    np.testing.assert_array_equal(jpeg_tpu.decode_bytes(data), base)
+    # Missing DNL -> clean error.
+    with pytest.raises(JPEGError, match="DNL"):
+        parse_jpeg(data[: -len(dnl) - 2] + b"\xff\xd9")
+    # DNL with zero lines -> clean error.
+    bad = bytearray(data)
+    bad[-4] = bad[-3] = 0
+    with pytest.raises(JPEGError, match="DNL"):
+        parse_jpeg(bytes(bad))
