@@ -598,7 +598,8 @@ def encode_cmyk(cmyk: np.ndarray, quality: int = 85,
                 engine: str = "native",
                 restart_interval_mcus: int = 0,
                 ycck: bool = False,
-                comment: str | None = None) -> bytes:
+                comment: str | None = None,
+                arithmetic: bool = False) -> bytes:
     """Encode [H, W, 4] u8 CMYK (Pillow convention) to an Adobe JPEG.
 
     Beyond the reference (which has no encoder at all). Emits an APP14
@@ -636,6 +637,16 @@ def encode_cmyk(cmyk: np.ndarray, quality: int = 85,
         zz = np.round(zigzag(coeffs) / q_luma.astype(np.float32)).astype(np.int32)
         comp_blocks_zz.append(zz.reshape(mcus_y, mcus_x, 64))
 
+    if arithmetic:
+        from jpeg_tpu.entropy.arith import encode_scan_arith
+
+        scan = encode_scan_arith(comp_blocks_zz, samplings, mcus_x, mcus_y,
+                                 restart_interval_mcus, [0] * 4)
+        return _container(scan, samplings, [q_luma], None, None, height,
+                          width, restart_interval_mcus, comment=comment,
+                          component_ids=[67, 77, 89, 75],
+                          quant_ids=[0] * 4, table_ids=[0] * 4,
+                          adobe_transform=2 if ycck else 0)
     dc_t = [HuffmanTable.from_bits_values(
         annex_k.DC_LUMA_BITS, annex_k.DC_LUMA_VALS)]
     ac_t = [HuffmanTable.from_bits_values(

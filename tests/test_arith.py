@@ -320,3 +320,22 @@ def test_native_progressive_arith_matches_python():
     a = jpeg_tpu.decode_bytes(d)
     b = jpeg_tpu.decode_bytes(d, path="fast")
     assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+
+@pytest.mark.parametrize("ycck", [False, True])
+def test_cmyk_arithmetic_encode(ycck):
+    """4-component Adobe CMYK/YCCK with arithmetic entropy: same pixels as
+    the Huffman encode of the same transform; PIL cross-decodes."""
+    from jpeg_tpu.models.encoder import encode_cmyk
+
+    img = synthetic_image(96, 64, seed=16)
+    cmyk = np.asarray(Image.fromarray(img).convert("CMYK"))
+    a = encode_cmyk(cmyk, quality=85, ycck=ycck, arithmetic=True)
+    h = encode_cmyk(cmyk, quality=85, ycck=ycck)
+    plan = parse_jpeg(a)
+    assert plan.arith_code and len(plan.components) == 4
+    np.testing.assert_array_equal(jpeg_tpu.decode_bytes(a),
+                                  jpeg_tpu.decode_bytes(h))
+    pil = np.asarray(Image.open(io.BytesIO(a)).convert("RGB"))
+    assert psnr(np.asarray(jpeg_tpu.decode_bytes(a, rounding="round")),
+                pil) > 38.0
