@@ -495,7 +495,8 @@ struct PlaneJob {
 };
 
 template <bool kZeroTile>
-void decode_segments_planes(const PlaneJob& job, int64_t lo, int64_t hi,
+void decode_segments_planes(const PlaneJob& job, std::atomic<int64_t>* next,
+                            int64_t n_segs,
                             std::atomic<int64_t>* first_error) {
   const int bpm = job.blocks_per_mcu;
   TwoLevelLut dc_tab[4], ac_tab[4];
@@ -531,7 +532,10 @@ void decode_segments_planes(const PlaneJob& job, int64_t lo, int64_t hi,
     slot_dcf[s] = &dc_fast[di];
     slot_acf[s] = &ac_pair[ai];
   }
-  for (int64_t s = lo; s < hi; ++s) {
+  // Work stealing: segment sizes skew on real-world content (detail
+  // concentrates in bands), so threads pull the next segment from a
+  // shared counter instead of fixed contiguous slices.
+  for (int64_t s; (s = next->fetch_add(1)) < n_segs;) {
     BitReader br(job.data + job.seg_start[s],
                  job.seg_end[s] - job.seg_start[s]);
     int32_t prev_dc[4] = {0, 0, 0, 0};
@@ -593,8 +597,8 @@ struct ScanJob {
 // Decode segments [lo, hi). Each restart segment is independent: byte-aligned
 // start, DC predictors reset (JPEG F.2.1.3.1) — this is what makes host
 // entropy decode parallel (the reference is strictly sequential).
-void decode_segments(const ScanJob& job, int64_t lo, int64_t hi,
-                     std::atomic<int64_t>* first_error) {
+void decode_segments(const ScanJob& job, std::atomic<int64_t>* next,
+                     int64_t n_segs, std::atomic<int64_t>* first_error) {
   const int bpm = job.blocks_per_mcu;
   // Per-slot two-level + value-fused tables, hoisted out of the MCU loop.
   TwoLevelLut dc_tab[4], ac_tab[4];
@@ -625,7 +629,7 @@ void decode_segments(const ScanJob& job, int64_t lo, int64_t hi,
     slot_dcf[s] = &dc_fast[di];
     slot_acf[s] = &ac_pair[ai];
   }
-  for (int64_t s = lo; s < hi; ++s) {
+  for (int64_t s; (s = next->fetch_add(1)) < n_segs;) {
     BitReader br(job.data + job.seg_start[s],
                  job.seg_end[s] - job.seg_start[s]);
     int32_t prev_dc[4] = {0, 0, 0, 0};
@@ -1268,18 +1272,16 @@ int64_t jt_decode_scan(const uint8_t* data, int64_t /*n_bytes*/,
               comp_dc_id,    comp_ac_id, n_comp,    dc_luts,
               ac_luts,       out};
   std::atomic<int64_t> first_error(-1);
+  std::atomic<int64_t> next(0);
   if (n_threads <= 1 || n_segs <= 1) {
-    decode_segments(job, 0, n_segs, &first_error);
+    decode_segments(job, &next, n_segs, &first_error);
     return first_error.load();
   }
   int nt = (int)std::min<int64_t>(n_threads, n_segs);
   std::vector<std::thread> threads;
   threads.reserve(nt);
-  // Contiguous partition: segments of one image have similar cost.
   for (int t = 0; t < nt; ++t) {
-    int64_t lo = n_segs * t / nt;
-    int64_t hi = n_segs * (t + 1) / nt;
-    threads.emplace_back(decode_segments, std::cref(job), lo, hi,
+    threads.emplace_back(decode_segments, std::cref(job), &next, n_segs,
                          &first_error);
   }
   for (auto& th : threads) th.join();
@@ -1314,12 +1316,13 @@ int64_t jt_decode_scan_planes(
                mcus_x,     dc_luts,   ac_luts,   planes,
                plane_stride, plane_rows};
   std::atomic<int64_t> first_error(-1);
+  std::atomic<int64_t> next(0);
   if (n_threads <= 1 || n_segs <= 1) {
     if (prezero == 2) zero_plane_slice(job, 0, 1);
     if (prezero == 1)
-      decode_segments_planes<true>(job, 0, n_segs, &first_error);
+      decode_segments_planes<true>(job, &next, n_segs, &first_error);
     else
-      decode_segments_planes<false>(job, 0, n_segs, &first_error);
+      decode_segments_planes<false>(job, &next, n_segs, &first_error);
     return first_error.load();
   }
   int nt = (int)std::min<int64_t>(n_threads, n_segs);
@@ -1327,10 +1330,8 @@ int64_t jt_decode_scan_planes(
   threads.reserve(nt);
   std::atomic<int> zeroed(0);
   for (int t = 0; t < nt; ++t) {
-    int64_t lo = n_segs * t / nt;
-    int64_t hi = n_segs * (t + 1) / nt;
-    threads.emplace_back([&job, &first_error, &zeroed, t, nt, lo, hi,
-                          prezero]() {
+    threads.emplace_back([&job, &first_error, &zeroed, &next, t, nt,
+                          n_segs, prezero]() {
       if (prezero == 2) {
         zero_plane_slice(job, t, nt);
         zeroed.fetch_add(1, std::memory_order_acq_rel);
@@ -1338,9 +1339,9 @@ int64_t jt_decode_scan_planes(
           std::this_thread::yield();
       }
       if (prezero == 1)
-        decode_segments_planes<true>(job, lo, hi, &first_error);
+        decode_segments_planes<true>(job, &next, n_segs, &first_error);
       else
-        decode_segments_planes<false>(job, lo, hi, &first_error);
+        decode_segments_planes<false>(job, &next, n_segs, &first_error);
     });
   }
   for (auto& th : threads) th.join();
