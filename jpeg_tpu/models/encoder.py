@@ -452,7 +452,8 @@ def encode_rgb(rgb: np.ndarray, quality: int = 85,
     entropy pack, parallel over restart segments) or "python".
     ``optimize=True`` runs a statistics pass and emits per-image optimal
     Huffman tables (Annex K.2, like libjpeg optimize_coding) instead of the
-    typical Annex K tables.
+    typical Annex K tables. ``arithmetic=True`` emits SOF9 QM-coded entropy
+    instead (adaptive by construction — ``optimize`` does not apply).
     """
     (comp_blocks_zz, samplings, quant_zz, height, width,
      mcus_x, mcus_y, grayscale) = _forward_transform(

@@ -12,8 +12,9 @@ reshapes at all, so the kernel is built purely from matmuls + elementwise:
 - dequant: elementwise multiply with a tiled quant pattern (runtime arg, so
   one compiled kernel serves all images of a geometry);
 - 8x8 IDCT on a [rows, cols] tile: sandwich product
-  ``kron(I, A^T) @ F @ kron(I, A)`` — block-diagonal constants make the
-  per-block transform a plain MXU matmul over the whole tile;
+  ``kron(I, A^T) @ F @ kron(I, A)`` with the column side split into
+  [128, 128] lane chunks (sandwich_idct_split) — block-diagonal constants
+  make the per-block transform plain MXU matmuls at the 16x-waste floor;
 - chroma upsample: replication matrices ``kron(I, [1,1]^T)`` (rows) and
   ``kron(I, [1,1])`` (cols) — the MXU does pixel replication;
 - YCbCr->RGB + level shift + clamp + u8 narrowing (VPU).
