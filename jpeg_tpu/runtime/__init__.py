@@ -959,6 +959,9 @@ def native_decode_arith_planes(plan, n_threads: int | None = None,
     :func:`native_decode_planes`."""
     import ctypes as ct
 
+    if not getattr(plan, "arith_code", False) or plan.progressive:
+        raise ValueError("native_decode_arith_planes requires a sequential "
+                         "arithmetic (SOF9) plan")
     lib = _load()
     if n_threads is None:
         n_threads = os.cpu_count() or 1
@@ -1000,6 +1003,9 @@ def native_decode_arith_coefficients(plan, n_threads: int | None = None):
     """Arithmetic (SOF9) decode -> [total_blocks, 64] i32 (oracle contract)."""
     import ctypes as ct
 
+    if not getattr(plan, "arith_code", False) or plan.progressive:
+        raise ValueError("native_decode_arith_coefficients requires a "
+                         "sequential arithmetic (SOF9) plan")
     lib = _load()
     if n_threads is None:
         n_threads = os.cpu_count() or 1
