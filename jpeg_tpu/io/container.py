@@ -392,6 +392,9 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
             # AC: Cs = Kx.
             idx = body
             seg_end = body + body_len
+            if body_len % 2:
+                raise JPEGError(
+                    f"truncated DAC segment: odd parameter length {body_len}")
             while idx + 1 < seg_end:
                 tc, tb = int(vec[idx]) >> 4, int(vec[idx]) & 0x0F
                 cs = int(vec[idx + 1])

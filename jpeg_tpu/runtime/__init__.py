@@ -851,13 +851,20 @@ def _prog_slot_arrays(plan):
     return slot_comp, slot_vi, slot_hi, comp_h, comp_v
 
 
-def native_decode_progressive(plan, n_threads: int | None = None) -> np.ndarray:
+def native_decode_progressive(plan, n_threads: int | None = None,
+                              reuse_buffer: bool = False) -> np.ndarray:
     """Progressive entropy decode in C++ -> [total_blocks, 64] int32.
 
     Same contract as
     :func:`jpeg_tpu.entropy.progressive.decode_progressive_coefficients`
     (equivalence-tested); the MCU-interleave assembly runs as parallel C++
     memcpys (the numpy gather cost ~65ms/4K frame).
+
+    The returned array is freshly allocated and owned by the caller unless
+    ``reuse_buffer=True``, in which case a per-thread cached buffer is
+    returned (valid only until the next call on this thread — for callers
+    that consume the coefficients immediately, e.g. timing loops and the
+    fused device upload path).
     """
     import ctypes as ct
 
@@ -868,11 +875,14 @@ def native_decode_progressive(plan, n_threads: int | None = None) -> np.ndarray:
               else _prog_run_scans)
     state, dc_state = runner(plan, n_threads)
     slot_comp, slot_vi, slot_hi, comp_h, comp_v = _prog_slot_arrays(plan)
-    okey = ("prog_out", threading.get_ident(), plan.total_blocks)
-    out = _out_buffers.get(okey)
-    if out is None:
+    if reuse_buffer:
+        okey = ("prog_out", threading.get_ident(), plan.total_blocks)
+        out = _out_buffers.get(okey)
+        if out is None:
+            out = np.empty((plan.total_blocks, 64), np.int32)
+            _out_buffers[okey] = out
+    else:
         out = np.empty((plan.total_blocks, 64), np.int32)
-        _out_buffers[okey] = out
     i32p = ct.POINTER(ct.c_int32)
     ac_ptrs = (i32p * len(state))(*[_p(g, ct.c_int32) for g in state])
     dc_ptrs = (i32p * len(dc_state))(*[_p(g, ct.c_int32) for g in dc_state])

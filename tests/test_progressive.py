@@ -102,6 +102,23 @@ def test_native_progressive_matches_python(subsampling):
     )
 
 
+def test_native_progressive_results_do_not_alias():
+    """Two decodes with equal total_blocks must return independent arrays
+    (regression: the per-thread output cache aliased successive results)."""
+    from jpeg_tpu.runtime import native_available, native_decode_progressive
+
+    if not native_available():
+        pytest.skip("native runtime not built")
+    img_a = synthetic_image(120, 88, seed=90)
+    img_b = synthetic_image(120, 88, seed=91)
+    _, prog_a = _pair(img_a, 2, quality=80)
+    _, prog_b = _pair(img_b, 2, quality=80)
+    out_a = native_decode_progressive(parse_jpeg(prog_a))
+    snapshot = out_a.copy()
+    native_decode_progressive(parse_jpeg(prog_b))
+    np.testing.assert_array_equal(out_a, snapshot)
+
+
 @pytest.mark.parametrize("subsampling", [(1, 1), (2, 1), (2, 2)])
 def test_progressive_encoder_roundtrip(subsampling):
     """Our progressive encoder: same pixels as our baseline encoder, and
