@@ -452,52 +452,70 @@ def native_decode_planes(plan, n_threads: int | None = None,
     if n_threads is None:
         n_threads = os.cpu_count() or 1
 
-    data = np.ascontiguousarray(plan.scan_data, dtype=np.uint8)
-    seg_start = np.array([s.byte_start for s in plan.segments], dtype=np.int64)
-    seg_end = np.array([s.byte_end for s in plan.segments], dtype=np.int64)
-    seg_mcu_start = np.array([s.mcu_start for s in plan.segments], dtype=np.int64)
-    seg_mcu_count = np.array([s.mcu_count for s in plan.segments], dtype=np.int64)
-    slots = plan.component_block_slots()
-    slot_comp = np.array([ci for ci, _ in slots], dtype=np.uint8)
-    slot_vi = np.array(
-        [sub // plan.components[ci].h for ci, sub in slots], dtype=np.uint8)
-    slot_hi = np.array(
-        [sub % plan.components[ci].h for ci, sub in slots], dtype=np.uint8)
-    comp_dc = np.array([c.dc_id for c in plan.components], dtype=np.uint8)
-    comp_ac = np.array([c.ac_id for c in plan.components], dtype=np.uint8)
-    comp_h = np.array([c.h for c in plan.components], dtype=np.uint8)
-    comp_v = np.array([c.v for c in plan.components], dtype=np.uint8)
-
-    cached = getattr(plan, "_native_luts", None)
-    if cached is None:
-        dc_luts = np.ascontiguousarray(np.stack(
-            [(t.lut_value.astype(np.uint16) << 8) | t.lut_length
-             for t in plan.dc_tables]))
-        ac_luts = np.ascontiguousarray(np.stack(
-            [(t.lut_value.astype(np.uint16) << 8) | t.lut_length
-             for t in plan.ac_tables]))
-        cached = (dc_luts, ac_luts)
-        plan._native_luts = cached
-    dc_luts, ac_luts = cached
-
-    shapes = plane_shapes(plan)
+    # All plan-derived marshalling is cached on the plan: corpus-mode
+    # workers call this once per frame, and rebuilding ~12 numpy arrays
+    # per call serializes on the GIL across workers (measured ~60-80 fps
+    # of 4-worker corpus throughput on the 4-core VM).
+    cached_args = getattr(plan, "_native_plane_args", None)
+    if cached_args is None:
+        data = np.ascontiguousarray(plan.scan_data, dtype=np.uint8)
+        seg_start = np.array(
+            [s.byte_start for s in plan.segments], dtype=np.int64)
+        seg_end = np.array([s.byte_end for s in plan.segments], dtype=np.int64)
+        seg_mcu_start = np.array(
+            [s.mcu_start for s in plan.segments], dtype=np.int64)
+        seg_mcu_count = np.array(
+            [s.mcu_count for s in plan.segments], dtype=np.int64)
+        slots = plan.component_block_slots()
+        slot_comp = np.array([ci for ci, _ in slots], dtype=np.uint8)
+        slot_vi = np.array(
+            [sub // plan.components[ci].h for ci, sub in slots],
+            dtype=np.uint8)
+        slot_hi = np.array(
+            [sub % plan.components[ci].h for ci, sub in slots],
+            dtype=np.uint8)
+        comp_dc = np.array([c.dc_id for c in plan.components], dtype=np.uint8)
+        comp_ac = np.array([c.ac_id for c in plan.components], dtype=np.uint8)
+        comp_h = np.array([c.h for c in plan.components], dtype=np.uint8)
+        comp_v = np.array([c.v for c in plan.components], dtype=np.uint8)
+        cached = getattr(plan, "_native_luts", None)
+        if cached is None:
+            dc_luts = np.ascontiguousarray(np.stack(
+                [(t.lut_value.astype(np.uint16) << 8) | t.lut_length
+                 for t in plan.dc_tables]))
+            ac_luts = np.ascontiguousarray(np.stack(
+                [(t.lut_value.astype(np.uint16) << 8) | t.lut_length
+                 for t in plan.ac_tables]))
+            cached = (dc_luts, ac_luts)
+            plan._native_luts = cached
+        dc_luts, ac_luts = cached
+        shapes = plane_shapes(plan)
+        strides = np.array([s[1] for s in shapes], dtype=np.int64)
+        rows = np.array([s[0] for s in shapes], dtype=np.int64)
+        cached_args = (data, seg_start, seg_end, seg_mcu_start, seg_mcu_count,
+                       slot_comp, slot_vi, slot_hi, comp_dc, comp_ac, comp_h,
+                       comp_v, dc_luts, ac_luts, shapes, strides, rows)
+        plan._native_plane_args = cached_args
+    (data, seg_start, seg_end, seg_mcu_start, seg_mcu_count, slot_comp,
+     slot_vi, slot_hi, comp_dc, comp_ac, comp_h, comp_v, dc_luts, ac_luts,
+     shapes, strides, rows) = cached_args
     key = ("planes", threading.get_ident(), tuple(shapes))
-    planes = _out_buffers.get(key) if reuse_buffer else None
-    fresh = planes is None
+    cached_bufs = _out_buffers.get(key) if reuse_buffer else None
+    fresh = cached_bufs is None
     if fresh:
         planes = [np.zeros(s, dtype=np.int16) for s in shapes]
+        i16p = ctypes.POINTER(ctypes.c_int16)
+        ptrs = (i16p * len(planes))(*[_p(p, ctypes.c_int16) for p in planes])
         if reuse_buffer:
-            _out_buffers[key] = planes
+            _out_buffers[key] = (planes, ptrs)
+    else:
+        planes, ptrs = cached_bufs
     # prezero contract (see jpegtpu.cpp): fresh np.zeros buffers are backed
     # by zero pages -> mode 0 (no zeroing at all, sparse coefficient writes
     # only); reused buffers carry the previous frame -> mode 2 (bulk
     # streaming zero inside the decode threads, ~2-3x cheaper than the old
     # per-8x8-tile memsets).
     prezero = 0 if fresh else 2
-    i16p = ctypes.POINTER(ctypes.c_int16)
-    ptrs = (i16p * len(planes))(*[_p(p, ctypes.c_int16) for p in planes])
-    strides = np.array([s[1] for s in shapes], dtype=np.int64)
-    rows = np.array([s[0] for s in shapes], dtype=np.int64)
 
     if speculative is None:
         speculative = (
@@ -913,16 +931,18 @@ def native_decode_progressive_planes(plan,
     slot_comp, slot_vi, slot_hi, comp_h, comp_v = _prog_slot_arrays(plan)
     shapes = plane_shapes(plan)
     pkey = ("planes", threading.get_ident(), tuple(shapes))
-    planes = _out_buffers.get(pkey)
-    if planes is None:
+    cached_bufs = _out_buffers.get(pkey)
+    if cached_bufs is None:
         planes = [np.zeros(sh, np.int16) for sh in shapes]
-        _out_buffers[pkey] = planes
+        i16p0 = ct.POINTER(ct.c_int16)
+        pptrs = (i16p0 * len(planes))(*[_p(p, ct.c_int16) for p in planes])
+        _out_buffers[pkey] = (planes, pptrs)
+    else:
+        planes, pptrs = cached_bufs
     i32p = ct.POINTER(ct.c_int32)
-    i16p_ = ct.POINTER(ct.c_int16)
     ac_ptrs = (i32p * len(state))(*[_p(g, ct.c_int32) for g in state])
     dc_ptrs = (i32p * len(dc_state))(*[_p(g, ct.c_int32) for g in dc_state])
     cols = np.array([g.shape[1] for g in dc_state], np.int64)
-    ptrs = (i16p_ * len(planes))(*[_p(p, ct.c_int16) for p in planes])
     strides = np.array([sh[1] for sh in shapes], np.int64)
     lib.jt_prog_assemble_planes(
         ac_ptrs, dc_ptrs, _p(cols, ct.c_int64),
@@ -930,7 +950,7 @@ def native_decode_progressive_planes(plan,
         _p(slot_hi, ct.c_uint8), plan.blocks_per_mcu,
         _p(comp_h, ct.c_uint8), _p(comp_v, ct.c_uint8),
         len(plan.components), plan.mcus_x, plan.n_mcus,
-        ptrs, _p(strides, ct.c_int64), n_threads)
+        pptrs, _p(strides, ct.c_int64), n_threads)
     return planes
 
 
@@ -980,15 +1000,17 @@ def native_decode_arith_planes(plan, n_threads: int | None = None,
      dc_L, dc_U, ac_K) = _arith_args(plan)
     shapes = plane_shapes(plan)
     key = ("planes", threading.get_ident(), tuple(shapes))
-    planes = _out_buffers.get(key) if reuse_buffer else None
-    fresh = planes is None
+    cached_bufs = _out_buffers.get(key) if reuse_buffer else None
+    fresh = cached_bufs is None
     if fresh:
         planes = [np.zeros(sh, np.int16) for sh in shapes]
+        i16p = ct.POINTER(ct.c_int16)
+        ptrs = (i16p * len(planes))(*[_p(p, ct.c_int16) for p in planes])
         if reuse_buffer:
-            _out_buffers[key] = planes
+            _out_buffers[key] = (planes, ptrs)
+    else:
+        planes, ptrs = cached_bufs
     prezero = 0 if fresh else 2
-    i16p = ct.POINTER(ct.c_int16)
-    ptrs = (i16p * len(planes))(*[_p(p, ct.c_int16) for p in planes])
     strides = np.array([sh[1] for sh in shapes], np.int64)
     rows = np.array([sh[0] for sh in shapes], np.int64)
     err = lib.jt_decode_arith_scan_planes(

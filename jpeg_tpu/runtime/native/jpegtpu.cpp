@@ -65,12 +65,18 @@ struct TwoLevelLut {
   }
 };
 
-// Value-fused fast table: a 12-bit key resolves code AND magnitude bits in
-// one lookup when code_len + size <= 12 (the overwhelming majority of
-// symbols at typical qualities). 4096 x u32 = 16KB, L1-resident.
+// Value-fused fast table: a kFastBits-bit key resolves code AND magnitude
+// bits in one lookup when code_len + size <= kFastBits (the overwhelming
+// majority of DC symbols at typical qualities).
 // Entry: [31:30] kind (0=coef, 1=EOB, 2=ZRL, 3=miss) | [29:25] total bits |
 // [24:21] run | [15:0] value (int16). Entry 0xC0000000 (kind=3) = miss.
-constexpr int kFastBits = 12;
+// Size choice: 10 bits = 4KB/table. The 12-bit variant (16KB/table) hit
+// ~1% more DC codes but, together with the pair tables, pushed the hot
+// table footprint past the 48KB L1d (A/B: tools/profile_entropy.cpp).
+#ifndef JT_FAST_BITS
+#define JT_FAST_BITS 10
+#endif
+constexpr int kFastBits = JT_FAST_BITS;
 constexpr int64_t kFastSize = (int64_t)1 << kFastBits;
 constexpr uint32_t kFastMiss = 0xC0000000u;
 
@@ -124,7 +130,10 @@ struct FastLut {
 //   [50:46] adv1 = run1 + 1
 //   [45:41] adv2 = run2 + 1
 //   [31:16] val1 (int16)   [15:0] val2 (int16)
-constexpr int kPairBits = 12;
+#ifndef JT_PAIR_BITS
+#define JT_PAIR_BITS 12
+#endif
+constexpr int kPairBits = JT_PAIR_BITS;
 constexpr int64_t kPairSize = (int64_t)1 << kPairBits;
 constexpr int kPairShift = 64 - kPairBits;
 
@@ -242,7 +251,7 @@ inline int next_block(BitReader& br, const TwoLevelLut& dc_lut,
                       const PairLut& ac_pair, int32_t* out) {
   std::memset(out, 0, 64 * sizeof(int32_t));
   if (br.count < 27) br.refill();
-  uint32_t f = dc_fast.tab[(uint32_t)(br.bits >> 52)];
+  uint32_t f = dc_fast.tab[(uint32_t)(br.bits >> (64 - kFastBits))];
   if (__builtin_expect((f >> 30) == 0, 1)) {
     int tb = (f >> 25) & 31;
     br.bits <<= tb;
@@ -366,7 +375,7 @@ inline int next_block_plane(BitReader& br, const TwoLevelLut& dc_lut,
   // refill up front covers the combined code+magnitude advance below.
   if (br.count < 27) br.refill();
   int32_t dc;
-  uint32_t f = dc_fast.tab[(uint32_t)(br.bits >> 52)];
+  uint32_t f = dc_fast.tab[(uint32_t)(br.bits >> (64 - kFastBits))];
   if (__builtin_expect((f >> 30) == 0, 1)) {
     int tb = (f >> 25) & 31;
     br.bits <<= tb;
