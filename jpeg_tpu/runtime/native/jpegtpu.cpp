@@ -770,56 +770,134 @@ constexpr QeEntry kQeTable[114] = {
 };
 constexpr uint8_t kFixedBin = 113;
 
+// Per-(state byte) packed transition table, indexed by the full state byte
+// sv = (mps << 7) | index: [15:0] qe, [23:16] next sv on MPS adapt,
+// [31:24] next sv on LPS adapt (MPS switch folded in). 256 x 4B = 1KB —
+// one aligned load replaces the 6-byte struct load + switch branch.
+struct QeSvTable {
+  uint32_t t[256];
+  QeSvTable() {
+    for (int sv = 0; sv < 256; ++sv) {
+      const QeEntry& e = kQeTable[sv & 0x7F];
+      uint32_t mps = sv & 0x80;
+      uint32_t nmps_sv = mps | e.nmps;
+      uint32_t nlps_sv = (e.sw ? (mps ^ 0x80) : mps) | e.nlps;
+      t[sv] = e.qe | (nmps_sv << 16) | (nlps_sv << 24);
+    }
+  }
+};
+const QeSvTable kQeSv;
+
+// QM decoder, pre-aligned formulation: the 16-bit code register Chigh lives
+// at bits [63:48] of `c`; bits [47:0] hold the next 48 raw stream bits
+// (zero-filled past segment end, matching the deferred-renorm original and
+// libjpeg). Renormalization is a single clz-sized shift of (a, c) together,
+// so the hot MPS path is subtract-compare-return with no per-bit loop and
+// no `aa << ct` on the compare. Bit-exact twin of
+// jpeg_tpu.entropy.arith.QMDecoder (equivalence-tested vs the Python
+// module and libjpeg-turbo's coder).
 struct QMDecoder {
   const uint8_t* p;
   const uint8_t* end;
-  int64_t c = 0;
-  int64_t a = 0;
-  int ct = -16;  // forces the two-byte initial fill
+  uint64_t c;
+  uint32_t a = 0x10000;  // one past 16 bits at init, <= 0xFFFF after
+  int pending = 0;       // valid stream bits in c[47:0]
 
-  QMDecoder(const uint8_t* d, int64_t n) : p(d), end(d + n) {}
+  QMDecoder(const uint8_t* d, int64_t n) : p(d), end(d + n) {
+    uint64_t b0 = (p < end) ? *p++ : 0;
+    uint64_t b1 = (p < end) ? *p++ : 0;
+    c = (b0 << 56) | (b1 << 48);
+    refill();
+  }
+
+  inline void refill() {
+    if (__builtin_expect(p + 4 <= end, 1)) {
+      // One 4-byte big-endian load replaces up to 5 byte-loop iterations
+      // (refill is only called with pending < 16, so 32 bits always fit).
+      uint32_t w;
+      std::memcpy(&w, p, 4);
+      p += 4;
+      c |= (uint64_t)__builtin_bswap32(w) << (16 - pending);
+      pending += 32;
+      return;
+    }
+    while (pending <= 40) {
+      uint64_t b = (p < end) ? *p++ : 0;  // zero fill past segment end
+      c |= b << (40 - pending);
+      pending += 8;
+    }
+  }
+
+  // aa in [1, 0x7FFF]: shift (a, c) up until a reaches [0x8000, 0xFFFF].
+  inline void renorm(uint32_t aa) {
+    int n = __builtin_clz(aa) - 16;
+    a = aa << n;
+    c <<= n;
+    pending -= n;
+    if (pending < 16) refill();
+  }
+
+  // Core bin decode with the state byte cached in a register: callers
+  // looping on one context (mantissa bits) skip the per-bin state reload.
+  inline int decode_ref(uint8_t& sv, uint8_t* st) {
+    uint32_t e = kQeSv.t[sv];
+    uint32_t qe = e & 0xFFFF;
+    uint32_t aa = a - qe;
+    uint32_t chigh = (uint32_t)(c >> 48);
+    if (chigh < aa) {
+      if (__builtin_expect((aa & 0x8000) != 0, 1)) {
+        a = aa;
+        return sv >> 7;  // fast MPS: no renorm, no state update
+      }
+      int bit = sv >> 7;
+      if (qe > aa) {  // conditional exchange
+        bit ^= 1;
+        sv = (uint8_t)(e >> 24);
+      } else {
+        sv = (uint8_t)(e >> 16);
+      }
+      *st = sv;
+      renorm(aa);
+      return bit;
+    }
+    c -= (uint64_t)aa << 48;
+    int bit = sv >> 7;
+    if (qe > aa) {  // conditional exchange
+      sv = (uint8_t)(e >> 16);
+    } else {
+      bit ^= 1;
+      sv = (uint8_t)(e >> 24);
+    }
+    *st = sv;
+    renorm(qe);
+    return bit;
+  }
 
   inline int decode(uint8_t* st) {
-    int64_t aa = a;
-    while (aa < 0x8000) {
-      if (--ct < 0) {
-        c = (c << 8) | (p < end ? *p++ : 0);  // zero fill past segment end
-        ct += 8;
-        if (ct < 0) {
-          if (++ct == 0) {
-            aa = 0x10000;
-            break;
-          }
-          continue;
-        }
-      }
-      aa <<= 1;
-    }
     uint8_t sv = *st;
-    const QeEntry e = kQeTable[sv & 0x7F];
-    aa -= e.qe;
-    int64_t thresh = aa << ct;
-    if (c < thresh) {
-      if (aa >= 0x8000) {
+    return decode_ref(sv, st);
+  }
+
+  // Specialized decode on the non-adaptive ~0.5 bin (sign bits): state 113
+  // never changes (nmps = nlps = 113, sw = 0, MPS = 0), so the table load
+  // and state write vanish; only the conditional-exchange bit flip remains.
+  inline int decode_fixed() {
+    constexpr uint32_t kQe = 0x5A1D;
+    uint32_t aa = a - kQe;
+    uint32_t chigh = (uint32_t)(c >> 48);
+    if (chigh < aa) {
+      if (__builtin_expect((aa & 0x8000) != 0, 1)) {
         a = aa;
-        return sv >> 7;
+        return 0;
       }
-      a = aa;
-      if (e.qe <= aa) {
-        *st = (sv & 0x80) | e.nmps;
-        return sv >> 7;
-      }
-      *st = (uint8_t)((e.sw ? ((sv & 0x80) ^ 0x80) : (sv & 0x80)) | e.nlps);
-      return (sv >> 7) ^ 1;
+      int bit = (kQe > aa) ? 1 : 0;
+      renorm(aa);
+      return bit;
     }
-    c -= thresh;
-    a = e.qe;
-    if (e.qe > aa) {
-      *st = (sv & 0x80) | e.nmps;
-      return sv >> 7;
-    }
-    *st = (uint8_t)((e.sw ? ((sv & 0x80) ^ 0x80) : (sv & 0x80)) | e.nlps);
-    return (sv >> 7) ^ 1;
+    c -= (uint64_t)aa << 48;
+    int bit = (kQe > aa) ? 0 : 1;
+    renorm(kQe);
+    return bit;
   }
 };
 
@@ -863,9 +941,12 @@ inline int qm_decode_dc(QMDecoder& dec, ArithStats& s, int tbl, int ci,
   else s.ctx[ci] = 4 + sign * 4;
   int v = m;
   i += 14;
-  while (m > 1) {
-    m >>= 1;
-    if (dec.decode(st + i)) v |= m;
+  if (m > 1) {
+    uint8_t sv = st[i];
+    do {
+      m >>= 1;
+      if (dec.decode_ref(sv, st + i)) v |= m;
+    } while (m > 1);
   }
   v += 1;
   s.last_dc[ci] += sign ? -v : v;
@@ -886,7 +967,7 @@ inline int qm_decode_ac(QMDecoder& dec, ArithStats& s, int tbl, int kx,
       st += 3;
       if (++k > 63) return 1;
     }
-    int sign = dec.decode(&s.fixed);
+    int sign = dec.decode_fixed();
     st += 2;
     int m;
     if (dec.decode(st) == 0) {
@@ -903,9 +984,12 @@ inline int qm_decode_ac(QMDecoder& dec, ArithStats& s, int tbl, int kx,
     }
     int v = m;
     st += 14;
-    while (m > 1) {
-      m >>= 1;
-      if (dec.decode(st)) v |= m;
+    if (m > 1) {
+      uint8_t sv = *st;
+      do {
+        m >>= 1;
+        if (dec.decode_ref(sv, st)) v |= m;
+      } while (m > 1);
     }
     v += 1;
     put(k, sign ? -v : v);
@@ -1851,7 +1935,7 @@ int64_t jt_decode_arith_prog_dc(
               int32_t* coef =
                   state[s] + (my * v + vi) * state_cols[s] + mx * h + hi;
               if (ah) {
-                if (dec.decode(&stats.fixed)) *coef |= 1 << al;
+                if (dec.decode_fixed()) *coef |= 1 << al;
               } else {
                 if (qm_decode_dc(dec, stats, tid, s, dc_L[tid], dc_U[tid]))
                   return seg;
@@ -1866,7 +1950,7 @@ int64_t jt_decode_arith_prog_dc(
         int32_t* coef = state[0] + by * state_cols[0] + bx;
         int tid = scan_dc_ids[0];
         if (ah) {
-          if (dec.decode(&stats.fixed)) *coef |= 1 << al;
+          if (dec.decode_fixed()) *coef |= 1 << al;
         } else {
           if (qm_decode_dc(dec, stats, tid, 0, dc_L[tid], dc_U[tid]))
             return seg;
@@ -1905,7 +1989,7 @@ int64_t jt_decode_arith_prog_ac(
             st += 3;
             if (++k > se) return seg;
           }
-          int sign = dec.decode(&stats.fixed);
+          int sign = dec.decode_fixed();
           st += 2;
           int m;
           if (dec.decode(st) == 0) {
@@ -1944,7 +2028,7 @@ int64_t jt_decode_arith_prog_ac(
               break;
             }
             if (dec.decode(st + 1)) {
-              blk[k] = dec.decode(&stats.fixed) ? m1_ : p1;
+              blk[k] = dec.decode_fixed() ? m1_ : p1;
               break;
             }
             st += 3;

@@ -33,13 +33,18 @@ def main():
         "comp_ac.u8": np.array([c.ac_id for c in plan.components], np.uint8),
         "comp_h.u8": np.array([c.h for c in plan.components], np.uint8),
         "comp_v.u8": np.array([c.v for c in plan.components], np.uint8),
-        "dc_luts.u16": np.ascontiguousarray(np.stack(
-            [(t.lut_value.astype(np.uint16) << 8) | t.lut_length
-             for t in plan.dc_tables])),
-        "ac_luts.u16": np.ascontiguousarray(np.stack(
-            [(t.lut_value.astype(np.uint16) << 8) | t.lut_length
-             for t in plan.ac_tables])),
     }
+    if getattr(plan, "arith_code", False):
+        arrays["dc_L.u8"] = np.array(plan.arith_dc_L, np.uint8)
+        arrays["dc_U.u8"] = np.array(plan.arith_dc_U, np.uint8)
+        arrays["ac_K.u8"] = np.array(plan.arith_ac_K, np.uint8)
+    else:
+        arrays["dc_luts.u16"] = np.ascontiguousarray(np.stack(
+            [(t.lut_value.astype(np.uint16) << 8) | t.lut_length
+             for t in plan.dc_tables]))
+        arrays["ac_luts.u16"] = np.ascontiguousarray(np.stack(
+            [(t.lut_value.astype(np.uint16) << 8) | t.lut_length
+             for t in plan.ac_tables]))
     shapes = plane_shapes(plan)
     meta = np.array(
         [plan.blocks_per_mcu, len(plan.components), plan.mcus_x, plan.n_mcus,
