@@ -177,6 +177,7 @@ def _load() -> ctypes.CDLL:
         i32p, ctypes.c_int64,  # state, state cols
         u16p, ctypes.c_int32,  # ac LUTs, ac id
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # bw, n_blocks, unit_base
+        i64p, i64p,  # done_rows (published progress), gate_rows (producer)
     ]
     _lib = lib
     return lib
@@ -659,7 +660,7 @@ def _prog_run_scans(plan, n_threads):
             if err >= 0:
                 raise NativeDecodeError(int(err))
 
-    def run_ac(scan):
+    def run_ac(scan, done=None, gate=None):
         if len(scan.comp_indices) != 1:
             raise JPEGError("progressive AC scan must have one component")
         ci = scan.comp_indices[0]
@@ -670,6 +671,9 @@ def _prog_run_scans(plan, n_threads):
         seg_s = np.array([b[0] for b in scan.bounds], np.int64)
         seg_e = np.array([b[1] for b in scan.bounds], np.int64)
         ac_luts = _packed_table_block(scan.ac_tables)
+        done_p = _p(done, ct.c_int64) if done is not None else None
+        gate_p = _p(gate, ct.c_int64) if gate is not None else None
+
         def ac_slice(s0, s1):
             return lib.jt_decode_prog_ac(
                 _p(data, ct.c_uint8),
@@ -678,7 +682,7 @@ def _prog_run_scans(plan, n_threads):
                 s1 - s0, ri, scan.ss, scan.se, scan.ah, scan.al,
                 _p(state[ci], ct.c_int32), state[ci].shape[1],
                 _p(ac_luts, ct.c_uint16), scan.ac_ids[0], bw,
-                min(n_blocks, s1 * ri), s0 * ri,
+                min(n_blocks, s1 * ri), s0 * ri, done_p, gate_p,
             )
 
         for err in _run_segment_slices(ac_slice, len(scan.bounds)):
@@ -693,6 +697,8 @@ def _prog_run_scans(plan, n_threads):
         else:
             chains.setdefault(scan.comp_indices[0], []).append(("ac", scan))
 
+    timing = os.environ.get("JT_PROG_TIMING") == "1"
+
     def run_chain(items):
         zeroed = set()
         for kind, scan in items:
@@ -703,7 +709,17 @@ def _prog_run_scans(plan, n_threads):
                 elif kind != "dc" and ("ac", ci) not in zeroed:
                     state[ci][...] = 0
                     zeroed.add(("ac", ci))
-            (run_dc if kind == "dc" else run_ac)(scan)
+            if timing:
+                import time as _t
+
+                t0 = _t.perf_counter()
+                (run_dc if kind == "dc" else run_ac)(scan)
+                print(f"  scan comp={scan.comp_indices} ss={scan.ss} "
+                      f"se={scan.se} ah={scan.ah} al={scan.al} "
+                      f"bytes={len(scan.scan_data)} "
+                      f"{(_t.perf_counter() - t0) * 1e3:.2f} ms", flush=True)
+            else:
+                (run_dc if kind == "dc" else run_ac)(scan)
 
     if n_threads is None:
         n_threads = os.cpu_count() or 1
@@ -721,9 +737,47 @@ def _prog_run_scans(plan, n_threads):
         if ci not in dc_covered:
             dc_state[ci][...] = 0
     chain_lists = [c for c in chains.values() if c]
+    pipeline_ok = os.environ.get("JT_PROG_PIPELINE", "1") != "0"
     if n_threads > 1 and len(chain_lists) > 1:
-        with ThreadPoolExecutor(max_workers=min(n_threads, len(chain_lists))) as ex:
-            list(ex.map(run_chain, chain_lists))
+        # Row-pipelined AC chains: every scan of a component's AC chain runs
+        # CONCURRENTLY, scan j gated row-wise on scan j-1's published
+        # progress (jt_decode_prog_ac done/gate counters) — the chain's
+        # wall-clock collapses from the sum of its scans to ~its slowest
+        # scan (the 653KB Y al=0 refinement). Only single-segment scans
+        # pipeline (multi-segment scans already parallelize across their
+        # restart segments via _run_segment_slices).
+        tasks = []
+        for items in chain_lists:
+            pipeline = (pipeline_ok and len(items) > 1
+                        and all(kind == "ac" and len(scan.bounds) == 1
+                                for kind, scan in items))
+            if not pipeline:
+                tasks.append((run_chain, (items,)))
+                continue
+            progress = [np.zeros(1, np.int64) for _ in items]
+            ci = items[0][1].comp_indices[0]
+
+            def make_task(j, scan, ci=ci, progress=progress):
+                def task():
+                    if j == 0:
+                        state[ci][...] = 0
+                    run_ac(scan, done=progress[j],
+                           gate=progress[j - 1] if j > 0 else None)
+                return task
+
+            for j, (_kind, scan) in enumerate(items):
+                tasks.append((make_task(j, scan), ()))
+        if len(tasks) > 1:
+            # One worker per task: a gated consumer must never block a
+            # queued producer from starting (deadlock), so every task gets
+            # a thread and the consumers' spin loops yield the core.
+            with ThreadPoolExecutor(max_workers=len(tasks)) as ex:
+                futs = [ex.submit(fn, *args) for fn, args in tasks]
+                for f in futs:
+                    f.result()
+        else:
+            for fn, args in tasks:
+                fn(*args)
     else:
         for c in chain_lists:
             run_chain(c)

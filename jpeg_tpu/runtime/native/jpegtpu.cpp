@@ -1473,7 +1473,9 @@ inline uint64_t nonzero_mask64(const int32_t* coef) {
 
 // Refinement correction bits for every nonzero position in `m` (ascending),
 // batched: one multi-bit read covers up to 16 nonzeros instead of one
-// read(1) per position.
+// read(1) per position. The apply step is BRANCHLESS: correction bits are
+// ~50/50 at the margin, so a per-bit `if` costs ~0.5 mispredicts per
+// nonzero (measured dominant in the 4K al=0 Y refinement scan).
 inline void refine_nonzeros(BitReader& br, int32_t* coef, uint64_t m,
                             int32_t p1, int32_t m1) {
   while (m) {
@@ -1483,10 +1485,13 @@ inline void refine_nonzeros(BitReader& br, int32_t* coef, uint64_t m,
     for (int i = take - 1; i >= 0; --i) {
       int k = __builtin_ctzll(m);
       m &= m - 1;
-      if ((bits >> i) & 1) {
-        int32_t* c = &coef[k];
-        if ((*c & p1) == 0) *c += (*c >= 0) ? p1 : m1;
-      }
+      int32_t cv = coef[k];
+      // apply iff stream bit set AND the al bit not already set
+      // (every position in m is nonzero by construction).
+      int32_t apply = -(int32_t)(((bits >> i) & 1u) &
+                                 (uint32_t)((cv & p1) == 0));
+      int32_t add = (cv >= 0) ? p1 : m1;  // cmov
+      coef[k] = cv + (add & apply);
     }
   }
 }
@@ -1514,13 +1519,17 @@ int64_t jt_decode_prog_dc(
     comp_dc[s] = &dc_tab[t];
   }
   int64_t unit = unit_base;
+  // Running row/col (see jt_decode_prog_ac: div/mod per unit is measurable).
+  int64_t rx = interleaved ? mcus_x : comp_bw[0];
+  int64_t uy = unit / rx, ux = unit % rx;
   for (int64_t seg = 0; seg < n_segs && unit < n_units; ++seg) {
     BitReader br(data + seg_start[seg], seg_end[seg] - seg_start[seg]);
     int64_t pred[4] = {0, 0, 0, 0};
-    for (int64_t u = 0; u < restart_units && unit < n_units; ++u, ++unit) {
+    for (int64_t u = 0; u < restart_units && unit < n_units;
+         ++u, ++unit, (++ux == rx ? (ux = 0, ++uy) : 0)) {
       if (interleaved) {
-        int64_t my = unit / mcus_x;
-        int64_t mx = unit % mcus_x;
+        int64_t my = uy;
+        int64_t mx = ux;
         for (int s = 0; s < n_scan_comps; ++s) {
           int h = scan_comp_h[s], v = scan_comp_v[s];
           for (int vi = 0; vi < v; ++vi) {
@@ -1546,9 +1555,7 @@ int64_t jt_decode_prog_dc(
           }
         }
       } else {
-        int64_t by = unit / comp_bw[0];
-        int64_t bx = unit % comp_bw[0];
-        int32_t* coef = state[0] + by * state_cols[0] + bx;
+        int32_t* coef = state[0] + uy * state_cols[0] + ux;
         if (ah == 0) {
           if (br.count < 27) br.refill();
           uint32_t e = comp_dc[0]->lookup((uint32_t)(br.bits >> 48));
@@ -1566,24 +1573,105 @@ int64_t jt_decode_prog_dc(
   return -1;
 }
 
+// Fused refinement-symbol table (ah > 0 AC scans): one 11-bit lookup
+// resolves symbol + fused sign bit (inserts) or symbol + fused EOB-run
+// length bits. 2^11 x u32 = 8KB. Entry:
+//   [1:0] kind: 0 miss, 1 EOB-run (value fused), 3 span step (insert/ZRL)
+//   [6:2] total bits   [10:7] run   [11] sign (+p1 when set)
+//   [12] has insert value (0 for ZRL)   [31:16] fused EOB-run value
+constexpr int kRefBits = 11;
+constexpr int kRefShift = 64 - kRefBits;
+
+struct RefLut {
+  uint32_t tab[(size_t)1 << kRefBits];
+
+  void build(const uint16_t* full_lut) {
+    for (int64_t key = 0; key < ((int64_t)1 << kRefBits); ++key) {
+      tab[key] = 0;  // miss
+      uint32_t e = full_lut[key << (kLutBits - kRefBits)];
+      int len = e & 0xFF;
+      if (len == 0 || len > kRefBits) continue;
+      int rs = e >> 8;
+      int r = rs >> 4, s = rs & 0xF;
+      if (s == 0) {
+        if (r == 15) {  // ZRL
+          tab[key] = 3u | ((uint32_t)len << 2) | (15u << 7);
+        } else {
+          int total = len + r;
+          if (total > kRefBits) continue;
+          uint32_t extra =
+              (uint32_t)(key >> (kRefBits - total)) & ((1u << r) - 1);
+          uint32_t eobval = (1u << r) + extra;
+          if (eobval > 0xFFFF) continue;
+          tab[key] = 1u | ((uint32_t)total << 2) | (eobval << 16);
+        }
+      } else if (s == 1) {
+        int total = len + 1;  // fused sign bit
+        if (total > kRefBits) continue;
+        uint32_t sign = (uint32_t)(key >> (kRefBits - total)) & 1u;
+        tab[key] = 3u | ((uint32_t)total << 2) | ((uint32_t)r << 7) |
+                   (sign << 11) | (1u << 12);
+      }
+      // s > 1: miss (slow path reports the invalid magnitude)
+    }
+  }
+};
+
 // AC scan (single component). Returns -1 ok, >= 0 first bad segment.
+//
+// Row-pipelined chains: successive AC scans of one component are strictly
+// ordered (a later scan reads the coefficient state the earlier one
+// wrote), but only per block — so the WHOLE chain runs concurrently with
+// row-granular gating. `done_rows` (may be NULL) is this scan's published
+// progress (block rows completed, release-stored; INT64_MAX on exit so
+// consumers never deadlock on an error path); `gate_rows` (may be NULL)
+// is the producer scan's counter, acquire-loaded before each row.
 int64_t jt_decode_prog_ac(
     const uint8_t* data, const int64_t* seg_start, const int64_t* seg_end,
     int64_t n_segs, int64_t restart_blocks, int32_t ss, int32_t se,
     int32_t ah, int32_t al, int32_t* state, int64_t state_cols,
     const uint16_t* ac_luts, int32_t ac_id, int64_t bw, int64_t n_blocks,
-    int64_t unit_base) {
+    int64_t unit_base, int64_t* done_rows, const int64_t* gate_rows) {
+  struct DoneGuard {  // publish "all rows done" on every exit path
+    int64_t* d;
+    ~DoneGuard() {
+      if (d) __atomic_store_n(d, INT64_MAX, __ATOMIC_RELEASE);
+    }
+  } done_guard{done_rows};
   TwoLevelLut ac_tab;
   ac_tab.build(ac_luts + ac_id * kLutSize);
+  static thread_local RefLut ref_lut;
+  if (ah > 0) ref_lut.build(ac_luts + ac_id * kLutSize);
   const int32_t p1 = 1 << al;
   const int32_t m1 = -(1 << al);
   int64_t bi = unit_base;
+  // Running (by, bx) instead of a 64-bit div/mod per block (20-40 cycles,
+  // measured significant across the sparse refinement scans).
+  int64_t by = bi / bw;
+  int64_t bx = bi % bw;
+  int64_t gate_seen = 0;
   for (int64_t seg = 0; seg < n_segs && bi < n_blocks; ++seg) {
     BitReader br(data + seg_start[seg], seg_end[seg] - seg_start[seg]);
     int64_t eobrun = 0;
-    for (int64_t u = 0; u < restart_blocks && bi < n_blocks; ++u, ++bi) {
-      int64_t by = bi / bw;
-      int64_t bx = bi % bw;
+    for (int64_t u = 0; u < restart_blocks && bi < n_blocks;
+         ++u, ++bi,
+         (bx == bw - 1 && done_rows
+              ? (__atomic_store_n(done_rows, by + 1, __ATOMIC_RELEASE), 0)
+              : 0),
+         (++bx == bw ? (bx = 0, ++by) : 0)) {
+      if (gate_rows && bx == 0 && gate_seen <= by) {
+        int spins = 0;
+        while ((gate_seen =
+                    __atomic_load_n(gate_rows, __ATOMIC_ACQUIRE)) <= by) {
+          if (++spins < 64) {
+            _mm_pause();
+          } else {
+            // Oversubscribed cores (whole chains run concurrently): give
+            // the producer the core instead of burning it on the spin.
+            std::this_thread::yield();
+          }
+        }
+      }
       int32_t* coef = state + (by * state_cols + bx) * 64;
       if (ah == 0) {
         if (eobrun > 0) {
@@ -1626,22 +1714,41 @@ int64_t jt_decode_prog_ac(
         if (eobrun == 0) {
           while (k <= se) {
             if (br.count < 27) br.refill();
-            uint32_t e = ac_tab.lookup((uint32_t)(br.bits >> 48));
-            int len = e & 0xFF;
-            if (len == 0) return seg;
-            br.consume(len);
-            int rs = e >> 8;
-            int r = rs >> 4, s = rs & 0xF;
-            int32_t s_val = 0;
-            if (s == 0) {
-              if (r != 15) {
-                eobrun = (int64_t)1 << r;
-                if (r) eobrun += br.read(r);
-                break;
+            int32_t s_val;
+            int r;
+            uint32_t fe = ref_lut.tab[(uint32_t)(br.bits >> kRefShift)];
+            uint32_t kind = fe & 3;
+            if (__builtin_expect(kind == 3, 1)) {  // insert / ZRL, sign fused
+              int total = (fe >> 2) & 31;
+              br.bits <<= total;
+              br.count -= total;
+              r = (fe >> 7) & 15;
+              s_val = (fe & (1u << 12)) ? ((fe & (1u << 11)) ? p1 : m1) : 0;
+            } else if (kind == 1) {  // EOB-run, length bits fused
+              int total = (fe >> 2) & 31;
+              br.bits <<= total;
+              br.count -= total;
+              eobrun = fe >> 16;
+              break;
+            } else {  // miss: long code / long EOB-run / invalid magnitude
+              uint32_t e = ac_tab.lookup((uint32_t)(br.bits >> 48));
+              int len = e & 0xFF;
+              if (len == 0) return seg;
+              br.consume(len);
+              int rs = e >> 8;
+              int s = rs & 0xF;
+              r = rs >> 4;
+              if (s == 0) {
+                if (r != 15) {
+                  eobrun = (int64_t)1 << r;
+                  if (r) eobrun += br.read(r);
+                  break;
+                }
+                s_val = 0;
+              } else {
+                if (s != 1) return seg;  // invalid refinement magnitude
+                s_val = br.read(1) ? p1 : m1;
               }
-            } else {
-              if (s != 1) return seg;  // invalid refinement magnitude
-              s_val = br.read(1) ? p1 : m1;
             }
             // One-shot insertion: the target is the (r+1)-th ZERO at/after
             // k (pdep selects it in one instruction); every nonzero before
