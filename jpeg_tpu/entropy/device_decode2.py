@@ -136,6 +136,79 @@ def _magnitude(hi, length, nbits, u32=jnp.uint32):
     return _sign_extend(raw, nbits)
 
 
+def _make_block_decoder(refill, consume, S):
+    """Build decode_block(reg, err, active, lut_dc, lut_ac) ->
+    (block [S, 64] raw-DC, reg, err): lockstep-decode one block on all
+    active lanes — DC peeled, then up to SYMS_PER_STEP AC symbols per
+    while-step on two refill gathers. Shared by the restart-lane kernel
+    below and the speculative chunk-lane kernel
+    (:mod:`jpeg_tpu.entropy.device_spec`)."""
+    pos_iota = jax.lax.broadcasted_iota(jnp.int32, (S, 64), 1)
+    max_block_steps = 34  # >= 2 AC symbols retire per busy step
+
+    def decode_block(reg, err, active, lut_dc, lut_ac):
+        # --- DC: peeled (exactly one symbol, its own table).
+        reg = refill(refill(reg))
+        peek = (reg[2] >> 16).astype(jnp.int32)
+        e = lut_dc[peek]
+        length = e & 0xFF
+        nbits = (e >> 8) & 0xFF
+        bad = active & (length == 0)
+        val = _magnitude(reg[2], length, nbits)
+        ok = active & ~bad
+        reg = consume(reg, jnp.where(ok, length + nbits, 0))
+        acc = jnp.where(ok[:, None] & (pos_iota == 0), val[:, None], 0)
+        state = dict(
+            reg=reg, err=err | bad,
+            coef=jnp.where(ok, 1, 64), acc=acc, step=jnp.int32(0),
+        )
+
+        def cond(st):
+            busy = active & ~st["err"] & (st["coef"] < 64)
+            return (st["step"] < max_block_steps) & jnp.any(busy)
+
+        def body(st):
+            reg = refill(refill(st["reg"]))
+            err, coef, acc = st["err"], st["coef"], st["acc"]
+            for _k in range(SYMS_PER_STEP):
+                busy = (active & ~err & (coef < 64) & (reg[1] >= 27))
+                peek = (reg[2] >> 16).astype(jnp.int32)
+                e = lut_ac[peek]
+                length = e & 0xFF
+                sym = (e >> 8) & 0xFF
+                bad = busy & (length == 0)
+                is_eob = sym == 0x00
+                is_zrl = sym == 0xF0
+                run = (sym >> 4) & 0xF
+                size = sym & 0xF
+                nbits = jnp.where(is_eob | is_zrl, 0, size)
+                val = _magnitude(reg[2], length, nbits)
+                d = jnp.where(busy & ~bad, length + nbits, 0)
+
+                run_cap = jnp.minimum(run, 64 - coef - 1)
+                pos = coef + run_cap
+                coef_next = jnp.where(
+                    is_eob, 64,
+                    jnp.where(is_zrl, jnp.minimum(coef + 16, 64),
+                              pos + 1))
+                do_write = busy & ~bad & ~is_eob & ~is_zrl
+                acc = acc + jnp.where(
+                    do_write[:, None] & (pos_iota == pos[:, None]),
+                    val[:, None], 0)
+                coef = jnp.where(busy & ~bad, coef_next, coef)
+                err = err | bad
+                reg = consume(reg, d)
+            return dict(reg=reg, err=err, coef=coef, acc=acc,
+                        step=st["step"] + 1)
+
+        st = jax.lax.while_loop(cond, body, state)
+        err2 = st["err"] | (active & (st["coef"] < 64) & (
+            st["step"] >= max_block_steps))
+        return st["acc"], st["reg"], err2
+
+    return decode_block
+
+
 @lru_cache(maxsize=64)
 def _compiled_kernel2(n_comp: int, max_mcus: int,
                       slot_comp: tuple, slot_dc: tuple, slot_ac: tuple):
@@ -145,7 +218,6 @@ def _compiled_kernel2(n_comp: int, max_mcus: int,
     output flush."""
     bpm = len(slot_comp)
     blocks_per_seg = max_mcus * bpm
-    max_block_steps = 34  # >= 2 AC symbols retire per busy step
 
     def kernel(words, luts, bit_start, bit_end, n_blocks_seg):
         """words: [n_words] u32 big-endian scan words; luts: [8, 65536]
@@ -154,73 +226,9 @@ def _compiled_kernel2(n_comp: int, max_mcus: int,
         [S, blocks_per_seg, 64] i32 zigzag, DC-predicted; error [S])."""
         S = bit_start.shape[0]
         n_words = words.shape[0]
-        pos_iota = jax.lax.broadcasted_iota(jnp.int32, (S, 64), 1)
         u32 = jnp.uint32
         refill, consume = _make_register_ops(words)
-
-        def decode_block(reg, err, active, lut_dc, lut_ac):
-            """Lockstep-decode one block on all active lanes.
-
-            Returns (block [S, 64] with raw DC delta at 0, reg, err).
-            """
-            # --- DC: peeled (exactly one symbol, its own table).
-            reg = refill(refill(reg))
-            peek = (reg[2] >> 16).astype(jnp.int32)
-            e = lut_dc[peek]
-            length = e & 0xFF
-            nbits = (e >> 8) & 0xFF
-            bad = active & (length == 0)
-            val = _magnitude(reg[2], length, nbits)
-            ok = active & ~bad
-            reg = consume(reg, jnp.where(ok, length + nbits, 0))
-            acc = jnp.where(ok[:, None] & (pos_iota == 0), val[:, None], 0)
-            state = dict(
-                reg=reg, err=err | bad,
-                coef=jnp.where(ok, 1, 64), acc=acc, step=jnp.int32(0),
-            )
-
-            def cond(st):
-                busy = active & ~st["err"] & (st["coef"] < 64)
-                return (st["step"] < max_block_steps) & jnp.any(busy)
-
-            def body(st):
-                reg = refill(refill(st["reg"]))
-                err, coef, acc = st["err"], st["coef"], st["acc"]
-                for _k in range(SYMS_PER_STEP):
-                    busy = (active & ~err & (coef < 64) & (reg[1] >= 27))
-                    peek = (reg[2] >> 16).astype(jnp.int32)
-                    e = lut_ac[peek]
-                    length = e & 0xFF
-                    sym = (e >> 8) & 0xFF
-                    bad = busy & (length == 0)
-                    is_eob = sym == 0x00
-                    is_zrl = sym == 0xF0
-                    run = (sym >> 4) & 0xF
-                    size = sym & 0xF
-                    nbits = jnp.where(is_eob | is_zrl, 0, size)
-                    val = _magnitude(reg[2], length, nbits)
-                    d = jnp.where(busy & ~bad, length + nbits, 0)
-
-                    run_cap = jnp.minimum(run, 64 - coef - 1)
-                    pos = coef + run_cap
-                    coef_next = jnp.where(
-                        is_eob, 64,
-                        jnp.where(is_zrl, jnp.minimum(coef + 16, 64),
-                                  pos + 1))
-                    do_write = busy & ~bad & ~is_eob & ~is_zrl
-                    acc = acc + jnp.where(
-                        do_write[:, None] & (pos_iota == pos[:, None]),
-                        val[:, None], 0)
-                    coef = jnp.where(busy & ~bad, coef_next, coef)
-                    err = err | bad
-                    reg = consume(reg, d)
-                return dict(reg=reg, err=err, coef=coef, acc=acc,
-                            step=st["step"] + 1)
-
-            st = jax.lax.while_loop(cond, body, state)
-            err2 = st["err"] | (active & (st["coef"] < 64) & (
-                st["step"] >= max_block_steps))
-            return st["acc"], st["reg"], err2
+        decode_block = _make_block_decoder(refill, consume, S)
 
         def mcu_body(m, carry):
             reg, err, prev_dc, out = carry

@@ -1,0 +1,84 @@
+"""Speculative chunk-lane device entropy decoder: equivalence vs the
+oracle (SURVEY.md §7 layer 4), including forced gap recovery (tiny
+overlap budgets) and corrupt-stream garbage-in-garbage-out parity with
+the reference semantics (``src/jpeg/huffman.rs:109-268``)."""
+
+import numpy as np
+import pytest
+
+from jpeg_tpu.entropy.device_spec import decode_coefficients_device_spec
+from jpeg_tpu.entropy.oracle import decode_coefficients
+from jpeg_tpu.io.container import parse_jpeg
+from jpeg_tpu.models.encoder import encode_rgb
+
+
+def _roundtrip(img, lanes, overlap, **enc):
+    data = encode_rgb(img, quality=enc.pop("quality", 80), **enc)
+    plan = parse_jpeg(data)
+    got, stats = decode_coefficients_device_spec(
+        plan, target_lanes=lanes, overlap_mcus=overlap)
+    assert got is not None, stats
+    np.testing.assert_array_equal(
+        np.asarray(got), decode_coefficients(plan))
+    return stats
+
+
+@pytest.mark.parametrize(
+    "sub,size,lanes",
+    [
+        ((1, 1), (128, 128), 16),
+        ((2, 1), (192, 256), 24),
+        ((2, 2), (256, 256), 32),
+        ((1, 2), (160, 160), 16),
+    ],
+)
+def test_matches_oracle_no_restarts(sub, size, lanes):
+    rng = np.random.default_rng(hash((sub, size)) % 2**31)
+    img = rng.integers(0, 256, size + (3,), dtype=np.uint8)
+    _roundtrip(img, lanes, 24, subsampling=sub)
+
+
+def test_gap_recovery_forced_by_tiny_overlap():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (256, 256, 3), dtype=np.uint8)
+    stats = _roundtrip(img, 48, 2, subsampling=(2, 2))
+    # With a 2-MCU overlap many links break; the merge must bridge them
+    # on the host and stay bit-exact.
+    assert stats["gap_mcus"] > 0
+
+
+def test_restart_segments_with_gap_recovery():
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (256, 320, 3), dtype=np.uint8)
+    stats = _roundtrip(img, 64, 4, subsampling=(2, 2),
+                       restart_interval_mcus=20)
+    assert stats["merged"] > 1
+
+
+def test_grayscale_heavy_gaps():
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (200, 200), dtype=np.uint8)
+    stats = _roundtrip(img, 32, 3)
+    assert stats["gap_mcus"] > 0
+
+
+def test_corrupt_stream_matches_oracle_or_falls_back():
+    """Corruption must yield either the oracle's exact garbage (the
+    speculative chain verified against the true — corrupt — parse) or a
+    None fallback; never silently-different output."""
+    for seed in range(6):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (128, 128, 3), dtype=np.uint8)
+        data = bytearray(encode_rgb(img, quality=80, subsampling=(1, 1)))
+        data[len(data) // 2 + seed] ^= 0xFF
+        plan = parse_jpeg(bytes(data))
+        try:
+            ref = decode_coefficients(plan)
+        except ValueError:
+            ref = None
+        got, _stats = decode_coefficients_device_spec(
+            plan, target_lanes=16, overlap_mcus=4)
+        if got is None:
+            continue
+        assert ref is not None
+        np.testing.assert_array_equal(np.asarray(got), ref)
