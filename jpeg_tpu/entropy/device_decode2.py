@@ -119,6 +119,59 @@ def _make_register_ops(words, u32=jnp.uint32):
     return refill, consume
 
 
+def _scan_words2(scan_bytes: np.ndarray | bytes) -> np.ndarray:
+    """[2, n_words] u32: column i = (word i, word i+1) so one refill
+    appends 64 bits from two flat gathers off static slices (a row
+    gather lowers badly on this stack)."""
+    w = _scan_words(scan_bytes)
+    nxt = np.roll(w, -1)
+    nxt[-1] = 0xAAAAAAAA
+    return np.stack([w, nxt])
+
+
+def _make_register_ops64(words2, u32=jnp.uint32):
+    """(refill64, consume) over a [2, n_words] word-pair array: refill64
+    appends TWO stream words (64 bits) when the lane holds <= 32 valid
+    bits."""
+    n_words = words2.shape[1]
+
+    def refill64(reg):
+        wi, cnt, hi, mi, lo = reg
+        wic = jnp.clip(wi, 0, n_words - 1)
+        w0 = words2[0][wic]
+        w1 = words2[1][wic]
+        can = cnt <= 32
+        cu = cnt.astype(u32)
+        sh = cu & u32(31)
+        full = cnt == 32  # w0 lands entirely in mi, w1 in lo
+        hi_c = jnp.where(full, u32(0), w0 >> sh)
+        mi_c = jnp.where(full, w0,
+                         jnp.where(cnt == 0, u32(0),
+                                   w0 << ((u32(32) - cu) & u32(31))))
+        mi_c = mi_c | jnp.where(full, u32(0), w1 >> sh)
+        lo_c = jnp.where(full, w1,
+                         jnp.where(cnt == 0, u32(0),
+                                   w1 << ((u32(32) - cu) & u32(31))))
+        hi = jnp.where(can, hi | hi_c, hi)
+        mi = jnp.where(can, mi | mi_c, mi)
+        lo = jnp.where(can, lo | lo_c, lo)
+        wi = wi + 2 * can.astype(jnp.int32)
+        cnt = cnt + 64 * can.astype(jnp.int32)
+        return (wi, cnt, hi, mi, lo)
+
+    def consume(reg, d):
+        wi, cnt, hi, mi, lo = reg
+        du = d.astype(u32)
+        dsh = (u32(32) - du) & u32(31)
+        dnz = du > 0
+        hi = jnp.where(dnz, (hi << du) | (mi >> dsh), hi)
+        mi = jnp.where(dnz, (mi << du) | (lo >> dsh), mi)
+        lo = jnp.where(dnz, lo << du, lo)
+        return (wi, cnt - d, hi, mi, lo)
+
+    return refill64, consume
+
+
 def _sign_extend(v, n):
     """JPEG Table F.2 receive-and-extend."""
     base = jnp.where(n > 0, 1 << jnp.maximum(n - 1, 0), 0)
@@ -209,26 +262,178 @@ def _make_block_decoder(refill, consume, S):
     return decode_block
 
 
+def _pair_iter_factory(consume, S):
+    """Shared pair-entry iteration for the pair-LUT block decoders."""
+    pos_iota = jax.lax.broadcasted_iota(jnp.int32, (S, 64), 1)
+
+    def pair_iter(reg, err, active, coef, acc, lut):
+        """One pair-entry iteration: gate, gather, apply 1-2 symbols,
+        consume. Consumes <= 27 bits (slow path worst case)."""
+        busy = active & ~err & (coef < 64) & (reg[1] >= 27)
+        peek = (reg[2] >> 16).astype(jnp.int32)
+        # lut is [2, 65536] (A-word row, B-word row): two flat gathers
+        # from static slices, not one [65536, 2] row gather.
+        eA = lut[0][peek]
+        eB = lut[1][peek]
+        mode = eA & 3
+        f1 = (eA >> 2) & 0x3F
+        adv1 = (eA >> 8) & 0xFF
+        w1 = ((eA >> 16) & 1) == 1
+        v1 = (eA >> 17) & 0x1FFF
+        slow = mode == 2
+        size_s = v1 & 0x1F
+        val_slow = _magnitude(reg[2], f1, jnp.where(slow, size_s, 0))
+        val1 = jnp.where(slow, val_slow, v1 - ((v1 >> 12) << 13))
+        bad = busy & (mode == 3)
+        ok = busy & ~bad
+        pos1 = jnp.minimum(coef + adv1 - 1, 63)
+        do1 = ok & w1
+        acc = acc + jnp.where(do1[:, None] & (pos_iota == pos1[:, None]),
+                              val1[:, None], 0)
+        coef1 = jnp.minimum(coef + adv1, 64)
+        adv2 = eB & 0xFF
+        w2 = ((eB >> 8) & 1) == 1
+        v2 = (eB >> 9) & 0x1FFF
+        val2 = v2 - ((v2 >> 12) << 13)
+        have2 = ok & (mode == 1) & (coef1 < 64)
+        # Consumed bits: slow adds its magnitude; a pair whose second
+        # symbol is unused (sym1 filled the block) consumes c1 only.
+        c = jnp.where(slow, f1 + size_s, f1)
+        c = jnp.where((mode == 1) & ~have2, (eB >> 22) & 0x1F, c)
+        pos2 = jnp.minimum(coef1 + adv2 - 1, 63)
+        do2 = have2 & w2
+        acc = acc + jnp.where(do2[:, None] & (pos_iota == pos2[:, None]),
+                              val2[:, None], 0)
+        coef2 = jnp.where(have2, jnp.minimum(coef1 + adv2, 64), coef1)
+        coef = jnp.where(ok, coef2, coef)
+        err = err | bad
+        reg = consume(reg, jnp.where(ok, c, 0))
+        return reg, err, coef, acc
+
+    return pair_iter
+
+
+def _make_block_decoder_pair(refill, consume, S):
+    """Pair-LUT block decoder (same contract as
+    :func:`_make_block_decoder`): tables are [65536, 2] i32 pair-entry
+    rows (:mod:`jpeg_tpu.entropy.device_pair`) — one gather retires up
+    to TWO symbols with values precomputed, collapsing the per-symbol
+    magnitude/sign/run op chain into table unpacking. Two pair
+    iterations per while-step on two refill gathers."""
+    pair_iter = _pair_iter_factory(consume, S)
+    max_block_steps = 34  # >= 2 symbols retire per busy step
+
+    def decode_block(reg, err, active, lut_dc, lut_ac):
+        # DC iteration peeled: the DC pair table also retires the first
+        # AC symbol (a DC+EOB block finishes in one gather).
+        reg = refill(refill(reg))
+        acc = jnp.zeros((S, 64), jnp.int32)
+        coef = jnp.where(active, 0, 64)
+        reg, err, coef, acc = pair_iter(reg, err, active, coef, acc,
+                                        lut_dc)
+        state = dict(reg=reg, err=err, coef=coef, acc=acc,
+                     step=jnp.int32(0))
+
+        def cond(st):
+            busy = active & ~st["err"] & (st["coef"] < 64)
+            return (st["step"] < max_block_steps) & jnp.any(busy)
+
+        def body(st):
+            reg = refill(refill(st["reg"]))
+            err, coef, acc = st["err"], st["coef"], st["acc"]
+            for _k in range(2):
+                reg, err, coef, acc = pair_iter(
+                    reg, err, coef < 64, coef, acc, lut_ac)
+            return dict(reg=reg, err=err, coef=coef, acc=acc,
+                        step=st["step"] + 1)
+
+        st = jax.lax.while_loop(cond, body, state)
+        err2 = st["err"] | (active & (st["coef"] < 64) & (
+            st["step"] >= max_block_steps))
+        return st["acc"], st["reg"], err2
+
+    return decode_block
+
+
+def _make_block_decoder_pair_lean(refill64, consume, S):
+    """Gather-op-minimal pair-LUT block decoder: ONE 64-bit refill row
+    gather per step (``_make_register_ops64``) feeding two pair
+    iterations, and a DC step of refill64 + one DC-pair gather. On this
+    TPU stack each dependent gather op costs ~25us regardless of lane
+    count, so ops-per-block is the whole cost model: this decoder
+    averages ~6-7 gather ops per block vs ~12-15 for the v2 single-
+    symbol decoder. A step whose first iteration leaves < 27 valid bits
+    skips the second iteration and refills next step (refill64 only
+    fires at <= 32 bits, so progress is guaranteed)."""
+    pair_iter = _pair_iter_factory(consume, S)
+    max_block_steps = 20  # >= 4 syms/busy step + gated-refill skips
+
+    def decode_block(reg, err, active, lut_dc, lut_ac):
+        reg = refill64(reg)
+        acc = jnp.zeros((S, 64), jnp.int32)
+        coef = jnp.where(active, 0, 64)
+        reg, err, coef, acc = pair_iter(reg, err, active, coef, acc,
+                                        lut_dc)
+        state = dict(reg=reg, err=err, coef=coef, acc=acc,
+                     step=jnp.int32(0))
+
+        def cond(st):
+            busy = active & ~st["err"] & (st["coef"] < 64)
+            return (st["step"] < max_block_steps) & jnp.any(busy)
+
+        def body(st):
+            # Wide step: with thousands of lockstep lanes the worst
+            # lane's step count gates every block, so fewer/wider
+            # iterations beat lean ones (measured ladder in the module
+            # docstring). Two gated refills bound input at 128 bits.
+            reg = refill64(st["reg"])
+            err, coef, acc = st["err"], st["coef"], st["acc"]
+            for _k in range(4):
+                if _k == 2:
+                    reg = refill64(reg)
+                reg, err, coef, acc = pair_iter(
+                    reg, err, coef < 64, coef, acc, lut_ac)
+            return dict(reg=reg, err=err, coef=coef, acc=acc,
+                        step=st["step"] + 1)
+
+        st = jax.lax.while_loop(cond, body, state)
+        err2 = st["err"] | (active & (st["coef"] < 64) & (
+            st["step"] >= max_block_steps))
+        return st["acc"], st["reg"], err2
+
+    return decode_block
+
+
 @lru_cache(maxsize=64)
 def _compiled_kernel2(n_comp: int, max_mcus: int,
-                      slot_comp: tuple, slot_dc: tuple, slot_ac: tuple):
+                      slot_comp: tuple, slot_dc: tuple, slot_ac: tuple,
+                      pair: bool = False):
     """Jitted register-refill decoder for one (geometry, table-binding)
     class. Loop skeleton as v1: fori over MCUs, static slot unroll,
     while-over-steps, one-hot coefficient accumulate, scalar-indexed
-    output flush."""
+    output flush. With ``pair=True`` the tables are pair-entry rows
+    (:mod:`jpeg_tpu.entropy.device_pair`) and slot_dc/slot_ac index the
+    stacked pair-table rows directly."""
     bpm = len(slot_comp)
     blocks_per_seg = max_mcus * bpm
 
     def kernel(words, luts, bit_start, bit_end, n_blocks_seg):
         """words: [n_words] u32 big-endian scan words; luts: [8, 65536]
-        i32 packed (value<<8)|length rows (DC 0-3, AC 4-7); bit_start/
-        bit_end/n_blocks_seg: [S] i32. Returns (coeffs
+        i32 packed (value<<8)|length rows (DC 0-3, AC 4-7), or
+        [2K, 65536, 2] pair rows when ``pair``; bit_start/bit_end/
+        n_blocks_seg: [S] i32. Returns (coeffs
         [S, blocks_per_seg, 64] i32 zigzag, DC-predicted; error [S])."""
         S = bit_start.shape[0]
-        n_words = words.shape[0]
         u32 = jnp.uint32
-        refill, consume = _make_register_ops(words)
-        decode_block = _make_block_decoder(refill, consume, S)
+        if pair:
+            n_words = words.shape[1]
+            refill, consume = _make_register_ops64(words)
+            decode_block = _make_block_decoder_pair_lean(
+                refill, consume, S)
+        else:
+            n_words = words.shape[0]
+            refill, consume = _make_register_ops(words)
+            decode_block = _make_block_decoder(refill, consume, S)
 
         def mcu_body(m, carry):
             reg, err, prev_dc, out = carry
@@ -236,7 +441,8 @@ def _compiled_kernel2(n_comp: int, max_mcus: int,
             for slot in range(bpm):
                 comp = slot_comp[slot]
                 lut_dc = luts[slot_dc[slot]]
-                lut_ac = luts[4 + slot_ac[slot]]
+                lut_ac = luts[slot_ac[slot] if pair
+                              else 4 + slot_ac[slot]]
                 active = ~err & (base + slot < n_blocks_seg)
                 block, reg, err = decode_block(
                     reg, err, active, lut_dc, lut_ac)
@@ -254,7 +460,7 @@ def _compiled_kernel2(n_comp: int, max_mcus: int,
         # sub-word bit offset of its byte-aligned start.
         wi0 = bit_start >> 5
         off0 = (bit_start & 31).astype(u32)
-        w0 = words[jnp.clip(wi0, 0, n_words - 1)]
+        w0 = (words[0] if pair else words)[jnp.clip(wi0, 0, n_words - 1)]
         reg = (wi0 + 1, 32 - (bit_start & 31), w0 << off0,
                jnp.zeros((S,), u32), jnp.zeros((S,), u32))
         out = jnp.zeros((S, blocks_per_seg, 64), jnp.int32)
@@ -293,6 +499,43 @@ def decode_coefficients_device2(plan: DecodePlan, luts=None):
     luts_arr = jnp.asarray(packed_luts(plan)) if luts is None else luts
     out, err = kernel(
         jnp.asarray(_scan_words(plan.scan_data)),
+        luts_arr,
+        jnp.asarray(np.array([s.byte_start * 8 for s in segs], np.int32)),
+        jnp.asarray(np.array([s.byte_end * 8 for s in segs], np.int32)),
+        jnp.asarray(np.array([s.mcu_count * bpm for s in segs], np.int32)),
+    )
+    S = len(segs)
+    coeffs = out.reshape(S * max_mcus * bpm, 64)[: plan.total_blocks]
+    return coeffs, err
+
+
+def _plan_pair_ids(plan: DecodePlan):
+    """(slot_comp, dc_row, ac_row) for the stacked pair-table rows."""
+    from jpeg_tpu.entropy.device_pair import pair_luts
+
+    _luts, slot_pair = pair_luts(plan)
+    slots = plan.component_block_slots()
+    return (tuple(ci for ci, _ in slots),
+            tuple(2 * p for p in slot_pair),
+            tuple(2 * p + 1 for p in slot_pair))
+
+
+def decode_coefficients_device3(plan: DecodePlan, luts=None):
+    """Entropy-decode the scan on the TPU with the pair-symbol
+    precomputed-value LUT kernel -> ([total_blocks, 64] i32, err [S]).
+    Contract identical to v2."""
+    from jpeg_tpu.entropy.device_pair import pair_luts
+
+    segs = plan.segments
+    bpm = plan.blocks_per_mcu
+    max_mcus = max(s.mcu_count for s in segs)
+    slot_comp, dc_row, ac_row = _plan_pair_ids(plan)
+    kernel = _compiled_kernel2(
+        len(plan.components), max_mcus, slot_comp, dc_row, ac_row,
+        pair=True)
+    luts_arr = jnp.asarray(pair_luts(plan)[0]) if luts is None else luts
+    out, err = kernel(
+        jnp.asarray(_scan_words2(plan.scan_data)),
         luts_arr,
         jnp.asarray(np.array([s.byte_start * 8 for s in segs], np.int32)),
         jnp.asarray(np.array([s.byte_end * 8 for s in segs], np.int32)),

@@ -37,6 +37,17 @@ Pipeline:
 Output contract identical to the restart-lane decoders: [total_blocks,
 64] i32, zigzag order, DC-predicted, MCU stream order. Reference
 behavior contract: ``src/jpeg/huffman.rs:109-268``.
+
+Measured verdict (real chip, 4K, BENCH_r03 era): e2e 2.1 fps at 1037
+lanes / 1.7 fps at 2046 (kernel 108 ms at tight cap, control-array D2H
+~116 ms through the axon tunnel, vectorized merge ~60 ms) vs ~225 fps
+for the host C++ tier — chunk lanes raise S but the lockstep cost is
+per sequential STEP (~25-40 us dispatch latency per dependent gather on
+this stack), not per lane, so the crossover never happens; see
+``device_decode.device_path_profitable`` for the full ladder including
+the pair-LUT kernels that also lost. This module stands as the measured
+strong-design bound the r2 verdict asked for, and as the scale-out path
+should per-step dispatch ever become cheap.
 """
 
 from __future__ import annotations
@@ -51,9 +62,13 @@ from jpeg_tpu.entropy import oracle
 from jpeg_tpu.entropy.device_decode import packed_luts
 from jpeg_tpu.entropy.device_decode2 import (
     _make_block_decoder,
+    _make_block_decoder_pair_lean,
     _make_register_ops,
+    _make_register_ops64,
+    _plan_pair_ids,
     _plan_slot_ids,
     _scan_words,
+    _scan_words2,
 )
 from jpeg_tpu.io.container import DecodePlan
 
@@ -67,39 +82,47 @@ OVERLAP_MCUS = 24
 @lru_cache(maxsize=64)
 def _compiled_spec_kernel(n_comp: int, cap: int,
                           slot_comp: tuple, slot_dc: tuple, slot_ac: tuple,
-                          overlap: int):
+                          overlap: int, pair: bool = False):
     """Speculative phase-A kernel for one (geometry, table-binding) class:
     every lane decodes up to ``cap`` whole MCUs from its own guessed
     bit-start, stopping at segment end / chunk end + overlap / bad parse.
     """
     bpm = len(slot_comp)
 
-    def kernel(words, luts, bit_start, chunk_end_bit, seg_end_bit,
-               retry_ok):
+    def kernel(words, luts, bit_start, chunk_end_bit, seg_end_bit):
         """bit_start/chunk_end_bit/seg_end_bit: [S] i32 absolute bit
-        positions (lane start guess, its chunk's end, its segment's end);
-        retry_ok: [S] bool (ground-truth chunk-0 lanes must NOT retry).
+        positions (lane start guess, its chunk's end, its segment's end).
         Returns (out [S, cap*bpm, 64] i32 raw lane-local DC prediction;
         mcu_bits [S, cap+1] i32; dc_cum [S, cap+1, n_comp] i32;
-        n_dec [S] i32; m0 [S] i32 — column where the lane's accepted
-        parse begins, advanced by in-kernel retries at successive start
-        bytes, mirroring the host tier's retry loop)."""
+        n_dec [S] i32). A lane whose speculative parse hits an invalid
+        prefix simply dies — host gap recovery bridges its chunk (the
+        in-kernel next-byte retry of the r3 first cut was removed: its
+        iteration slack made cap ~2.3x the fair share, and with
+        thousands of lanes the lockstep cost IS the iteration count;
+        measured A/B in BENCH_r03 notes)."""
         S = bit_start.shape[0]
         u32 = jnp.uint32
-        n_words = words.shape[0]
-        refill, consume = _make_register_ops(words)
-        decode_block = _make_block_decoder(refill, consume, S)
+        if pair:
+            n_words = words.shape[1]
+            refill, consume = _make_register_ops64(words)
+            decode_block = _make_block_decoder_pair_lean(
+                refill, consume, S)
+        else:
+            n_words = words.shape[0]
+            refill, consume = _make_register_ops(words)
+            decode_block = _make_block_decoder(refill, consume, S)
 
         def reg_init(start_bit):
             wi0 = start_bit >> 5
             off0 = (start_bit & 31).astype(u32)
-            w0 = words[jnp.clip(wi0, 0, n_words - 1)]
+            w0 = (words[0] if pair
+                  else words)[jnp.clip(wi0, 0, n_words - 1)]
             return (wi0 + 1, 32 - (start_bit & 31), w0 << off0,
                     jnp.zeros((S,), u32), jnp.zeros((S,), u32))
 
         def mcu_body(m, carry):
-            (reg, alive, past_end, n_dec, m0, cur_start, prev_dc, out,
-             mcu_bits, dc_cum) = carry
+            (reg, alive, past_end, n_dec, prev_dc, out, mcu_bits,
+             dc_cum) = carry
             pos = reg[0] * 32 - reg[1]
             mcu_bits = jax.lax.dynamic_update_slice(
                 mcu_bits, pos[:, None], (0, m))
@@ -113,7 +136,7 @@ def _compiled_spec_kernel(n_comp: int, cap: int,
                 comp = slot_comp[slot]
                 block, reg, err = decode_block(
                     reg, err, start_ok & ~err, luts[slot_dc[slot]],
-                    luts[4 + slot_ac[slot]])
+                    luts[slot_ac[slot] if pair else 4 + slot_ac[slot]])
                 dc = jnp.where(start_ok & ~err,
                                block[:, 0] + prev_dc[comp], prev_dc[comp])
                 prev_dc = tuple(
@@ -122,29 +145,13 @@ def _compiled_spec_kernel(n_comp: int, cap: int,
                 block = jnp.where((start_ok & ~err)[:, None], block, 0)
                 out = jax.lax.dynamic_update_slice(
                     out, block[:, None, :], (0, base + slot, 0))
-            mcu_ok = start_ok & ~err
-            # Retry (host tier's next-start-byte loop, in lockstep): a
-            # desynced parse that hit an invalid prefix restarts this lane
-            # one byte further into its chunk; its accepted parse will
-            # occupy columns [m0, m0+n_dec].
-            new_start = cur_start + 8
-            do_restart = (start_ok & err & retry_ok
-                          & (new_start < chunk_end_bit))
-            ri = reg_init(new_start)
-            reg = tuple(jnp.where(do_restart, a, b)
-                        for a, b in zip(ri, reg))
-            prev_dc = tuple(jnp.where(do_restart, 0, p) for p in prev_dc)
-            n_dec = jnp.where(do_restart, 0,
-                              n_dec + mcu_ok.astype(jnp.int32))
-            m0 = jnp.where(do_restart, m + 1, m0)
-            past_end = jnp.where(do_restart, 0, past_end)
-            cur_start = jnp.where(do_restart, new_start, cur_start)
-            alive = mcu_ok | do_restart
+            alive = start_ok & ~err
+            n_dec = n_dec + alive.astype(jnp.int32)
             dc_cum = jax.lax.dynamic_update_slice(
                 dc_cum, jnp.stack(prev_dc, axis=-1)[:, None, :],
                 (0, m + 1, 0))
-            return (reg, alive, past_end, n_dec, m0, cur_start, prev_dc,
-                    out, mcu_bits, dc_cum)
+            return (reg, alive, past_end, n_dec, prev_dc, out, mcu_bits,
+                    dc_cum)
 
         def cond(carry):
             m = carry[0]
@@ -158,15 +165,12 @@ def _compiled_spec_kernel(n_comp: int, cap: int,
               jnp.ones((S,), bool),
               jnp.zeros((S,), jnp.int32),
               jnp.zeros((S,), jnp.int32),
-              jnp.zeros((S,), jnp.int32),
-              bit_start,
               tuple(jnp.zeros((S,), jnp.int32) for _ in range(n_comp)),
               jnp.zeros((S, cap * bpm, 64), jnp.int32),
               jnp.zeros((S, cap + 1), jnp.int32),
               jnp.zeros((S, cap + 1, n_comp), jnp.int32))
         _m, st = jax.lax.while_loop(cond, body, (jnp.int32(0), st))
-        (reg, alive, _past, n_dec, m0, _cs, _pdc, out, mcu_bits,
-         dc_cum) = st
+        reg, alive, _past, n_dec, _pdc, out, mcu_bits, dc_cum = st
         # Lanes still alive at exit ran out of iteration budget: record
         # their final cursor as the handoff entry. Stopped lanes already
         # recorded theirs pre-decode (a bad lane's cursor is mid-MCU —
@@ -174,9 +178,9 @@ def _compiled_spec_kernel(n_comp: int, cap: int,
         pos = reg[0] * 32 - reg[1]
         cols = jax.lax.broadcasted_iota(jnp.int32, mcu_bits.shape, 1)
         mcu_bits = jnp.where(
-            (cols == (m0 + n_dec)[:, None]) & alive[:, None],
+            (cols == n_dec[:, None]) & alive[:, None],
             pos[:, None], mcu_bits)
-        return out, mcu_bits, dc_cum, n_dec, m0
+        return out, mcu_bits, dc_cum, n_dec
 
     return jax.jit(kernel)
 
@@ -207,15 +211,56 @@ def _chunk_lanes(plan: DecodePlan, target_lanes: int):
             np.array(lane_seg_end, np.int32), groups)
 
 
-def _host_gap_decode(plan, start_bit, prev_dc, later, n_mcus_left):
+def _host_gap_decode(plan, start_bit, prev_dc, later, n_mcus_left,
+                     seg_end_byte):
     """Sequentially decode MCUs from absolute bit position ``start_bit``
     (a verified MCU boundary within ``plan.scan_data``) until the cursor
     lands on a recorded MCU start of one of ``later`` — a list of
     ``(ci, {bit_position: lane_local_index})`` for lanes after the broken
     one — or ``n_mcus_left`` MCUs are decoded. Returns
     (blocks [g, bpm, 64] i32 absolute-DC, dc_after, resume (ci, idx) |
-    None, g) or None on an invalid prefix (genuine stream corruption)."""
+    None, g) or None on an invalid prefix (genuine stream corruption).
+
+    Fast path: the C++ runtime's ``jt_decode_gap`` (sub-us per MCU vs
+    ~0.2 ms for the Python oracle — gap recovery is on the merge's
+    critical path). The oracle loop remains as the no-native fallback.
+
+    ``later`` is (stop_pos sorted i64, stop_lane i32, stop_idx i32):
+    the recorded MCU-start positions of all lanes AFTER the broken one,
+    with their owning chunk index and lane-local record index."""
     slots = plan.component_block_slots()
+    stop_pos, stop_lane, stop_idx = later
+    try:
+        from jpeg_tpu.runtime import native_decode_gap
+
+        res = native_decode_gap(plan, int(start_bit), int(seg_end_byte),
+                                stop_pos, int(n_mcus_left))
+        if res is None:
+            return None
+        blocks, pos = res
+        g = len(blocks)
+        dc = prev_dc.copy()
+        if g:
+            # DC prediction per component over the slot-major stream.
+            flat = blocks.reshape(g * len(slots), 64)
+            for c in range(len(plan.components)):
+                mask = np.fromiter(
+                    (ci == c for ci, _ in slots), bool).astype(np.int64)
+                deltas = flat[:, 0].astype(np.int64) * np.tile(mask, g)
+                run = np.cumsum(deltas) + dc[c]
+                sel = np.tile(mask, g).astype(bool)
+                flat[sel, 0] = run[sel].astype(np.int32)
+                if sel.any():
+                    dc[c] = run[np.where(sel)[0][-1]]
+        final_pos = int(pos[g - 1]) if g else int(start_bit)
+        resume = None
+        if g < n_mcus_left:
+            resume = _resume_at(later, final_pos)
+            if resume is None:
+                return None  # stopped without a stop hit: corruption
+        return blocks, dc, resume, g
+    except ImportError:
+        pass
     reader = oracle.BitReader(plan.scan_data[start_bit // 8:])
     reader.consume(start_bit & 7)
     byte0 = (start_bit // 8) * 8
@@ -223,12 +268,10 @@ def _host_gap_decode(plan, start_bit, prev_dc, later, n_mcus_left):
     blocks = []
     while True:
         pos = byte0 + reader.bit_position
-        for ci, rec in later:
-            idx = rec.get(pos)
-            if idx is not None:
-                return (np.array(blocks, np.int32).reshape(
-                    len(blocks), len(slots), 64), dc, (ci, idx),
-                    len(blocks))
+        resume = _resume_at(later, pos)
+        if resume is not None:
+            return (np.array(blocks, np.int32).reshape(
+                len(blocks), len(slots), 64), dc, resume, len(blocks))
         if len(blocks) >= n_mcus_left:
             return (np.array(blocks, np.int32).reshape(
                 len(blocks), len(slots), 64), dc, None, len(blocks))
@@ -245,6 +288,18 @@ def _host_gap_decode(plan, start_bit, prev_dc, later, n_mcus_left):
         except ValueError:
             return None
         blocks.append(mcu)
+
+
+def _resume_at(later, pos):
+    """(chunk index, lane-local record index) of the earliest later lane
+    that recorded bit position ``pos``, or None."""
+    stop_pos, stop_lane, stop_idx = later
+    lo = np.searchsorted(stop_pos, pos)
+    hi = np.searchsorted(stop_pos, pos, side="right")
+    if lo == hi:
+        return None
+    j = lo + int(np.argmin(stop_lane[lo:hi]))
+    return int(stop_lane[j]), int(stop_idx[j])
 
 
 def _merge_segment(plan, seg, first, k, mcu_bits, dc_cum, n_dec, m0, cap,
@@ -270,16 +325,31 @@ def _merge_segment(plan, seg, first, k, mcu_bits, dc_cum, n_dec, m0, cap,
     gap_mcus = 0
     base = np.zeros(n_comp, np.int64)
 
-    rec_cache = {}
+    # One sorted (position, chunk, record-index) table for the whole
+    # segment, built lazily at the first broken link; gap events slice
+    # it by chunk index instead of rebuilding per-event dicts (the
+    # per-event rebuild measured ~300 ms on a 1024-chunk no-restart 4K).
+    stop_table = None
 
-    def lane_record(ci):
-        if ci not in rec_cache:
-            lane = first + ci
-            o, nd = int(m0[lane]), int(n_dec[lane])
-            rec_cache[ci] = {
-                int(p): i
-                for i, p in enumerate(mcu_bits[lane, o: o + nd + 1])}
-        return rec_cache[ci]
+    def later_stops(ci):
+        nonlocal stop_table
+        if stop_table is None:
+            parts_p, parts_l, parts_i = [], [], []
+            for c in range(k):
+                lane = first + c
+                o, nd = int(m0[lane]), int(n_dec[lane])
+                p = mcu_bits[lane, o: o + nd + 1].astype(np.int64)
+                parts_p.append(p)
+                parts_l.append(np.full(len(p), c, np.int32))
+                parts_i.append(np.arange(len(p), dtype=np.int32))
+            pos = np.concatenate(parts_p)
+            lane_arr = np.concatenate(parts_l)
+            idx = np.concatenate(parts_i)
+            order = np.argsort(pos, kind="stable")
+            stop_table = (pos[order], lane_arr[order], idx[order])
+        pos, lane_arr, idx = stop_table
+        m = lane_arr > ci
+        return pos[m], lane_arr[m], idx[m]
 
     ci, j0, mcu_base = 0, 0, 0
     while mcu_base < n_mcus:
@@ -322,9 +392,9 @@ def _merge_segment(plan, seg, first, k, mcu_bits, dc_cum, n_dec, m0, cap,
             continue
         if mcu_base >= n_mcus:
             break
-        later = [(c, lane_record(c)) for c in range(ci + 1, k)]
         gap = _host_gap_decode(
-            plan, int(a[j0 + take]), base, later, n_mcus - mcu_base)
+            plan, int(a[j0 + take]), base, later_stops(ci),
+            n_mcus - mcu_base, seg.byte_end)
         if gap is None:
             return None
         g_blocks, base, resume, g = gap
@@ -358,52 +428,62 @@ def _compiled_relocate(bpm: int, slot_comp: tuple):
 
 
 def decode_coefficients_device_spec(plan: DecodePlan, target_lanes=2048,
-                                    overlap_mcus=OVERLAP_MCUS, luts=None):
+                                    overlap_mcus=OVERLAP_MCUS, luts=None,
+                                    pair=False):
     """Speculative chunk-lane entropy decode ->
     ([total_blocks, 64] i32 on device, stats dict) or (None, stats) when
     a sync chain broke (caller falls back to the host tier).
 
     ``stats`` records lanes / cap / merge outcome for gate measurement.
+    ``pair`` selects the pair-symbol precomputed-value LUT kernel
+    (:mod:`jpeg_tpu.entropy.device_pair`) over the v2 single-symbol one.
     """
     segs = plan.segments
     bpm = plan.blocks_per_mcu
-    slot_comp, slot_dc, slot_ac = _plan_slot_ids(plan)
+    if pair:
+        slot_comp, slot_dc, slot_ac = _plan_pair_ids(plan)
+    else:
+        slot_comp, slot_dc, slot_ac = _plan_slot_ids(plan)
     lane_start, lane_chunk_end, lane_seg_end, groups = _chunk_lanes(
         plan, target_lanes)
     S = len(lane_start)
     max_chunk_mcus = 0
-    total_bits = 0
     for s, first, k in groups:
-        # MCU budget per lane: ~2x the fair share + overlap (host tier's
-        # cap heuristic, jpegtpu.cpp phase A).
+        # Byte chunks equalize bits, not MCUs: allow ~30% density skew
+        # over the fair share. Lockstep cost IS the iteration count, so
+        # cap stays tight; a lane that genuinely needs more ends early
+        # and gap recovery patches the difference.
         fair = -(-s.mcu_count // k)
-        # ~2x the fair share + slack for in-kernel retries (each retry
-        # burns the iterations its rejected parse used).
-        max_chunk_mcus = max(max_chunk_mcus, 2 * fair + 24)
-        total_bits += (s.byte_end - s.byte_start) * 8
+        max_chunk_mcus = max(max_chunk_mcus,
+                             min(s.mcu_count, (fair * 13 + 9) // 10 + 2))
     cap = max_chunk_mcus + overlap_mcus
-
-    retry_ok = np.ones(S, bool)
-    for s, first, k in groups:
-        retry_ok[first] = False  # chunk 0 is the ground-truth anchor
 
     kernel = _compiled_spec_kernel(
         len(plan.components), cap, slot_comp, slot_dc, slot_ac,
-        overlap_mcus)
-    luts_arr = jnp.asarray(packed_luts(plan)) if luts is None else luts
-    out, mcu_bits, dc_cum, n_dec, m0 = kernel(
-        jnp.asarray(_scan_words(plan.scan_data)), luts_arr,
+        overlap_mcus, pair)
+    if luts is None:
+        if pair:
+            from jpeg_tpu.entropy.device_pair import pair_luts
+
+            luts_arr = jnp.asarray(pair_luts(plan)[0])
+        else:
+            luts_arr = jnp.asarray(packed_luts(plan))
+    else:
+        luts_arr = luts
+    out, mcu_bits, dc_cum, n_dec = kernel(
+        jnp.asarray((_scan_words2 if pair else _scan_words)(
+            plan.scan_data)), luts_arr,
         jnp.asarray(lane_start), jnp.asarray(lane_chunk_end),
-        jnp.asarray(lane_seg_end), jnp.asarray(retry_ok))
+        jnp.asarray(lane_seg_end))
 
     # Control arrays to host (~1% of coefficient volume).
     mcu_bits_h = np.asarray(mcu_bits)
     dc_cum_h = np.asarray(dc_cum)
     n_dec_h = np.asarray(n_dec)
-    m0_h = np.asarray(m0)
+    m0_h = np.zeros(S, np.int32)
 
     stats = {"lanes": S, "cap": cap, "merged": 0, "failed": 0,
-             "gap_mcus": 0, "retried_lanes": int((m0_h > 0).sum())}
+             "gap_mcus": 0}
     srcs, corrs = [], []
     patch_rows, patch_blocks = [], []
     mcu_off = 0

@@ -77,6 +77,15 @@ def _load() -> ctypes.CDLL:
         u16p, u16p,  # packed dc/ac LUTs (value<<8|length)
         i32p, ctypes.c_int32,  # out, n_threads
     ]
+    lib.jt_decode_gap.restype = ctypes.c_int64
+    lib.jt_decode_gap.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int64,  # data, start_bit, end_byte
+        i64p, ctypes.c_int64, ctypes.c_int64,  # stop_bits, n_stop, max_mcus
+        u8p, ctypes.c_int32,  # slot_comp, blocks_per_mcu
+        u8p, u8p, ctypes.c_int32,  # comp dc/ac ids, n_comp
+        u16p, u16p,  # packed dc/ac LUTs
+        i32p, i64p,  # out blocks, out positions
+    ]
     i16p = ctypes.POINTER(ctypes.c_int16)
     lib.jt_decode_scan_planes.restype = ctypes.c_int64
     lib.jt_decode_scan_planes.argtypes = [
@@ -335,6 +344,50 @@ def native_available() -> bool:
         return True
     except (OSError, subprocess.CalledProcessError):
         return False
+
+
+def native_decode_gap(plan, start_bit: int, end_byte: int,
+                      stop_bits: np.ndarray, max_mcus: int):
+    """Sequential MCU decode from an arbitrary bit position, stopping at
+    any position in ``stop_bits`` (sorted i64) or after ``max_mcus``.
+
+    Gap-recovery primitive for the speculative device merge
+    (:mod:`jpeg_tpu.entropy.device_spec`). Returns
+    (blocks [n, bpm, 64] i32 RAW DC deltas, pos [n] i64 after-MCU bit
+    positions) or None when the stream hits an invalid prefix."""
+    lib = _load()
+    data = np.ascontiguousarray(plan.scan_data, dtype=np.uint8)
+    slot_comp = np.array(
+        [ci for ci, _ in plan.component_block_slots()], dtype=np.uint8)
+    comp_dc = np.array([c.dc_id for c in plan.components], dtype=np.uint8)
+    comp_ac = np.array([c.ac_id for c in plan.components], dtype=np.uint8)
+    cached = getattr(plan, "_native_luts", None)
+    if cached is None:
+        dc_luts = np.ascontiguousarray(np.stack(
+            [(t.lut_value.astype(np.uint16) << 8) | t.lut_length
+             for t in plan.dc_tables]))
+        ac_luts = np.ascontiguousarray(np.stack(
+            [(t.lut_value.astype(np.uint16) << 8) | t.lut_length
+             for t in plan.ac_tables]))
+        cached = (dc_luts, ac_luts)
+        plan._native_luts = cached
+    dc_luts, ac_luts = cached
+    bpm = plan.blocks_per_mcu
+    stops = np.ascontiguousarray(stop_bits, dtype=np.int64)
+    out = np.empty((max_mcus * bpm, 64), dtype=np.int32)
+    pos = np.empty(max_mcus, dtype=np.int64)
+    n = lib.jt_decode_gap(
+        _p(data, ctypes.c_uint8), start_bit, end_byte,
+        _p(stops, ctypes.c_int64), len(stops), max_mcus,
+        _p(slot_comp, ctypes.c_uint8), bpm,
+        _p(comp_dc, ctypes.c_uint8), _p(comp_ac, ctypes.c_uint8),
+        len(plan.components),
+        _p(dc_luts, ctypes.c_uint16), _p(ac_luts, ctypes.c_uint16),
+        _p(out, ctypes.c_int32), _p(pos, ctypes.c_int64),
+    )
+    if n < 0:
+        return None
+    return out[: n * bpm].reshape(n, bpm, 64), pos[:n]
 
 
 def native_decode_coefficients(plan, n_threads: int | None = None,

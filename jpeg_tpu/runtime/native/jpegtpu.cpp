@@ -18,6 +18,7 @@
 
 #include <immintrin.h>
 
+#include <algorithm>
 #include <array>
 #include <atomic>
 #include <cstdint>
@@ -1379,6 +1380,74 @@ int64_t jt_decode_scan(const uint8_t* data, int64_t /*n_bytes*/,
   }
   for (auto& th : threads) th.join();
   return first_error.load();
+}
+
+// Gap recovery for the speculative device merge (entropy/device_spec.py):
+// sequentially decode whole MCUs from an arbitrary BIT position until the
+// cursor lands on one of `stop_bits` (sorted ascending, absolute bit
+// positions within `data`) or `max_mcus` are decoded. Blocks are written in
+// zigzag order with RAW DC deltas (the caller applies prediction from its
+// running base). out_pos[m] = absolute bit position after MCU m. The stop
+// check runs BEFORE each MCU including the first (a start position already
+// on a recorded MCU boundary decodes nothing). Returns the number of MCUs
+// decoded, or -(m+1) when MCU m hit an invalid prefix (genuine corruption;
+// the caller falls back to the host tier's reference error semantics).
+int64_t jt_decode_gap(const uint8_t* data, int64_t start_bit,
+                      int64_t end_byte, const int64_t* stop_bits,
+                      int64_t n_stop, int64_t max_mcus,
+                      const uint8_t* slot_comp, int32_t blocks_per_mcu,
+                      const uint8_t* comp_dc_id, const uint8_t* comp_ac_id,
+                      int32_t /*n_comp*/, const uint16_t* dc_luts,
+                      const uint16_t* ac_luts, int32_t* out,
+                      int64_t* out_pos) {
+  const int bpm = blocks_per_mcu;
+  TwoLevelLut dc_tab[4], ac_tab[4];
+  FastLut dc_fast[4];
+  PairLut ac_pair[4];
+  bool dcb[4] = {}, acb[4] = {};
+  const TwoLevelLut* slot_dc[64];
+  const TwoLevelLut* slot_ac[64];
+  const FastLut* slot_dcf[64];
+  const PairLut* slot_acf[64];
+  for (int s = 0; s < bpm; ++s) {
+    int c = slot_comp[s];
+    int di = comp_dc_id[c], ai = comp_ac_id[c];
+    if (!dcb[di]) {
+      dc_tab[di].build(dc_luts + di * kLutSize);
+      dc_fast[di].build(dc_luts + di * kLutSize, true);
+      dcb[di] = true;
+    }
+    if (!acb[ai]) {
+      ac_tab[ai].build(ac_luts + ai * kLutSize);
+      ac_pair[ai].build(ac_luts + ai * kLutSize);
+      acb[ai] = true;
+    }
+    slot_dc[s] = &dc_tab[di];
+    slot_ac[s] = &ac_tab[ai];
+    slot_dcf[s] = &dc_fast[di];
+    slot_acf[s] = &ac_pair[ai];
+  }
+  const uint8_t* base = data + (start_bit >> 3);
+  BitReader br(base, end_byte - (start_bit >> 3));
+  if (start_bit & 7) {
+    br.refill();
+    br.consume((int)(start_bit & 7));
+  }
+  const int64_t base_bits = (start_bit >> 3) * 8;
+  for (int64_t m = 0; m < max_mcus; ++m) {
+    int64_t pos = base_bits + (int64_t)(br.p - base) * 8 - br.count;
+    const int64_t* hit =
+        std::lower_bound(stop_bits, stop_bits + n_stop, pos);
+    if (hit != stop_bits + n_stop && *hit == pos) return m;
+    for (int slot = 0; slot < bpm; ++slot) {
+      int err = next_block(br, *slot_dc[slot], *slot_ac[slot],
+                           *slot_dcf[slot], *slot_acf[slot], out);
+      if (__builtin_expect(err != 0, 0)) return -(m + 1);
+      out += 64;
+    }
+    out_pos[m] = base_bits + (int64_t)(br.p - base) * 8 - br.count;
+  }
+  return max_mcus;
 }
 
 // Plane-layout variant: decodes straight into per-component natural-order
