@@ -49,7 +49,9 @@ class NativeDecodeError(ValueError):
 
 def _build() -> None:
     src = os.path.join(_NATIVE_DIR, "jpegtpu.cpp")
-    if os.path.exists(_SO_PATH) and os.path.getmtime(_SO_PATH) >= os.path.getmtime(src):
+    mk = os.path.join(_NATIVE_DIR, "Makefile")
+    newest = max(os.path.getmtime(src), os.path.getmtime(mk))
+    if os.path.exists(_SO_PATH) and os.path.getmtime(_SO_PATH) >= newest:
         return
     subprocess.run(
         ["make", "-s", "-C", _NATIVE_DIR, "build/libjpegtpu.so"],
@@ -64,6 +66,16 @@ def _load() -> ctypes.CDLL:
         return _lib
     _build()
     lib = ctypes.CDLL(_SO_PATH)
+    _configure(lib)
+    _lib = lib
+    return lib
+
+
+def _configure(lib: ctypes.CDLL) -> None:
+    """Declare ctypes signatures on a decode library handle. Factored
+    out of :func:`_load` so the PGO training step (Makefile `pgo`
+    phase, tools/pgo_train.py) can drive an instrumented build of the
+    same library without recursing into `_build`."""
     u8p = ctypes.POINTER(ctypes.c_uint8)
     i64p = ctypes.POINTER(ctypes.c_int64)
     i32p = ctypes.POINTER(ctypes.c_int32)
@@ -188,8 +200,6 @@ def _load() -> ctypes.CDLL:
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # bw, n_blocks, unit_base
         i64p, i64p,  # done_rows (published progress), gate_rows (producer)
     ]
-    _lib = lib
-    return lib
 
 
 def _load_enc() -> ctypes.CDLL:

@@ -553,6 +553,9 @@ void decode_segments_planes(const PlaneJob& job, std::atomic<int64_t>* next,
     for (int64_t m = 0; m < job.seg_mcu_count[s]; ++m, ++mcu) {
       int64_t my = mcu / job.mcus_x;
       int64_t mx = mcu % job.mcus_x;
+      // Destination-line prefetch one block ahead was A/B'd here
+      // (tools/ab_host_entropy.py): no win — the bulk-prezero pass has
+      // already touched every line, so the decode's first stores hit.
       for (int slot = 0; slot < bpm; ++slot) {
         int c = slot_ci[slot];
         int64_t st = job.plane_stride[c];
