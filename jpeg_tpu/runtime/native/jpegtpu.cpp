@@ -357,21 +357,13 @@ constexpr uint8_t kZigCol[64] = {
 // (row0, col0): the de-zigzag "relayout" costs nothing extra here (the
 // scatter writes happen anyway), which is what lets the TPU IDCT run as
 // plane-tiled matmuls with no reshape at all (ops/pallas_kernels.py).
-template <bool kZeroTile>
-inline int next_block_plane(BitReader& br, const TwoLevelLut& dc_lut,
-                            const TwoLevelLut& ac_lut, const FastLut& dc_fast,
-                            const PairLut& ac_pair, int16_t* plane,
-                            int64_t stride, const int32_t* zoff,
-                            int32_t* prev_dc) {
-  if constexpr (kZeroTile) {
-    // Zero the 8x8 destination tile (prezero=1 legacy mode). The bulk
-    // prezero modes skip this: strided 16B stores cost ~17%% of the whole
-    // decode; a caller-guaranteed zero buffer (fresh calloc or the bulk
-    // zero phase) makes the sparse coefficient writes sufficient.
-    for (int r = 0; r < 8; ++r) {
-      std::memset(plane + r * stride, 0, 8 * sizeof(int16_t));
-    }
-  }
+// DC symbol of one plane block: fast value-fused path, full-LUT
+// fallback. Returns 0 ok, 1 invalid prefix. (Step helpers factored out
+// of next_block_plane so the two-stream interleaved decoder below can
+// run the identical state machine on two independent bit chains.)
+inline int dc_step_plane(BitReader& br, const TwoLevelLut& dc_lut,
+                         const FastLut& dc_fast, int16_t* plane,
+                         int32_t* prev_dc) {
   // A symbol needs at most 16 (code) + 11 (magnitude) = 27 bits, so one
   // refill up front covers the combined code+magnitude advance below.
   if (br.count < 27) br.refill();
@@ -395,90 +387,128 @@ inline int next_block_plane(BitReader& br, const TwoLevelLut& dc_lut,
   }
   *prev_dc = dc;
   plane[0] = (int16_t)dc;
-  int k = 1;
-  while (k < 64) {
-    if (br.count < 27) br.refill();
-    uint64_t fa = ac_pair.tab[(uint32_t)(br.bits >> kPairShift)];
-    uint32_t kind = (uint32_t)(fa >> 61);
-    if (__builtin_expect(kind >= 3, 1)) {
-      int adv1 = (int)((fa >> 46) & 31);
-      if (kind == 4) {  // two fused coefficients
-        int adv2 = (int)((fa >> 41) & 31);
-        if (__builtin_expect(k + adv1 + adv2 <= 64, 1)) {
-          int tb = (int)((fa >> 56) & 31);
-          br.bits <<= tb;
-          br.count -= tb;
-          k += adv1;
-          plane[zoff[k - 1]] = (int16_t)(uint16_t)(fa >> 16);
-          k += adv2;
-          plane[zoff[k - 1]] = (int16_t)(uint16_t)fa;
-          continue;
-        }
-      } else if (kind == 5) {  // coefficient + fused EOB
-        // Strict <: a coefficient that fills the block to exactly 64 ends
-        // it WITHOUT an EOB — the bits decoded as "EOB" at build time are
-        // really the next block's DC code and must not be consumed.
-        if (__builtin_expect(k + adv1 < 64, 1)) {
-          int tb = (int)((fa >> 56) & 31);
-          br.bits <<= tb;
-          br.count -= tb;
-          k += adv1;
-          plane[zoff[k - 1]] = (int16_t)(uint16_t)(fa >> 16);
-          return 0;
-        }
+  return 0;
+}
+
+// One AC pair-LUT step (up to two coefficients). Returns 0 = continue
+// (caller re-checks k < 64), 1 = block finished (EOB), 2 = invalid
+// prefix.
+inline int ac_step_plane(BitReader& br, const TwoLevelLut& ac_lut,
+                         const PairLut& ac_pair, int16_t* plane,
+                         const int32_t* zoff, int& k) {
+  if (br.count < 27) br.refill();
+  uint64_t fa = ac_pair.tab[(uint32_t)(br.bits >> kPairShift)];
+  uint32_t kind = (uint32_t)(fa >> 61);
+  if (__builtin_expect(kind >= 3, 1)) {
+    int adv1 = (int)((fa >> 46) & 31);
+    if (kind == 4) {  // two fused coefficients
+      int adv2 = (int)((fa >> 41) & 31);
+      if (__builtin_expect(k + adv1 + adv2 <= 64, 1)) {
+        int tb = (int)((fa >> 56) & 31);
+        br.bits <<= tb;
+        br.count -= tb;
+        k += adv1;
+        plane[zoff[k - 1]] = (int16_t)(uint16_t)(fa >> 16);
+        k += adv2;
+        plane[zoff[k - 1]] = (int16_t)(uint16_t)fa;
+        return 0;
       }
-      // Single coefficient (kind 3, or pair split at a block boundary).
-      int tb1 = (int)((fa >> 51) & 31);
-      br.bits <<= tb1;
-      br.count -= tb1;
-      int run = adv1 - 1;
-      int cap = 64 - k - 1;
-      k += (run < cap) ? run : cap;
-      plane[zoff[k++]] = (int16_t)(uint16_t)(fa >> 16);
-      continue;
+    } else if (kind == 5) {  // coefficient + fused EOB
+      // Strict <: a coefficient that fills the block to exactly 64 ends
+      // it WITHOUT an EOB — the bits decoded as "EOB" at build time are
+      // really the next block's DC code and must not be consumed.
+      if (__builtin_expect(k + adv1 < 64, 1)) {
+        int tb = (int)((fa >> 56) & 31);
+        br.bits <<= tb;
+        br.count -= tb;
+        k += adv1;
+        plane[zoff[k - 1]] = (int16_t)(uint16_t)(fa >> 16);
+        return 1;
+      }
     }
-    if (kind == 1) {  // EOB
-      int tb = (int)((fa >> 56) & 31);
-      br.bits <<= tb;
-      br.count -= tb;
-      break;
-    }
-    if (kind == 2) {  // ZRL
-      int tb = (int)((fa >> 56) & 31);
-      br.bits <<= tb;
-      br.count -= tb;
-      k += (64 - k < 16) ? (64 - k) : 16;
-      continue;
-    }
-    // Miss: long code or large magnitude — full-path decode.
-    uint32_t e = ac_lut.lookup((uint32_t)(br.bits >> 48));
-    int len = e & 0xFF;
-    if (__builtin_expect(len == 0, 0)) return 2;
-    int sym = e >> 8;
-    if (sym == 0x00) {
-      br.bits <<= len;
-      br.count -= len;
-      break;
-    }
-    if (sym == 0xF0) {
-      br.bits <<= len;
-      br.count -= len;
-      k += (64 - k < 16) ? (64 - k) : 16;
-      continue;
-    }
-    int size = sym & 0xF;
-    int total = len + size;
-    uint32_t raw = (uint32_t)((br.bits >> (64 - total)) & ((1u << size) - 1));
-    br.bits <<= total;
-    br.count -= total;
-    int32_t v = value_correction(raw, size);
-    int run = (sym >> 4) & 0xF;
+    // Single coefficient (kind 3, or pair split at a block boundary).
+    int tb1 = (int)((fa >> 51) & 31);
+    br.bits <<= tb1;
+    br.count -= tb1;
+    int run = adv1 - 1;
     int cap = 64 - k - 1;
     k += (run < cap) ? run : cap;
-    plane[zoff[k++]] = (int16_t)v;
+    plane[zoff[k++]] = (int16_t)(uint16_t)(fa >> 16);
+    return 0;
+  }
+  if (kind == 1) {  // EOB
+    int tb = (int)((fa >> 56) & 31);
+    br.bits <<= tb;
+    br.count -= tb;
+    return 1;
+  }
+  if (kind == 2) {  // ZRL
+    int tb = (int)((fa >> 56) & 31);
+    br.bits <<= tb;
+    br.count -= tb;
+    k += (64 - k < 16) ? (64 - k) : 16;
+    return 0;
+  }
+  // Miss: long code or large magnitude — full-path decode.
+  uint32_t e = ac_lut.lookup((uint32_t)(br.bits >> 48));
+  int len = e & 0xFF;
+  if (__builtin_expect(len == 0, 0)) return 2;
+  int sym = e >> 8;
+  if (sym == 0x00) {
+    br.bits <<= len;
+    br.count -= len;
+    return 1;
+  }
+  if (sym == 0xF0) {
+    br.bits <<= len;
+    br.count -= len;
+    k += (64 - k < 16) ? (64 - k) : 16;
+    return 0;
+  }
+  int size = sym & 0xF;
+  int total = len + size;
+  uint32_t raw = (uint32_t)((br.bits >> (64 - total)) & ((1u << size) - 1));
+  br.bits <<= total;
+  br.count -= total;
+  int32_t v = value_correction(raw, size);
+  int run = (sym >> 4) & 0xF;
+  int cap = 64 - k - 1;
+  k += (run < cap) ? run : cap;
+  plane[zoff[k++]] = (int16_t)v;
+  return 0;
+}
+
+template <bool kZeroTile>
+inline int next_block_plane(BitReader& br, const TwoLevelLut& dc_lut,
+                            const TwoLevelLut& ac_lut, const FastLut& dc_fast,
+                            const PairLut& ac_pair, int16_t* plane,
+                            int64_t stride, const int32_t* zoff,
+                            int32_t* prev_dc) {
+  if constexpr (kZeroTile) {
+    // Zero the 8x8 destination tile (prezero=1 legacy mode). The bulk
+    // prezero modes skip this: strided 16B stores cost ~17%% of the whole
+    // decode; a caller-guaranteed zero buffer (fresh calloc or the bulk
+    // zero phase) makes the sparse coefficient writes sufficient.
+    for (int r = 0; r < 8; ++r) {
+      std::memset(plane + r * stride, 0, 8 * sizeof(int16_t));
+    }
+  }
+  if (dc_step_plane(br, dc_lut, dc_fast, plane, prev_dc)) return 1;
+  int k = 1;
+  while (k < 64) {
+    int r = ac_step_plane(br, ac_lut, ac_pair, plane, zoff, k);
+    if (r) return r == 1 ? 0 : 2;
   }
   return 0;
 }
+
+// A two-stream interleaved variant (decode one block from each of two
+// independent restart segments per call, zstd multi-stream style) was
+// built on these step helpers and A/B'd (tools/ab_host_entropy.py,
+// interleaved rounds): corpus 229.7 vs 227.2 fps single-stream — no
+// gain. The symbol loop is mispredict-bound (data-dependent kind
+// dispatch), not latency-bound, and a second stream cannot hide
+// pipeline flushes. Removed; the helpers stay for the refactor.
 
 struct PlaneJob {
   const uint8_t* data;
