@@ -22,6 +22,23 @@ reshapes at all, so the kernel is built purely from matmuls + elementwise:
 Grid = (MCU row bands, 256-column tiles). One HBM read of the int16
 coefficient planes and one HBM write of the planar u8 band per cell — the
 minimum possible traffic for this stage.
+
+Round-3 tuning bounds (measured on the real chip, 4K):
+
+* Tile-size sweep (tools/sweep_tiles.py): (BAND_ROWS, TILE_W) =
+  (128, 256) -> 2224 fps / 13.6%% HBM SOL; (256, 256) -> 1990 fps.
+  The default IS the optimum — taller bands do not raise MXU
+  efficiency (the chroma LHS at 64 rows is not the limiter).
+* Fusing the chroma replication into the sandwich matmuls (the r2
+  ROADMAP item) is anti-productive by direct FLOP accounting: the
+  IDCT runs at HIGHEST (6-pass bf16 — required for bit-exact u8), so
+  widening its output to the upsampled resolution costs 6 passes on
+  2x the MACs, while the separate replication matmul pays 1 DEFAULT
+  pass: per 2x2-chroma cell, fused = +6.3M pass-MACs vs separate
+  4.2M. The pipeline sits at ~46%% MXU efficiency on the 6-pass
+  matmuls plus the VPU color/clamp chain; exact-mode ~2200 fps is the
+  practical ceiling of this formulation (the approx tier at DEFAULT
+  reaches ~4300 fps for tolerant pipelines).
 """
 
 from __future__ import annotations
@@ -38,9 +55,15 @@ from jpeg_tpu.ops.color import C_BLUE, C_GREEN, C_RED
 from jpeg_tpu.ops.idct import dct_basis_1d
 from jpeg_tpu.ops.zigzag import unzigzag
 
-TILE_W = 256  # Y-resolution column-tile width (2 MXU lane groups)
-BAND_ROWS = 128  # Y-resolution rows per grid cell: full-height MXU matmuls
-# (an 8- or 16-row LHS runs the MXU at 1/8 utilization; 128 rows ~ full).
+import os as _os
+
+# Y-resolution column-tile width / rows per grid cell. Env-overridable
+# for tile-size A/B sweeps (tools/sweep_tiles.py); production defaults
+# from the measured sweep. Chroma matmuls run at half these dims under
+# 2x2 sampling, so BAND_ROWS=256 keeps even the chroma LHS at the MXU's
+# full 128-row height. Must match jpeg_tpu.runtime plane layout.
+TILE_W = int(_os.environ.get("JT_TILE_W", "256"))
+BAND_ROWS = int(_os.environ.get("JT_BAND_ROWS", "128"))
 
 
 def _kron_eye(m: np.ndarray, n: int) -> np.ndarray:

@@ -472,8 +472,10 @@ def native_decode_coefficients(plan, n_threads: int | None = None,
     return out
 
 
-_PLANE_TILE_W = 256  # must match jpeg_tpu.ops.pallas_kernels.TILE_W
-_PLANE_BAND_ROWS = 128  # must match jpeg_tpu.ops.pallas_kernels.BAND_ROWS
+_PLANE_TILE_W = int(  # must match jpeg_tpu.ops.pallas_kernels.TILE_W
+    os.environ.get("JT_TILE_W", "256"))
+_PLANE_BAND_ROWS = int(  # must match pallas_kernels.BAND_ROWS
+    os.environ.get("JT_BAND_ROWS", "128"))
 
 
 def plane_shapes(plan) -> list[tuple[int, int]]:
