@@ -45,6 +45,32 @@ def main():
         for _ in range(3):
             native_decode_planes(plan)
 
+    # Arithmetic (QM) and progressive paths live in the same library —
+    # train their branch mixes too.
+    from jpeg_tpu.runtime import (
+        native_decode_arith_planes,
+        native_decode_progressive,
+    )
+
+    ad = encode_rgb(img[:512, :512], quality=85, arithmetic=True,
+                    restart_interval_mcus=8)
+    aplan = parse_jpeg(ad)
+    for _ in range(3):
+        native_decode_arith_planes(aplan)
+    try:
+        import io
+
+        from PIL import Image
+
+        pb = io.BytesIO()
+        Image.fromarray(img[:512, :512]).save(
+            pb, "JPEG", quality=85, progressive=True)
+        pplan = parse_jpeg(pb.getvalue())
+        for _ in range(3):
+            native_decode_progressive(pplan, reuse_buffer=True)
+    except ImportError:
+        pass
+
 
 if __name__ == "__main__":
     main()
