@@ -224,7 +224,7 @@ def _make_block_decoder(refill, consume, S):
             reg = refill(refill(st["reg"]))
             err, coef, acc = st["err"], st["coef"], st["acc"]
             for _k in range(SYMS_PER_STEP):
-                busy = (active & ~err & (coef < 64) & (reg[1] >= 27))
+                busy = (active & ~err & (coef < 64) & (reg[1] >= 31))
                 peek = (reg[2] >> 16).astype(jnp.int32)
                 e = lut_ac[peek]
                 length = e & 0xFF
@@ -269,7 +269,7 @@ def _pair_iter_factory(consume, S):
     def pair_iter(reg, err, active, coef, acc, lut):
         """One pair-entry iteration: gate, gather, apply 1-2 symbols,
         consume. Consumes <= 27 bits (slow path worst case)."""
-        busy = active & ~err & (coef < 64) & (reg[1] >= 27)
+        busy = active & ~err & (coef < 64) & (reg[1] >= 31)
         peek = (reg[2] >> 16).astype(jnp.int32)
         # lut is [2, 65536] (A-word row, B-word row): two flat gathers
         # from static slices, not one [65536, 2] row gather.

@@ -128,6 +128,9 @@ class DecodePlan:
     # Arithmetic coding (SOF9 + DAC, T.81 Annex D/F — beyond the reference,
     # which is Huffman-only). Conditioning defaults per F.1.4.4.1.4.
     arith_code: bool = False
+    # Sample precision (SOF P field): 8, or 12 on SOF1/SOF9 extended
+    # sequential (level shift 1<<(P-1), DC/AC magnitude categories 15/14).
+    precision: int = 8
     arith_dc_L: tuple = (0, 0, 0, 0)
     arith_dc_U: tuple = (1, 1, 1, 1)
     arith_ac_K: tuple = (5, 5, 5, 5)
@@ -253,6 +256,7 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
     dc_tables: list[HuffmanTable] = [empty_table() for _ in range(4)]
     ac_tables: list[HuffmanTable] = [empty_table() for _ in range(4)]
     arith_code = False
+    sample_precision = 8
     arith_dc_L = [0, 0, 0, 0]
     arith_dc_U = [1, 1, 1, 1]
     arith_ac_K = [5, 5, 5, 5]
@@ -355,10 +359,19 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
             # support). SOF9 = sequential DCT with arithmetic entropy coding
             # (QM coder, entropy/arith.py). All beyond the reference.
             precision = int(vec[body])
-            if precision != 8:
+            if precision == 12 and marker in (0xC1, 0xC9):
+                # 12-bit extended sequential (SOF1 Huffman / SOF9
+                # arithmetic, T.81 Table B.2): magnitude categories grow
+                # to DC<=15 / AC<=14 and the level shift to 2048; every
+                # tier below (oracle, C++ runtime, XLA pipeline) handles
+                # it. Beyond both the reference and this system's
+                # 8-bit-built libjpeg.
+                pass
+            elif precision != 8:
                 raise JPEGError(
-                    f"unsupported sample precision {precision} "
-                    "(8-bit only; 12-bit needs SOF1 extended paths)")
+                    f"unsupported sample precision {precision} for "
+                    f"SOF{marker - 0xC0} (8-bit everywhere; 12-bit on "
+                    "extended sequential SOF1/SOF9)")
             progressive = marker in (0xC2, 0xCA)
             height = _u16(vec, body + 1)
             width = _u16(vec, body + 3)
@@ -386,6 +399,7 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
                 components.append(ComponentInfo(cid, h, v, quant_id=tq))
                 idx += 3
             arith_code = marker in (0xC9, 0xCA)
+            sample_precision = precision
             got_frame = True
         elif marker == 0xCC:
             # DAC: arithmetic conditioning (B.2.4.3). DC: Cs = (U << 4) | L;
@@ -537,6 +551,7 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
                 exif=exif,
                 adobe_transform=adobe_transform,
                 arith_code=arith_code,
+                precision=sample_precision,
                 arith_dc_L=tuple(arith_dc_L),
                 arith_dc_U=tuple(arith_dc_U),
                 arith_ac_K=tuple(arith_ac_K),
@@ -580,7 +595,7 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
             jfif_units=jfif_units, jfif_density=jfif_density, exif=exif,
             adobe_transform=adobe_transform,
             progressive=True, prog_scans=prog_scans,
-            arith_code=arith_code,
+            arith_code=arith_code, precision=sample_precision,
             arith_dc_L=tuple(arith_dc_L), arith_dc_U=tuple(arith_dc_U),
             arith_ac_K=tuple(arith_ac_K),
         )

@@ -11,17 +11,27 @@ import numpy as np
 
 
 def write_ppm(path, rgb: np.ndarray, binary: bool = True) -> None:
-    """Write [H, W, 3] u8 to PPM. ``binary=False`` gives reference-identical
-    P3 text output (one pixel per line, src/main.rs:36-39)."""
-    rgb = np.asarray(rgb, dtype=np.uint8)
+    """Write [H, W, 3] u8 (maxval 255) or u16 (maxval 4095, 12-bit
+    decodes) to PPM. ``binary=False`` gives reference-identical P3 text
+    output (one pixel per line, src/main.rs:36-39); 16-bit P6 samples are
+    big-endian per the Netpbm spec."""
+    rgb = np.asarray(rgb)
+    if rgb.dtype == np.uint16:
+        maxval = 4095
+    else:
+        rgb = rgb.astype(np.uint8)
+        maxval = 255
     h, w, _ = rgb.shape
     if binary:
         with open(path, "wb") as f:
-            f.write(f"P6\n{w} {h}\n255\n".encode())
-            f.write(rgb.tobytes())
+            f.write(f"P6\n{w} {h}\n{maxval}\n".encode())
+            if maxval > 255:
+                f.write(rgb.astype(">u2").tobytes())
+            else:
+                f.write(rgb.tobytes())
     else:
         flat = rgb.reshape(-1, 3)
-        lines = [f"P3\n{w} {h}\n255\n"]
+        lines = [f"P3\n{w} {h}\n{maxval}\n"]
         lines += [f"{r} {g} {b}\n" for r, g, b in flat.tolist()]
         with open(path, "w") as f:
             f.write("".join(lines))
@@ -45,13 +55,17 @@ def read_ppm(path) -> np.ndarray:
             vals.append(int(data[start:idx]))
         idx += 1  # the single post-maxval whitespace byte
         w, h, maxval = vals
-        assert maxval == 255
+        if maxval > 255:  # 16-bit samples, big-endian (12-bit decodes)
+            raw = data[idx : idx + w * h * 6]
+            return np.frombuffer(raw, dtype=">u2").astype(
+                np.uint16).reshape(h, w, 3)
         raw = data[idx : idx + w * h * 3]
         return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
     if data[:2] == b"P3":
         tokens = data.split()
         w, h, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
-        assert maxval == 255
-        vals = np.array([int(t) for t in tokens[4 : 4 + w * h * 3]], dtype=np.uint8)
+        dtype = np.uint16 if maxval > 255 else np.uint8
+        vals = np.array([int(t) for t in tokens[4 : 4 + w * h * 3]],
+                        dtype=dtype)
         return vals.reshape(h, w, 3)
     raise ValueError("not a PPM file")

@@ -44,6 +44,7 @@ class PipelineGeometry:
     sampling: tuple[tuple[int, int], ...]  # (h, v) per component, scan order
     # Final color stage: gray | ycbcr | rgb | cmyk | ycck (plan.color_model).
     color_model: str = "ycbcr"
+    precision: int = 8  # sample precision (12-bit => u16 output)
 
     @staticmethod
     def of(plan: DecodePlan) -> "PipelineGeometry":
@@ -56,6 +57,7 @@ class PipelineGeometry:
             v_max=plan.v_max,
             sampling=tuple((c.h, c.v) for c in plan.components),
             color_model=getattr(plan, "color_model", "ycbcr"),
+            precision=getattr(plan, "precision", 8),
         )
 
     @property
@@ -124,21 +126,26 @@ def _pipeline(coeffs, matrices, geom: PipelineGeometry, rounding: str,
             upsample=upsample,
         )
         planes.append(plane)
+    maxval = (1 << geom.precision) - 1
+    shift = float((maxval + 1) // 2)
     if color_space == "ycbcr":
-        from jpeg_tpu.ops.color import quantize_u8
+        from jpeg_tpu.ops.color import quantize_samples
 
-        chans = [quantize_u8(p + 128.0, rounding) for p in planes]
+        chans = [quantize_samples(p + shift, rounding, maxval)
+                 for p in planes]
         while len(chans) < 3:
-            chans.append(jnp.full_like(chans[0], 128))
+            chans.append(jnp.full_like(chans[0], (maxval + 1) // 2))
         return jnp.stack(chans, axis=-1)
     if len(planes) == 1:
-        return grayscale_to_rgb(planes[0], rounding)
+        return grayscale_to_rgb(planes[0], rounding, maxval)
     if len(planes) == 3:
         if geom.color_model == "rgb":  # Adobe transform 0 / R,G,B ids
             from jpeg_tpu.ops.color import rgb_direct
 
-            return rgb_direct(planes[0], planes[1], planes[2], rounding)
-        return ycbcr_to_rgb(planes[0], planes[1], planes[2], rounding)
+            return rgb_direct(planes[0], planes[1], planes[2], rounding,
+                              maxval)
+        return ycbcr_to_rgb(planes[0], planes[1], planes[2], rounding,
+                            maxval)
     if len(planes) == 4:  # Adobe CMYK / YCCK (beyond the reference)
         from jpeg_tpu.ops.color import cmyk_to_rgb
 
@@ -260,6 +267,11 @@ def decode_plan_fast(plan: DecodePlan, rounding: str = "truncate",
         # would come out silently wrong and 4-component CMYK/YCCK plans
         # don't fit its 3-channel output. Route through the compat
         # pipeline, which handles every color model.
+        return decode_plan(plan, rounding=rounding)
+    if getattr(plan, "precision", 8) != 8:
+        # 12-bit samples need int32-safe planes and u16 output — the
+        # fused kernel's int16 planes / u8 path is 8-bit; the compat
+        # pipeline handles the extended range.
         return decode_plan(plan, rounding=rounding)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"

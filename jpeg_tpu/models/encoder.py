@@ -119,22 +119,24 @@ def _validate_image(rgb: np.ndarray, grayscale: bool) -> None:
             f"got shape {rgb.shape}")
 
 
-def _forward_transform(rgb, quality, subsampling, grayscale):
+def _forward_transform(rgb, quality, subsampling, grayscale,
+                       precision: int = 8):
     """RGB/gray -> per-component quantized zigzag blocks + geometry."""
     rgb = np.asarray(rgb)
     _validate_image(rgb, grayscale)
     if rgb.ndim == 2:
         grayscale = True
     h_s, v_s = (1, 1) if grayscale else subsampling
+    shift = np.float32(1 << (precision - 1))
 
     if grayscale:
-        planes = [rgb.astype(np.float32) - 128.0]
+        planes = [rgb.astype(np.float32) - shift]
         samplings = [(1, 1)]
     else:
         r = rgb[..., 0].astype(np.float32)
         g = rgb[..., 1].astype(np.float32)
         b = rgb[..., 2].astype(np.float32)
-        y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+        y = 0.299 * r + 0.587 * g + 0.114 * b - shift
         cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b
         cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b
         planes = [y, cb, cr]
@@ -379,7 +381,8 @@ def encode_rgb_device(rgb: np.ndarray, quality: int = 85,
 def _container(scan, samplings, quant_zz, dc_t, ac_t, height, width,
                restart_interval_mcus, comment: str | None = None,
                component_ids=None, quant_ids=None, table_ids=None,
-               adobe_transform: int | None = None) -> bytes:
+               adobe_transform: int | None = None,
+               precision: int = 8) -> bytes:
     """Assemble SOI..EOI around an entropy-coded scan.
 
     Defaults emit a JFIF stream with ids 1..n and the luma/chroma table
@@ -405,11 +408,15 @@ def _container(scan, samplings, quant_zz, dc_t, ac_t, height, width,
     for tid, q in enumerate(quant_zz):
         body = bytes([tid]) + bytes(q.astype(np.uint8).tolist())
         out += b"\xff\xdb" + (len(body) + 2).to_bytes(2, "big") + body
-    sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big") + bytes([ncomp])
+    sof = bytes([precision]) + height.to_bytes(2, "big") + width.to_bytes(
+        2, "big") + bytes([ncomp])
     for ci, (h, v) in enumerate(samplings):
         sof += bytes([component_ids[ci], (h << 4) | v, quant_ids[ci]])
-    out += (b"\xff\xc9" if arithmetic else b"\xff\xc0") + (
-        len(sof) + 2).to_bytes(2, "big") + sof
+    # 12-bit needs the extended-sequential frame types: SOF1 (Huffman) /
+    # SOF9 (arithmetic, which covers both precisions).
+    sof_marker = (b"\xff\xc9" if arithmetic
+                  else (b"\xff\xc1" if precision == 12 else b"\xff\xc0"))
+    out += sof_marker + (len(sof) + 2).to_bytes(2, "big") + sof
     if arithmetic:
         # DAC conditioning (defaults L=0, U=1, Kx=5 — F.1.4.4.1.4) for the
         # table slots in use.
@@ -443,7 +450,8 @@ def encode_rgb(rgb: np.ndarray, quality: int = 85,
                engine: str = "native",
                optimize: bool = False,
                comment: str | None = None,
-               arithmetic: bool = False) -> bytes:
+               arithmetic: bool = False,
+               precision: int = 8) -> bytes:
     """Encode [H, W, 3] u8 RGB (or [H, W] gray) to baseline JFIF bytes.
 
     ``subsampling`` is the luma sampling factor (h, v): (1,1)=4:4:4,
@@ -454,10 +462,19 @@ def encode_rgb(rgb: np.ndarray, quality: int = 85,
     Huffman tables (Annex K.2, like libjpeg optimize_coding) instead of the
     typical Annex K tables. ``arithmetic=True`` emits SOF9 QM-coded entropy
     instead (adaptive by construction — ``optimize`` does not apply).
+
+    ``precision=12`` emits a 12-bit extended-sequential stream (SOF1
+    Huffman / SOF9 arithmetic): input is [H, W(, 3)] u16 in [0, 4095],
+    level shift 2048, DC/AC magnitude categories up to 15/14. Huffman
+    12-bit always uses per-image optimal tables (the Annex K typical
+    tables only cover 8-bit magnitude categories). Beyond both the
+    reference and this environment's 8-bit libjpeg build.
     """
+    if precision not in (8, 12):
+        raise ValueError(f"unsupported precision {precision}")
     (comp_blocks_zz, samplings, quant_zz, height, width,
      mcus_x, mcus_y, grayscale) = _forward_transform(
-        rgb, quality, subsampling, grayscale)
+        rgb, quality, subsampling, grayscale, precision)
 
     if arithmetic:
         # SOF9: QM-coded entropy (T.81 Annex D/F — beyond the reference,
@@ -494,9 +511,11 @@ def encode_rgb(rgb: np.ndarray, quality: int = 85,
                                      mcus_y, restart_interval_mcus,
                                      table_ids)
         return _container(scan, samplings, quant_zz, None, None, height,
-                          width, restart_interval_mcus, comment=comment)
+                          width, restart_interval_mcus, comment=comment,
+                          precision=precision)
 
-    dc_t, ac_t = _huffman_tables(grayscale, optimize, comp_blocks_zz,
+    dc_t, ac_t = _huffman_tables(grayscale, optimize or precision == 12,
+                                 comp_blocks_zz,
                                  samplings, restart_interval_mcus,
                                  mcus_x, mcus_y)
     dc_maps = [_build_encode_maps(t) for t in dc_t]
@@ -511,7 +530,8 @@ def encode_rgb(rgb: np.ndarray, quality: int = 85,
                                mcus_x, mcus_y, restart_interval_mcus)
 
     return _container(scan, samplings, quant_zz, dc_t, ac_t, height, width,
-                      restart_interval_mcus, comment=comment)
+                      restart_interval_mcus, comment=comment,
+                      precision=precision)
 
 
 def encode_rgb_progressive(rgb: np.ndarray, quality: int = 85,

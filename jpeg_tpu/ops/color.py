@@ -60,8 +60,22 @@ def quantize_u8(x: jnp.ndarray, rounding: str = "truncate") -> jnp.ndarray:
     return x.astype(jnp.uint8)
 
 
+def quantize_samples(x: jnp.ndarray, rounding: str = "truncate",
+                     maxval: int = 255) -> jnp.ndarray:
+    """Clamp to [0, maxval] and narrow: u8 at 8-bit precision, u16 at
+    12-bit (maxval 4095). Same truncate/round semantics as
+    :func:`quantize_u8`."""
+    if maxval <= 255:
+        return quantize_u8(x, rounding)
+    if rounding == "round":
+        x = jnp.floor(x + 0.5)
+    x = jnp.clip(x, 0.0, float(maxval))
+    return x.astype(jnp.int32).astype(jnp.uint16)
+
+
 def ycbcr_to_rgb(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray,
-                 rounding: str = "truncate") -> jnp.ndarray:
+                 rounding: str = "truncate",
+                 maxval: int = 255) -> jnp.ndarray:
     """Centered planes [H, W] -> RGB [H, W, 3] u8.
 
     Follows the reference's exact operation order
@@ -72,16 +86,18 @@ def ycbcr_to_rgb(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray,
     r = cr * np.float32(2.0 - 2.0 * C_RED) + y
     b = cb * np.float32(2.0 - 2.0 * C_BLUE) + y
     g = (y - np.float32(C_BLUE) * b - np.float32(C_RED) * r) / np.float32(C_GREEN)
-    rgb = jnp.stack([r + 128.0, g + 128.0, b + 128.0], axis=-1)
-    return quantize_u8(rgb, rounding)
+    shift = np.float32((maxval + 1) // 2)
+    rgb = jnp.stack([r + shift, g + shift, b + shift], axis=-1)
+    return quantize_samples(rgb, rounding, maxval)
 
 
-def grayscale_to_rgb(y: jnp.ndarray, rounding: str = "truncate") -> jnp.ndarray:
+def grayscale_to_rgb(y: jnp.ndarray, rounding: str = "truncate",
+                     maxval: int = 255) -> jnp.ndarray:
     """Centered gray plane [H, W] -> replicated RGB [H, W, 3] u8.
 
     Parity: reference grayscale path (``src/jpeg/decoder.rs:317-324``).
     """
-    u = quantize_u8(y + 128.0, rounding)
+    u = quantize_samples(y + np.float32((maxval + 1) // 2), rounding, maxval)
     return jnp.stack([u, u, u], axis=-1)
 
 
@@ -110,8 +126,10 @@ def cmyk_to_rgb(c: jnp.ndarray, m: jnp.ndarray, y: jnp.ndarray,
 
 
 def rgb_direct(r: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray,
-               rounding: str = "truncate") -> jnp.ndarray:
+               rounding: str = "truncate",
+               maxval: int = 255) -> jnp.ndarray:
     """3-component stream already in RGB (Adobe transform 0 or R/G/B
     component ids): level shift only, no YCbCr matrix."""
-    rgb = jnp.stack([r + 128.0, g + 128.0, b + 128.0], axis=-1)
-    return quantize_u8(rgb, rounding)
+    shift = np.float32((maxval + 1) // 2)
+    rgb = jnp.stack([r + shift, g + shift, b + shift], axis=-1)
+    return quantize_samples(rgb, rounding, maxval)

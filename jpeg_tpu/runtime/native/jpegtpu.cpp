@@ -251,7 +251,7 @@ inline int next_block(BitReader& br, const TwoLevelLut& dc_lut,
                       const TwoLevelLut& ac_lut, const FastLut& dc_fast,
                       const PairLut& ac_pair, int32_t* out) {
   std::memset(out, 0, 64 * sizeof(int32_t));
-  if (br.count < 27) br.refill();
+  if (br.count < 31) br.refill();
   uint32_t f = dc_fast.tab[(uint32_t)(br.bits >> (64 - kFastBits))];
   if (__builtin_expect((f >> 30) == 0, 1)) {
     int tb = (f >> 25) & 31;
@@ -268,7 +268,7 @@ inline int next_block(BitReader& br, const TwoLevelLut& dc_lut,
   }
   int k = 1;
   while (k < 64) {
-    if (br.count < 27) br.refill();
+    if (br.count < 31) br.refill();
     uint64_t fa = ac_pair.tab[(uint32_t)(br.bits >> kPairShift)];
     uint32_t kind = (uint32_t)(fa >> 61);
     if (__builtin_expect(kind >= 3, 1)) {
@@ -364,9 +364,9 @@ constexpr uint8_t kZigCol[64] = {
 inline int dc_step_plane(BitReader& br, const TwoLevelLut& dc_lut,
                          const FastLut& dc_fast, int16_t* plane,
                          int32_t* prev_dc) {
-  // A symbol needs at most 16 (code) + 11 (magnitude) = 27 bits, so one
-  // refill up front covers the combined code+magnitude advance below.
-  if (br.count < 27) br.refill();
+  // A symbol needs at most 16 (code) + 15 (magnitude, 12-bit DC) = 31
+  // bits, so one refill up front covers code+magnitude below.
+  if (br.count < 31) br.refill();
   int32_t dc;
   uint32_t f = dc_fast.tab[(uint32_t)(br.bits >> (64 - kFastBits))];
   if (__builtin_expect((f >> 30) == 0, 1)) {
@@ -396,7 +396,7 @@ inline int dc_step_plane(BitReader& br, const TwoLevelLut& dc_lut,
 inline int ac_step_plane(BitReader& br, const TwoLevelLut& ac_lut,
                          const PairLut& ac_pair, int16_t* plane,
                          const int32_t* zoff, int& k) {
-  if (br.count < 27) br.refill();
+  if (br.count < 31) br.refill();
   uint64_t fa = ac_pair.tab[(uint32_t)(br.bits >> kPairShift)];
   uint32_t kind = (uint32_t)(fa >> 61);
   if (__builtin_expect(kind >= 3, 1)) {
@@ -714,7 +714,7 @@ void decode_segments(const ScanJob& job, std::atomic<int64_t>* next,
 // Skip one block (positions only). Returns 0 ok, nonzero on invalid prefix.
 inline int skip_block(BitReader& br, const TwoLevelLut& dc_lut,
                       const TwoLevelLut& ac_lut) {
-  if (br.count < 27) br.refill();
+  if (br.count < 31) br.refill();
   uint32_t e = dc_lut.lookup((uint32_t)(br.bits >> 48));
   int len = e & 0xFF;
   if (__builtin_expect(len == 0, 0)) return 1;
@@ -723,7 +723,7 @@ inline int skip_block(BitReader& br, const TwoLevelLut& dc_lut,
   br.count -= total;
   int k = 1;
   while (k < 64) {
-    if (br.count < 27) br.refill();
+    if (br.count < 31) br.refill();
     e = ac_lut.lookup((uint32_t)(br.bits >> 48));
     len = e & 0xFF;
     if (__builtin_expect(len == 0, 0)) return 2;
@@ -1643,7 +1643,7 @@ int64_t jt_decode_prog_dc(
               int32_t* coef =
                   state[s] + (my * v + vi) * state_cols[s] + mx * h + hi;
               if (ah == 0) {
-                if (br.count < 27) br.refill();
+                if (br.count < 31) br.refill();
                 uint32_t e = comp_dc[s]->lookup((uint32_t)(br.bits >> 48));
                 int len = e & 0xFF;
                 if (len == 0) return seg;
@@ -1659,7 +1659,7 @@ int64_t jt_decode_prog_dc(
       } else {
         int32_t* coef = state[0] + uy * state_cols[0] + ux;
         if (ah == 0) {
-          if (br.count < 27) br.refill();
+          if (br.count < 31) br.refill();
           uint32_t e = comp_dc[0]->lookup((uint32_t)(br.bits >> 48));
           int len = e & 0xFF;
           if (len == 0) return seg;
@@ -1782,7 +1782,7 @@ int64_t jt_decode_prog_ac(
         }
         int k = ss;
         while (k <= se) {
-          if (br.count < 27) br.refill();
+          if (br.count < 31) br.refill();
           uint32_t e = ac_tab.lookup((uint32_t)(br.bits >> 48));
           int len = e & 0xFF;
           if (len == 0) return seg;
@@ -1815,7 +1815,7 @@ int64_t jt_decode_prog_ac(
             (se == 63 ? ~0ull : ((1ull << (se + 1)) - 1)) & ~((1ull << ss) - 1);
         if (eobrun == 0) {
           while (k <= se) {
-            if (br.count < 27) br.refill();
+            if (br.count < 31) br.refill();
             int32_t s_val;
             int r;
             uint32_t fe = ref_lut.tab[(uint32_t)(br.bits >> kRefShift)];
