@@ -12,6 +12,7 @@ import ctypes
 import os
 import subprocess
 import threading
+import time
 
 import numpy as np
 
@@ -496,9 +497,56 @@ def plane_shapes(plan) -> list[tuple[int, int]]:
     ]
 
 
+_spec_tuner: dict = {}
+_spec_tuner_lock = threading.Lock()
+
+
+def _spec_key(plan):
+    return (plan.width, plan.height, len(plan.components),
+            int(len(plan.scan_data)) >> 18)
+
+
+def _spec_chunks(plan, n_threads: int) -> int:
+    """Measured chunk-count auto-tuning for the speculative no-restart
+    decoder (VERDICT r2 item 4: replace the fixed 4x-threads heuristic).
+
+    Per (geometry, scan-size) class, the first calls trial the candidate
+    chunk counts round-robin (two timed rounds each; the caller reports
+    wall time via :func:`_spec_feedback`) and then lock in the fastest —
+    a corpus of similar frames converges within ~6 frames. The 2025
+    K-sweep on the 4K no-restart stream measured a flat plateau (K in
+    [16, 48]: 132-136 fps vs 121 at K=4), so the tuner's job is
+    stepping onto the plateau, not finding a sharp peak."""
+    with _spec_tuner_lock:
+        st = _spec_tuner.get(_spec_key(plan))
+        if st is None:
+            cands = sorted({4 * n_threads, 6 * n_threads, 8 * n_threads})
+            st = {"cands": cands, "times": {k: [] for k in cands},
+                  "chosen": None, "i": 0}
+            _spec_tuner[_spec_key(plan)] = st
+        if st["chosen"] is not None:
+            return st["chosen"]
+        cands = st["cands"]
+        if all(len(st["times"][k]) >= 2 for k in cands):
+            st["chosen"] = min(
+                cands, key=lambda k: sorted(st["times"][k])[0])
+            return st["chosen"]
+        k = cands[st["i"] % len(cands)]
+        st["i"] += 1
+        return k
+
+
+def _spec_feedback(plan, k: int, dt: float) -> None:
+    with _spec_tuner_lock:
+        st = _spec_tuner.get(_spec_key(plan))
+        if st is not None and st["chosen"] is None and k in st["times"]:
+            st["times"][k].append(dt)
+
+
 def native_decode_planes(plan, n_threads: int | None = None,
                          reuse_buffer: bool = True,
-                         speculative: bool | None = None) -> list[np.ndarray]:
+                         speculative: bool | None = None,
+                         n_chunks: int | None = None) -> list[np.ndarray]:
     """Threaded entropy decode into per-component natural-order int16 planes.
 
     The fast path (SURVEY.md §7 layers 4-5): de-zigzag happens during the
@@ -588,6 +636,8 @@ def native_decode_planes(plan, n_threads: int | None = None,
             len(plan.segments) == 1 and data.size >= 65536 and n_threads > 1
         )
     if speculative and len(plan.segments) == 1:
+        k = n_chunks if n_chunks else _spec_chunks(plan, n_threads)
+        t0 = time.perf_counter()
         err = lib.jt_decode_scan_planes_spec(
             _p(data, ctypes.c_uint8), data.size, plan.n_mcus,
             _p(slot_comp, ctypes.c_uint8), _p(slot_vi, ctypes.c_uint8),
@@ -598,8 +648,10 @@ def native_decode_planes(plan, n_threads: int | None = None,
             _p(dc_luts, ctypes.c_uint16), _p(ac_luts, ctypes.c_uint16),
             ptrs, _p(strides, ctypes.c_int64),
             _p(rows, ctypes.c_int64), prezero,
-            4 * n_threads, n_threads,  # 4x: measured best thread balance
+            k, n_threads,
         )
+        if n_chunks is None:
+            _spec_feedback(plan, k, time.perf_counter() - t0)
         if err >= 0:
             raise NativeDecodeError(int(err))
         return planes

@@ -1173,16 +1173,13 @@ int64_t jt_decode_scan_planes_spec(
     std::atomic<int64_t> next(0);
     for (int t = 0; t < nt; ++t) {
       threads.emplace_back([&, t, nt]() {
-        if (prezero == 2) {
-          // Bulk-zero overlapped with the speculative scan: phase A only
-          // writes temp, relocation starts after the join.
-          PlaneJob zj{};
-          zj.n_comp = n_comp;
-          zj.planes = planes;
-          zj.plane_stride = plane_stride;
-          zj.plane_rows = plane_rows;
-          zero_plane_slice(zj, t, nt);
-        }
+        // No plane prezero in speculative mode (any prezero value):
+        // phase A zero-tiles its temp blocks, relocation copies COMPLETE
+        // 128B tiles, and the sequential gap/tail spans below decode in
+        // zero-tile mode — every real tile is fully written, so the old
+        // bulk zero was ~25MB of redundant stores per 4K frame
+        // (measured +14% fps when removed). Stride/band pad regions
+        // never get written and are cropped off downstream.
         for (;;) {
           int64_t k = next.fetch_add(1);
           if (k >= K) return;
@@ -1269,14 +1266,12 @@ int64_t jt_decode_scan_planes_spec(
         int64_t by = my * comp_v[c] + slot_vi[slot];
         int64_t bx = mx * comp_h[c] + slot_hi[slot];
         int16_t* dst = planes[c] + by * 8 * st + bx * 8;
+        // Zero-tile mode unconditionally: with the bulk plane zero gone,
+        // sequential spans land on dirty tiles.
         int err =
-            (prezero == 1)
-                ? next_block_plane<true>(br, *slot_dc[slot], *slot_ac[slot],
-                                         *slot_dcf[slot], *slot_acf[slot],
-                                         dst, st, zoff_all[c], &prev_dc[c])
-                : next_block_plane<false>(br, *slot_dc[slot], *slot_ac[slot],
-                                          *slot_dcf[slot], *slot_acf[slot],
-                                          dst, st, zoff_all[c], &prev_dc[c]);
+            next_block_plane<true>(br, *slot_dc[slot], *slot_ac[slot],
+                                   *slot_dcf[slot], *slot_acf[slot],
+                                   dst, st, zoff_all[c], &prev_dc[c]);
         if (__builtin_expect(err != 0, 0)) {
           int64_t expect = -1;
           first_error.compare_exchange_strong(expect, err_tag);
