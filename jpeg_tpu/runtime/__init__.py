@@ -497,6 +497,16 @@ def plane_shapes(plan) -> list[tuple[int, int]]:
     ]
 
 
+# Reused-buffer zeroing strategy for the restart plane path: 2 = bulk
+# streaming zero before decode, 3 = buffered-tile decode (no plane
+# zeroing; each block decodes into an L1 tile and stores out full rows).
+# A/B (same-process interleaved, 4K corpus): mode 2 wins, 216 vs 202
+# fps — the streaming memset is cheaper than per-block full-tile
+# stores. Mode 3 exists because the SPECULATIVE path uses the same
+# idea profitably (its relocation already pays full-tile stores, so
+# dropping the 25MB zero was pure win there, +10%).
+_REUSE_PREZERO = int(os.environ.get("JT_PREZERO_MODE", "2"))
+
 _spec_tuner: dict = {}
 _spec_tuner_lock = threading.Lock()
 
@@ -629,7 +639,7 @@ def native_decode_planes(plan, n_threads: int | None = None,
     # only); reused buffers carry the previous frame -> mode 2 (bulk
     # streaming zero inside the decode threads, ~2-3x cheaper than the old
     # per-8x8-tile memsets).
-    prezero = 0 if fresh else 2
+    prezero = 0 if fresh else _REUSE_PREZERO
 
     if speculative is None:
         speculative = (

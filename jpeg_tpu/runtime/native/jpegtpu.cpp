@@ -478,6 +478,33 @@ inline int ac_step_plane(BitReader& br, const TwoLevelLut& ac_lut,
   return 0;
 }
 
+// Buffered-tile variant: decode into a zeroed L1-resident 8x8 tile,
+// then store out as eight contiguous 16B rows. The full-tile stores
+// write the same 128B/block the bulk prezero pass would, so the
+// separate 25MB zeroing sweep over the planes disappears entirely
+// (prezero mode 3) while the in-tile memset stays cache-hot.
+inline int next_block_plane_buf(BitReader& br, const TwoLevelLut& dc_lut,
+                                const TwoLevelLut& ac_lut,
+                                const FastLut& dc_fast,
+                                const PairLut& ac_pair, int16_t* plane,
+                                int64_t stride, const int32_t* zoff8,
+                                int32_t* prev_dc) {
+  alignas(32) int16_t tile[64];
+  std::memset(tile, 0, sizeof(tile));
+  if (dc_step_plane(br, dc_lut, dc_fast, tile, prev_dc)) return 1;
+  int k = 1;
+  while (k < 64) {
+    int r = ac_step_plane(br, ac_lut, ac_pair, tile, zoff8, k);
+    if (r) {
+      if (r != 1) return 2;
+      break;
+    }
+  }
+  for (int r = 0; r < 8; ++r)
+    std::memcpy(plane + r * stride, tile + r * 8, 16);
+  return 0;
+}
+
 template <bool kZeroTile>
 inline int next_block_plane(BitReader& br, const TwoLevelLut& dc_lut,
                             const TwoLevelLut& ac_lut, const FastLut& dc_fast,
@@ -534,10 +561,15 @@ struct PlaneJob {
   const int64_t* plane_rows;    // [n_comp] allocated rows (prezero=2)
 };
 
-template <bool kZeroTile>
+template <bool kZeroTile, bool kBuffered = false>
 void decode_segments_planes(const PlaneJob& job, std::atomic<int64_t>* next,
                             int64_t n_segs,
                             std::atomic<int64_t>* first_error) {
+  static constexpr int32_t kZoff8[64] = {
+      0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6,  7,  14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
   const int bpm = job.blocks_per_mcu;
   TwoLevelLut dc_tab[4], ac_tab[4];
   FastLut dc_fast[4];
@@ -592,9 +624,15 @@ void decode_segments_planes(const PlaneJob& job, std::atomic<int64_t>* next,
         int64_t by = my * job.comp_v[c] + job.slot_vi[slot];
         int64_t bx = mx * job.comp_h[c] + job.slot_hi[slot];
         int16_t* dst = job.planes[c] + by * 8 * st + bx * 8;
-        int err = next_block_plane<kZeroTile>(
-            br, *slot_dc[slot], *slot_ac[slot], *slot_dcf[slot],
-            *slot_acf[slot], dst, st, zoff[c], &prev_dc[c]);
+        int err = kBuffered
+                      ? next_block_plane_buf(
+                            br, *slot_dc[slot], *slot_ac[slot],
+                            *slot_dcf[slot], *slot_acf[slot], dst, st,
+                            kZoff8, &prev_dc[c])
+                      : next_block_plane<kZeroTile>(
+                            br, *slot_dc[slot], *slot_ac[slot],
+                            *slot_dcf[slot], *slot_acf[slot], dst, st,
+                            zoff[c], &prev_dc[c]);
         if (__builtin_expect(err != 0, 0)) {
           int64_t expect = -1;
           first_error->compare_exchange_strong(expect, s);
@@ -1509,7 +1547,9 @@ int64_t jt_decode_scan_planes(
   std::atomic<int64_t> next(0);
   if (n_threads <= 1 || n_segs <= 1) {
     if (prezero == 2) zero_plane_slice(job, 0, 1);
-    if (prezero == 1)
+    if (prezero == 3)
+      decode_segments_planes<false, true>(job, &next, n_segs, &first_error);
+    else if (prezero == 1)
       decode_segments_planes<true>(job, &next, n_segs, &first_error);
     else
       decode_segments_planes<false>(job, &next, n_segs, &first_error);
@@ -1528,7 +1568,10 @@ int64_t jt_decode_scan_planes(
         while (zeroed.load(std::memory_order_acquire) < nt)
           std::this_thread::yield();
       }
-      if (prezero == 1)
+      if (prezero == 3)
+        decode_segments_planes<false, true>(job, &next, n_segs,
+                                            &first_error);
+      else if (prezero == 1)
         decode_segments_planes<true>(job, &next, n_segs, &first_error);
       else
         decode_segments_planes<false>(job, &next, n_segs, &first_error);
