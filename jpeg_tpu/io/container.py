@@ -359,19 +359,19 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
             # support). SOF9 = sequential DCT with arithmetic entropy coding
             # (QM coder, entropy/arith.py). All beyond the reference.
             precision = int(vec[body])
-            if precision == 12 and marker in (0xC1, 0xC9):
-                # 12-bit extended sequential (SOF1 Huffman / SOF9
-                # arithmetic, T.81 Table B.2): magnitude categories grow
-                # to DC<=15 / AC<=14 and the level shift to 2048; every
-                # tier below (oracle, C++ runtime, XLA pipeline) handles
-                # it. Beyond both the reference and this system's
-                # 8-bit-built libjpeg.
+            if precision == 12 and marker in (0xC1, 0xC2, 0xC9, 0xCA):
+                # 12-bit extended/progressive (T.81 Table B.2): magnitude
+                # categories grow to DC<=15 / AC<=14 and the level shift
+                # to 2048; every tier below (oracle, C++ runtime, XLA
+                # pipeline, progressive + arithmetic state machines)
+                # handles it. Beyond both the reference and this
+                # system's 8-bit-built libjpeg.
                 pass
             elif precision != 8:
                 raise JPEGError(
                     f"unsupported sample precision {precision} for "
                     f"SOF{marker - 0xC0} (8-bit everywhere; 12-bit on "
-                    "extended sequential SOF1/SOF9)")
+                    "SOF1/SOF2/SOF9/SOF10)")
             progressive = marker in (0xC2, 0xCA)
             height = _u16(vec, body + 1)
             width = _u16(vec, body + 3)

@@ -539,7 +539,8 @@ def encode_rgb_progressive(rgb: np.ndarray, quality: int = 85,
                            grayscale: bool = False,
                            scan_script=None,
                            restart_interval: int = 0,
-                           arithmetic: bool = False) -> bytes:
+                           arithmetic: bool = False,
+                           precision: int = 8) -> bytes:
     """Encode to a progressive (SOF2) JFIF stream.
 
     libjpeg's standard scan script with per-scan optimal Huffman tables
@@ -549,9 +550,11 @@ def encode_rgb_progressive(rgb: np.ndarray, quality: int = 85,
     """
     from jpeg_tpu.entropy.progressive_encode import encode_progressive_scans
 
+    if precision not in (8, 12):
+        raise ValueError(f"unsupported precision {precision}")
     (comp_blocks_zz, samplings, quant_zz, height, width,
      mcus_x, mcus_y, grayscale) = _forward_transform(
-        rgb, quality, subsampling, grayscale)
+        rgb, quality, subsampling, grayscale, precision)
 
     if arithmetic:
         from jpeg_tpu.entropy.arith import encode_progressive_scans_arith
@@ -581,7 +584,8 @@ def encode_rgb_progressive(rgb: np.ndarray, quality: int = 85,
         body = bytes([tid]) + bytes(q.astype(np.uint8).tolist())
         out += b"\xff\xdb" + (len(body) + 2).to_bytes(2, "big") + body
     ncomp = len(samplings)
-    sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big") + bytes([ncomp])
+    sof = bytes([precision]) + height.to_bytes(2, "big") + width.to_bytes(
+        2, "big") + bytes([ncomp])
     for ci, (h, v) in enumerate(samplings):
         sof += bytes([ci + 1, (h << 4) | v, min(ci, 1)])
     out += (b"\xff\xca" if arithmetic else b"\xff\xc2") + (

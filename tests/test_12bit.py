@@ -122,3 +122,34 @@ def test_native_encoder_rejected_or_correct_for_12bit():
     c_py = decode_coefficients(parse_jpeg(d_py))
     c_nat = decode_coefficients(parse_jpeg(d_nat))
     np.testing.assert_array_equal(c_nat, c_py)
+
+
+def test_progressive_12bit_huffman_and_arith():
+    """12-bit progressive (SOF2/SOF10): C++ == python coefficient state,
+    pixels identical to the baseline 12-bit encode of the same image —
+    the full T.81 DCT matrix now covers both precisions."""
+    from jpeg_tpu.entropy.progressive import decode_progressive_coefficients
+    from jpeg_tpu.models.decoder import decode_coefficients_host
+    from jpeg_tpu.models.encoder import encode_rgb_progressive
+
+    img = _noise12((64, 80, 3), seed=7)
+    base = np.asarray(decode_plan(parse_jpeg(encode_rgb(
+        img, quality=95, subsampling=(2, 2), precision=12,
+        engine="python"))))
+    for arith in (False, True):
+        data = encode_rgb_progressive(img, quality=95, subsampling=(2, 2),
+                                      precision=12, arithmetic=arith)
+        plan = parse_jpeg(data)
+        assert plan.precision == 12 and plan.progressive
+        if arith:
+            from jpeg_tpu.entropy.arith import (
+                decode_progressive_coefficients_arith as pyd,
+            )
+        else:
+            pyd = decode_progressive_coefficients
+        py = np.asarray(pyd(plan))
+        nat = np.asarray(decode_coefficients_host(plan, engine="native"))
+        np.testing.assert_array_equal(nat, py)
+        assert int(np.abs(py).max()) > 2047
+        prog = np.asarray(decode_plan(plan))
+        np.testing.assert_array_equal(prog, base)
