@@ -850,7 +850,12 @@ struct QeSvTable {
   uint32_t t[256];
   QeSvTable() {
     for (int sv = 0; sv < 256; ++sv) {
-      const QeEntry& e = kQeTable[sv & 0x7F];
+      // Indices 114-127 are outside the 114-entry Qe table (T.81 Table
+      // D.3 has states 0..113); they are unreachable from any valid
+      // transition chain, so park them on the terminal state rather
+      // than reading past the table (caught by the ASan sweep).
+      int idx = sv & 0x7F;
+      const QeEntry& e = kQeTable[idx <= (int)kFixedBin ? idx : kFixedBin];
       uint32_t mps = sv & 0x80;
       uint32_t nmps_sv = mps | e.nmps;
       uint32_t nlps_sv = (e.sw ? (mps ^ 0x80) : mps) | e.nlps;

@@ -72,6 +72,15 @@ variants = {
                                      restart_interval_mcus=3),
     "prog_arith": jpeg_tpu.encode_rgb_progressive(img, quality=80,
                                                   arithmetic=True),
+    # 12-bit extended/progressive (SOF1/SOF9/SOF2/SOF10 @ precision 12)
+    "p12": jpeg_tpu.encode_rgb(
+        (img.astype(np.uint16) << 4), quality=80, precision=12,
+        engine="python"),
+    "p12_arith": jpeg_tpu.encode_rgb(
+        (img.astype(np.uint16) << 4), quality=80, precision=12,
+        arithmetic=True, engine="python"),
+    "p12_prog": jpeg_tpu.encode_rgb_progressive(
+        (img.astype(np.uint16) << 4), quality=80, precision=12),
 }
 lo, hi = (int(sys.argv[1]), int(sys.argv[2])) if len(sys.argv) > 2 else (0, 40)
 bad = 0
