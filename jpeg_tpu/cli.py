@@ -62,19 +62,29 @@ def cmd_encode(args) -> int:
             f.write(data)
         print(f"{args.input} -> {args.output} ({len(data)} bytes)")
         return 0
-    img = np.asarray(Image.open(args.input).convert("RGB"))
+    if args.precision == 12 and args.input.endswith(".ppm"):
+        # 12-bit sources come in as 16-bit PPM (PIL has no 12-bit JPEG).
+        from jpeg_tpu.io.ppm import read_ppm
+
+        img = read_ppm(args.input)
+    else:
+        img = np.asarray(Image.open(args.input).convert("RGB"))
+        if args.precision == 12:
+            img = img.astype(np.uint16) << 4  # promote 8-bit sources
     sub = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[args.subsampling]
     if args.progressive:
         from jpeg_tpu.models.encoder import encode_rgb_progressive
 
         data = encode_rgb_progressive(img, quality=args.quality,
                                       subsampling=sub,
-                                      arithmetic=args.arithmetic)
+                                      arithmetic=args.arithmetic,
+                                      precision=args.precision)
     else:
         data = encode_rgb(img, quality=args.quality, subsampling=sub,
                           restart_interval_mcus=args.restart_interval,
                           optimize=args.optimize,
-                          arithmetic=args.arithmetic)
+                          arithmetic=args.arithmetic,
+                          precision=args.precision)
     with open(args.output, "wb") as f:
         f.write(data)
     print(f"{args.input} -> {args.output} ({len(data)} bytes)")
@@ -245,6 +255,10 @@ def main(argv=None) -> int:
                    help="MCUs per restart segment (0 = none)")
     e.add_argument("--optimize", action="store_true",
                    help="per-image optimal Huffman tables (Annex K.2)")
+    e.add_argument("--precision", type=int, choices=[8, 12], default=8,
+                   help="sample precision; 12 emits SOF1/SOF9/SOF2/SOF10 "
+                        "extended streams (16-bit PPM input, or 8-bit "
+                        "sources promoted x16)")
     e.add_argument("--arithmetic", action="store_true",
                    help="QM arithmetic entropy coding (SOF9/SOF10)")
     e.add_argument("--progressive", action="store_true",
