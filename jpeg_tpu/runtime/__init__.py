@@ -873,13 +873,24 @@ def _prog_run_scans(plan, n_threads):
         # scan (the 653KB Y al=0 refinement). Only single-segment scans
         # pipeline (multi-segment scans already parallelize across their
         # restart segments via _run_segment_slices).
+        # Pipeline ONLY the heaviest chain (one thread per scan, row-
+        # gated): its slowest scan is the critical path and must own a
+        # core. All other chains bundle into a single sequential task —
+        # pipelining 2 ms chroma scans only oversubscribes the 4 cores
+        # and steals cycles from the critical refinement scan (measured:
+        # scans phase 35-37 ms with 10 threads vs ~23 ms critical path).
+        def chain_bytes(items):
+            return sum(len(scan.scan_data) for _kind, scan in items)
+
+        big = max(chain_lists, key=chain_bytes)
         tasks = []
+        small = []
         for items in chain_lists:
-            pipeline = (pipeline_ok and len(items) > 1
+            pipeline = (items is big and pipeline_ok and len(items) > 1
                         and all(kind == "ac" and len(scan.bounds) == 1
                                 for kind, scan in items))
             if not pipeline:
-                tasks.append((run_chain, (items,)))
+                small.append(items)
                 continue
             progress = [np.zeros(1, np.int64) for _ in items]
             ci = items[0][1].comp_indices[0]
@@ -894,6 +905,11 @@ def _prog_run_scans(plan, n_threads):
 
             for j, (_kind, scan) in enumerate(items):
                 tasks.append((make_task(j, scan), ()))
+        if small:
+            def run_small(chains=tuple(small)):
+                for items in chains:
+                    run_chain(items)
+            tasks.append((run_small, ()))
         if len(tasks) > 1:
             # One worker per task: a gated consumer must never block a
             # queued producer from starting (deadlock), so every task gets
