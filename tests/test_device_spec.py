@@ -82,3 +82,18 @@ def test_corrupt_stream_matches_oracle_or_falls_back():
             continue
         assert ref is not None
         np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+def test_pair_kernel_spec_path():
+    """pair=True routes through the pair-symbol lean decoder
+    (device_pair tables + 64-bit refills); kept correct even though the
+    v2 single-symbol kernel is the measured default."""
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (160, 192, 3), dtype=np.uint8)
+    data = encode_rgb(img, quality=80, subsampling=(2, 2))
+    plan = parse_jpeg(data)
+    got, stats = decode_coefficients_device_spec(
+        plan, target_lanes=24, overlap_mcus=8, pair=True)
+    assert got is not None, stats
+    np.testing.assert_array_equal(
+        np.asarray(got), decode_coefficients(plan))
