@@ -2031,9 +2031,13 @@ int64_t jt_decode_arith_scan_planes(
     for (int k = 0; k < 64; ++k)
       zoff[c][k] = (int32_t)(kZigRow[k] * st + kZigCol[k]);
   }
-  auto work = [&](int64_t lo, int64_t hi) {
+  // Work stealing (same scheduler as the Huffman plane path): QM segment
+  // cost skews heavily with content, so threads pull from a shared
+  // counter instead of fixed contiguous slices.
+  std::atomic<int64_t> next_seg(0);
+  auto work = [&](int64_t /*lo*/, int64_t /*hi*/) {
     ArithStats stats;
-    for (int64_t sgi = lo; sgi < hi; ++sgi) {
+    for (int64_t sgi; (sgi = next_seg.fetch_add(1)) < n_segs;) {
       QMDecoder dec(data + seg_start[sgi], seg_end[sgi] - seg_start[sgi]);
       stats.reset();
       int64_t mcu = seg_mcu_start[sgi];
