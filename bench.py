@@ -660,6 +660,35 @@ def main():
     prog_fps = median3(_prog_once)
     log(f"progressive 4K entropy: {prog_fps:.1f} fps "
         f"({len(plan_prog.prog_scans)} scans)")
+    # Corpus-mode twins (the pipelined-corpus deployment shape): one
+    # frame per worker. The single-image numbers above are latency-bound
+    # by each format's critical path (progressive: the Y refinement
+    # scan; arithmetic: per-segment QM chains / 4 threads); corpus mode
+    # shows the throughput the same host sustains when frames overlap.
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    def _corpus_mode(fn, iters=12):
+        n = os.cpu_count() or 1
+        with _TPE(max_workers=n) as ex:
+            list(ex.map(fn, range(n)))  # warmup incl. per-thread buffers
+            t0 = time.perf_counter()
+            list(ex.map(fn, range(iters)))
+            return iters / (time.perf_counter() - t0)
+
+    try:
+        prog_corpus_fps = median3(lambda: _corpus_mode(
+            lambda _i: _ndprog(plan_prog, reuse_buffer=True, n_threads=1)))
+        log(f"progressive 4K corpus-mode: {prog_corpus_fps:.1f} fps")
+    except Exception as e:  # noqa: BLE001 — diagnostic metric only
+        log(f"progressive corpus-mode failed: {type(e).__name__}: {e}")
+        prog_corpus_fps = 0.0
+    try:
+        arith_corpus_fps = median3(lambda: _corpus_mode(
+            lambda _i: _nda(_aplan, n_threads=1)))
+        log(f"arithmetic 4K corpus-mode: {arith_corpus_fps:.1f} fps")
+    except Exception as e:  # noqa: BLE001 — diagnostic metric only
+        log(f"arithmetic corpus-mode failed: {type(e).__name__}: {e}")
+        arith_corpus_fps = 0.0
     # TPU benches in a killable child (tunnel hangs must not lose the
     # host metrics); measured host+device overlap is the headline when
     # available, host corpus rate otherwise.
@@ -670,6 +699,8 @@ def main():
         "entropy_corpus_fps": round(corpus_entropy_fps, 2),
         "entropy_speculative_norestart_fps": round(spec_fps, 2),
         "progressive_4k_entropy_fps": round(prog_fps, 2),
+        "progressive_4k_corpus_fps": round(prog_corpus_fps, 2),
+        "arithmetic_4k_corpus_fps": round(arith_corpus_fps, 2),
         "arithmetic_4k_entropy_fps": round(arith_fps, 2),
         "libjpeg_1thread_fps": round(lib_fps, 2),
         "host_cores": os.cpu_count(),
