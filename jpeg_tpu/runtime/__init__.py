@@ -1155,6 +1155,10 @@ def native_decode_progressive_planes(plan,
 def _arith_args(plan):
     import ctypes as ct
 
+    cached = getattr(plan, "_arith_native_args", None)
+    if cached is not None:
+        return cached
+
     data = np.ascontiguousarray(plan.scan_data, dtype=np.uint8)
     seg_start = np.array([s.byte_start for s in plan.segments], np.int64)
     seg_end = np.array([s.byte_end for s in plan.segments], np.int64)
@@ -1173,9 +1177,10 @@ def _arith_args(plan):
     dc_L = np.array(plan.arith_dc_L, np.uint8)
     dc_U = np.array(plan.arith_dc_U, np.uint8)
     ac_K = np.array(plan.arith_ac_K, np.uint8)
-    return (data, seg_start, seg_end, seg_mcu_start, seg_mcu_count,
+    plan._arith_native_args = (data, seg_start, seg_end, seg_mcu_start, seg_mcu_count,
             slot_comp, slot_vi, slot_hi, comp_dc, comp_ac, comp_h, comp_v,
             dc_L, dc_U, ac_K)
+    return plan._arith_native_args
 
 
 def native_decode_arith_planes(plan, n_threads: int | None = None,
