@@ -164,6 +164,7 @@ def _configure(lib: ctypes.CDLL) -> None:
         u8p, u8p, u8p, ctypes.c_int32,  # slot comp/vi/hi, bpm
         u8p, u8p, ctypes.c_int32, ctypes.c_int32,  # comp h/v, n_comp, mcus_x
         ctypes.c_int64, i32p, ctypes.c_int32,  # n_mcus, out, n_threads
+        i64p, ctypes.c_int64,  # straggler-scan row gate (+scale), or NULL
     ]
     lib.jt_prog_assemble_planes.restype = None
     lib.jt_prog_assemble_planes.argtypes = [
@@ -706,7 +707,7 @@ def _run_segment_slices(fn, n_segs, max_workers=4):
         return list(ex.map(lambda ab: fn(*ab), slices))
 
 
-def _prog_run_scans(plan, n_threads):
+def _prog_run_scans(plan, n_threads, defer_straggler=False):
     """Run all progressive scans in C++; returns (ac_state, dc_state).
 
     ac_state: per-component [bh, bw, 64] int32 zigzag grids (AC coeffs);
@@ -885,6 +886,9 @@ def _prog_run_scans(plan, n_threads):
         big = max(chain_lists, key=chain_bytes)
         tasks = []
         small = []
+        straggler_idx = None
+        straggler_gate = None
+        straggler_scale = 1
         for items in chain_lists:
             pipeline = (items is big and pipeline_ok and len(items) > 1
                         and all(kind == "ac" and len(scan.bounds) == 1
@@ -904,6 +908,10 @@ def _prog_run_scans(plan, n_threads):
                 return task
 
             for j, (_kind, scan) in enumerate(items):
+                if j == len(items) - 1:
+                    straggler_idx = len(tasks)
+                    straggler_gate = progress[j]
+                    straggler_scale = plan.components[ci].v
                 tasks.append((make_task(j, scan), ()))
         if small:
             def run_small(chains=tuple(small)):
@@ -914,10 +922,29 @@ def _prog_run_scans(plan, n_threads):
             # One worker per task: a gated consumer must never block a
             # queued producer from starting (deadlock), so every task gets
             # a thread and the consumers' spin loops yield the core.
-            with ThreadPoolExecutor(max_workers=len(tasks)) as ex:
-                futs = [ex.submit(fn, *args) for fn, args in tasks]
-                for f in futs:
-                    f.result()
+            ex = ThreadPoolExecutor(max_workers=len(tasks))
+            futs = [ex.submit(fn, *args) for fn, args in tasks]
+            if defer_straggler and straggler_idx is not None:
+                # Join everything EXCEPT the big chain's final scan: the
+                # caller overlaps assembly with it, row-gated on its
+                # published progress (jt_prog_assemble_stream gate).
+                for i, f in enumerate(futs):
+                    if i != straggler_idx:
+                        f.result()
+                fut = futs[straggler_idx]
+
+                def join(fut=fut, ex=ex):
+                    fut.result()
+                    ex.shutdown(wait=True)
+
+                return state, dc_state, {
+                    "join": join,
+                    "gate": straggler_gate,
+                    "scale": straggler_scale,
+                }
+            for f in futs:
+                f.result()
+            ex.shutdown(wait=True)
         else:
             for fn, args in tasks:
                 fn(*args)
@@ -925,10 +952,10 @@ def _prog_run_scans(plan, n_threads):
         for c in chain_lists:
             run_chain(c)
 
-    return state, dc_state
+    return state, dc_state, None
 
 
-def _prog_run_scans_arith(plan, n_threads):
+def _prog_run_scans_arith(plan, n_threads, defer_straggler=False):
     """Arithmetic (SOF10) twin of :func:`_prog_run_scans`: C++ per-scan
     decoders, chain-parallel across components (same state layouts, so the
     parallel assembly applies unchanged)."""
@@ -1049,7 +1076,7 @@ def _prog_run_scans_arith(plan, n_threads):
     else:
         for c in chain_lists:
             run_chain(c)
-    return state, dc_state
+    return state, dc_state, None
 
 
 def _prog_slot_arrays(plan):
@@ -1088,7 +1115,8 @@ def native_decode_progressive(plan, n_threads: int | None = None,
         n_threads = os.cpu_count() or 1
     runner = (_prog_run_scans_arith if getattr(plan, "arith_code", False)
               else _prog_run_scans)
-    state, dc_state = runner(plan, n_threads)
+    state, dc_state, straggler = runner(plan, n_threads,
+                                        defer_straggler=True)
     slot_comp, slot_vi, slot_hi, comp_h, comp_v = _prog_slot_arrays(plan)
     if reuse_buffer:
         okey = ("prog_out", threading.get_ident(), plan.total_blocks)
@@ -1102,13 +1130,21 @@ def native_decode_progressive(plan, n_threads: int | None = None,
     ac_ptrs = (i32p * len(state))(*[_p(g, ct.c_int32) for g in state])
     dc_ptrs = (i32p * len(dc_state))(*[_p(g, ct.c_int32) for g in dc_state])
     cols = np.array([g.shape[1] for g in dc_state], np.int64)
+    # Assembly overlaps the straggler scan (the heavy Y refinement),
+    # row-gated on the same published-progress counter the row-pipelined
+    # scans use; all other scans joined before this point.
+    gate_p = (_p(straggler["gate"], ct.c_int64)
+              if straggler is not None else None)
+    gate_scale = straggler["scale"] if straggler is not None else 0
     lib.jt_prog_assemble_stream(
         ac_ptrs, dc_ptrs, _p(cols, ct.c_int64),
         _p(slot_comp, ct.c_uint8), _p(slot_vi, ct.c_uint8),
         _p(slot_hi, ct.c_uint8), plan.blocks_per_mcu,
         _p(comp_h, ct.c_uint8), _p(comp_v, ct.c_uint8),
         len(plan.components), plan.mcus_x, plan.n_mcus,
-        _p(out, ct.c_int32), n_threads)
+        _p(out, ct.c_int32), n_threads, gate_p, gate_scale)
+    if straggler is not None:
+        straggler["join"]()
     return out
 
 
@@ -1124,7 +1160,9 @@ def native_decode_progressive_planes(plan,
         n_threads = os.cpu_count() or 1
     runner = (_prog_run_scans_arith if getattr(plan, "arith_code", False)
               else _prog_run_scans)
-    state, dc_state = runner(plan, n_threads)
+    state, dc_state, straggler = runner(plan, n_threads)
+    if straggler is not None:
+        straggler["join"]()
     slot_comp, slot_vi, slot_hi, comp_h, comp_v = _prog_slot_arrays(plan)
     shapes = plane_shapes(plan)
     pkey = ("planes", threading.get_ident(), tuple(shapes))

@@ -1938,11 +1938,28 @@ void jt_prog_assemble_stream(
     const int64_t* state_cols, const uint8_t* slot_comp,
     const uint8_t* slot_vi, const uint8_t* slot_hi, int32_t blocks_per_mcu,
     const uint8_t* comp_h, const uint8_t* comp_v, int32_t /*n_comp*/,
-    int32_t mcus_x, int64_t n_mcus, int32_t* out, int32_t n_threads) {
+    int32_t mcus_x, int64_t n_mcus, int32_t* out, int32_t n_threads,
+    const int64_t* gate_rows, int64_t gate_scale) {
+  // Optional row gate: when the last (straggler) AC scan is still
+  // decoding, assembly consumes MCU rows as that scan publishes its
+  // per-block-row progress (gate_rows, same counter the row-pipelined
+  // scans gate on; gate_scale = the gating component's block rows per
+  // MCU row). Every OTHER scan must be complete before this is called.
+  auto wait_row = [&](int64_t my) {
+    if (!gate_rows) return;
+    while (__atomic_load_n(gate_rows, __ATOMIC_ACQUIRE) <
+           (my + 1) * gate_scale)
+      std::this_thread::yield();
+  };
   auto work = [&](int64_t lo, int64_t hi) {
+    int64_t gated_my = -1;
     for (int64_t mcu = lo; mcu < hi; ++mcu) {
       int64_t my = mcu / mcus_x;
       int64_t mx = mcu % mcus_x;
+      if (my != gated_my) {
+        wait_row(my);
+        gated_my = my;
+      }
       int32_t* row = out + mcu * blocks_per_mcu * 64;
       for (int slot = 0; slot < blocks_per_mcu; ++slot, row += 64) {
         int c = slot_comp[slot];
