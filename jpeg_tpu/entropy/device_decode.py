@@ -346,6 +346,10 @@ def device_path_profitable(plan: DecodePlan,
 
     * restart lanes, v2 register kernel: S=135 -> 6.0 fps;
       S=2025 (16-MCU restart stream) -> 8.3 fps.
+    * image-batched 1080p corpus, v2 kernel at 6 syms/step: 544 lanes
+      31.7 fps, 1088 -> 31.3, 2176 -> 43.7 (peak), 4352 -> 26.5 (the
+      per-lane bandwidth term takes over) — vs ~550-850 fps for the
+      host corpus path on the same frames.
     * speculative chunk lanes (device_spec, v2 kernel, tight cap,
       native gap recovery): S=1037 -> 2.1 fps e2e (kernel 108 ms,
       control D2H ~116 ms over the tunnel, merge ~60 ms);
