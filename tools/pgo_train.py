@@ -40,6 +40,20 @@ def main():
         encode_rgb(img, quality=85, subsampling=(2, 2)),
         encode_rgb(img[..., 0], quality=85),
     ]
+    try:
+        # libjpeg-encoded stream: most real-world JPEGs carry libjpeg's
+        # table conventions, whose symbol/branch mix differs from our
+        # encoder's — train on both.
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, "JPEG", quality=85,
+                                  restart_marker_rows=1)
+        streams.append(buf.getvalue())
+    except ImportError:
+        pass
     for data in streams:
         plan = parse_jpeg(data)
         for _ in range(3):
