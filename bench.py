@@ -445,6 +445,25 @@ def device_stage(plan_bytes_file, planes_ready):
     plan = parse_jpeg(data)
     planes = native_decode_planes(plan)
     out = {}
+    # Measured tunnel H2D rate: documents WHY transfers are excluded from
+    # the e2e overlap (BASELINE.md honesty note) with a number instead of
+    # an assertion. Real PCIe hosts move the same planes in ~1 ms.
+    try:
+        import jax as _jaxh
+        import jax.numpy as _jnph
+        import numpy as _nph
+        import time as _th
+
+        _buf = _nph.zeros((4 << 20,), _nph.uint8)
+        _jaxh.block_until_ready(_jnph.asarray(_buf))  # warm path
+        _t0 = _th.perf_counter()
+        _jaxh.block_until_ready(_jnph.asarray(_buf))
+        _dt = _th.perf_counter() - _t0
+        out["tunnel_h2d_mb_s"] = round(4.0 / _dt, 1)
+        log(f"tunnel H2D: {out['tunnel_h2d_mb_s']} MB/s (4MB probe) — "
+            "why e2e excludes transfers; real PCIe ~1ms/4K frame")
+    except Exception:  # noqa: BLE001 — diagnostic only
+        pass
     dev_fps, blocks_per_s, sol_frac = bench_device_pipeline(plan, planes)
     out["device_pipeline_fps"] = round(dev_fps, 2)
     out["idct_blocks_per_s"] = round(blocks_per_s)

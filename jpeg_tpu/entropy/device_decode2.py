@@ -16,7 +16,7 @@ Design consequences:
 1. **Per-lane 96-bit bit register** (three u32s, left-aligned): each
    lockstep step does at most two *conditional word refills* (one [S]
    gather each) — a lane holding <= 64 valid bits appends the next whole
-   u32 of its stream. Sustained input is 64 bits/step — ~4 typical
+   u32 of its stream. Sustained input is 64 bits/step — several typical
    Huffman symbols from TWO gathers, versus v1's 2 window gathers per
    single symbol.
 
