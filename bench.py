@@ -454,11 +454,17 @@ def device_stage(plan_bytes_file, planes_ready):
         import numpy as _nph
         import time as _th
 
+        # block_until_ready lies through the tunnel; force completion
+        # with a D2H checksum and subtract the resident-array baseline.
         _buf = _nph.zeros((4 << 20,), _nph.uint8)
-        _jaxh.block_until_ready(_jnph.asarray(_buf))  # warm path
+        _res = _jnph.asarray(_buf)
+        float(_jnph.sum(_res.astype(_jnph.int32)))  # warm both paths
         _t0 = _th.perf_counter()
-        _jaxh.block_until_ready(_jnph.asarray(_buf))
-        _dt = _th.perf_counter() - _t0
+        float(_jnph.sum(_res.astype(_jnph.int32)))
+        _base = _th.perf_counter() - _t0
+        _t0 = _th.perf_counter()
+        float(_jnph.sum(_jnph.asarray(_buf).astype(_jnph.int32)))
+        _dt = max(_th.perf_counter() - _t0 - _base, 1e-6)
         out["tunnel_h2d_mb_s"] = round(4.0 / _dt, 1)
         log(f"tunnel H2D: {out['tunnel_h2d_mb_s']} MB/s (4MB probe) — "
             "why e2e excludes transfers; real PCIe ~1ms/4K frame")
