@@ -153,3 +153,22 @@ def test_progressive_12bit_huffman_and_arith():
         assert int(np.abs(py).max()) > 2047
         prog = np.asarray(decode_plan(plan))
         np.testing.assert_array_equal(prog, base)
+
+
+def test_spec_chunk_lanes_12bit():
+    """Speculative chunk-lane device decoder on a 12-bit stream: the
+    raised register gates (27->31 bits) and the native gap decoder's
+    wide-magnitude path both get exercised (gap recovery fires on the
+    dense 12-bit noise)."""
+    from jpeg_tpu.entropy.device_spec import decode_coefficients_device_spec
+    from jpeg_tpu.entropy.oracle import decode_coefficients
+
+    img = _noise12((96, 112, 3), seed=31)
+    data = encode_rgb(img, quality=96, subsampling=(1, 1), precision=12,
+                      engine="python")
+    plan = parse_jpeg(data)
+    got, stats = decode_coefficients_device_spec(
+        plan, target_lanes=16, overlap_mcus=6)
+    assert got is not None, stats
+    np.testing.assert_array_equal(
+        np.asarray(got), decode_coefficients(plan))
