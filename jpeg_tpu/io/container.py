@@ -487,6 +487,17 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
                         "progressive AC scan must be single-component")
             if any(t > 3 for t in scan_dc_ids + scan_ac_ids):
                 raise JPEGError("invalid scan table selector > 3")
+            if not progressive and ncomp_scan < len(components):
+                # Non-interleaved multi-scan sequential (each component in
+                # its own scan, A.2.2): legal JPEG but out of scope — the
+                # engine decodes the FIRST sequential scan only (reference
+                # parity, src/jpeg/mod.rs:417). Decoding a partial-frame
+                # scan as if it were the whole image would be silently
+                # wrong, so refuse with a clear error instead.
+                raise JPEGError(
+                    f"sequential scan covers {ncomp_scan} of "
+                    f"{len(components)} frame components "
+                    "(non-interleaved multi-scan sequential unsupported)")
             scan_data, bounds, scan_end = _unstuff_and_segment(vec, idx)
             if height == 0:
                 # DNL (B.2.5): FF DC 00 04 NL — defines the number of lines

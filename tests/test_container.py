@@ -395,3 +395,23 @@ def test_dnl_marker_defines_height():
     bad[-4] = bad[-3] = 0
     with pytest.raises(JPEGError, match="DNL"):
         parse_jpeg(bytes(bad))
+
+
+def test_noninterleaved_sequential_scan_rejected():
+    """A sequential SOS covering fewer components than the frame (legal
+    non-interleaved multi-scan, A.2.2) must raise a clear JPEGError, not
+    decode the partial scan as the whole image (it used to escape as an
+    OverflowError from the unset table ids)."""
+    import numpy as np
+
+    from jpeg_tpu.models.encoder import encode_rgb
+
+    img = np.random.default_rng(0).integers(0, 256, (32, 32, 3),
+                                            dtype=np.uint8)
+    data = bytearray(encode_rgb(img, quality=85, subsampling=(1, 1)))
+    i = data.find(b"\xff\xda")
+    ln = (data[i + 2] << 8) | data[i + 3]
+    new_sos = bytes([0, 8, 1, data[i + 5], data[i + 6], 0, 63, 0])
+    crafted = bytes(data[:i + 2]) + new_sos + bytes(data[i + 2 + ln:])
+    with pytest.raises(JPEGError, match="non-interleaved"):
+        parse_jpeg(crafted)
