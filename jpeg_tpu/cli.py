@@ -66,7 +66,15 @@ def cmd_encode(args) -> int:
         # 12-bit sources come in as 16-bit PPM (PIL has no 12-bit JPEG).
         from jpeg_tpu.io.ppm import read_ppm
 
-        img = read_ppm(args.input)
+        img, maxval = read_ppm(args.input, return_maxval=True)
+        if img.dtype == np.uint8:
+            img = img.astype(np.uint16) << 4  # promote 8-bit PPM
+        elif maxval != 4095:
+            # A maxval-65535 PPM would feed samples past the 12-bit
+            # level shift (2048) / category caps: corrupt stream.
+            raise SystemExit(
+                f"--precision 12 needs a maxval-4095 (or 8-bit) PPM; "
+                f"{args.input} has maxval {maxval}")
     else:
         img = np.asarray(Image.open(args.input).convert("RGB"))
         if args.precision == 12:

@@ -271,7 +271,9 @@ def _pair_iter_factory(consume, S):
 
     def pair_iter(reg, err, active, coef, acc, lut):
         """One pair-entry iteration: gate, gather, apply 1-2 symbols,
-        consume. Consumes <= 27 bits (slow path worst case)."""
+        consume. Consumes <= 31 bits (12-bit slow path worst case:
+        16-bit code + 15 magnitude bits, covered by the reg[1] >= 31
+        refill guard)."""
         busy = active & ~err & (coef < 64) & (reg[1] >= 31)
         peek = (reg[2] >> 16).astype(jnp.int32)
         # lut is [2, 65536] (A-word row, B-word row): two flat gathers

@@ -88,7 +88,11 @@ def build_pair_table(first: HuffmanTable, follow: HuffmanTable,
     # the register's single-shift consume limit); a corrupt table that
     # exceeds it maps to the invalid mode (reference panic semantics).
     invalid = (len1 == 0) | (c1 > 31)
-    slow = (~invalid) & (c1 > 16)
+    # v1 is a 13-bit two's-complement field: magnitudes of >= 13 bits
+    # (legal in 12-bit streams — DC size up to 15, AC up to 14) would
+    # wrap mod 8192. Route them through the slow path, whose in-kernel
+    # extraction handles the full range.
+    slow = (~invalid) & ((c1 > 16) | (mag1 >= 13))
     eob1 = (not first_is_dc) & (first.lut_value == 0x00) & ~invalid
 
     val1 = _extract_val(i, np.minimum(len1, 16), np.where(slow, 0, mag1))
@@ -103,7 +107,7 @@ def build_pair_table(first: HuffmanTable, follow: HuffmanTable,
     adv2f, w2f, mag2f = _sym_fields(follow.lut_value[i2], False)
     c2 = len2 + mag2f
     pair = ((~invalid) & (~slow) & (~eob1) & (len2 > 0)
-            & (c1 + c2 <= 16))
+            & (c1 + c2 <= 16) & (mag2f < 13))
     val2 = _extract_val(i, c1 + np.minimum(len2, 16),
                         np.where(pair, mag2f, 0))
 

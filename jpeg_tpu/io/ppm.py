@@ -37,8 +37,12 @@ def write_ppm(path, rgb: np.ndarray, binary: bool = True) -> None:
             f.write("".join(lines))
 
 
-def read_ppm(path) -> np.ndarray:
-    """Read P3 or P6 PPM -> [H, W, 3] u8."""
+def read_ppm(path, return_maxval: bool = False):
+    """Read P3 or P6 PPM -> [H, W, 3] u8/u16 (optionally with maxval)."""
+
+    def _ret(arr, maxval):
+        return (arr, maxval) if return_maxval else arr
+
     with open(path, "rb") as f:
         data = f.read()
     if data[:2] == b"P6":
@@ -57,15 +61,16 @@ def read_ppm(path) -> np.ndarray:
         w, h, maxval = vals
         if maxval > 255:  # 16-bit samples, big-endian (12-bit decodes)
             raw = data[idx : idx + w * h * 6]
-            return np.frombuffer(raw, dtype=">u2").astype(
-                np.uint16).reshape(h, w, 3)
+            return _ret(np.frombuffer(raw, dtype=">u2").astype(
+                np.uint16).reshape(h, w, 3), maxval)
         raw = data[idx : idx + w * h * 3]
-        return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+        return _ret(np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3),
+                    maxval)
     if data[:2] == b"P3":
         tokens = data.split()
         w, h, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
         dtype = np.uint16 if maxval > 255 else np.uint8
         vals = np.array([int(t) for t in tokens[4 : 4 + w * h * 3]],
                         dtype=dtype)
-        return vals.reshape(h, w, 3)
+        return _ret(vals.reshape(h, w, 3), maxval)
     raise ValueError("not a PPM file")

@@ -51,7 +51,10 @@ class NativeDecodeError(ValueError):
 def _build() -> None:
     src = os.path.join(_NATIVE_DIR, "jpegtpu.cpp")
     mk = os.path.join(_NATIVE_DIR, "Makefile")
-    newest = max(os.path.getmtime(src), os.path.getmtime(mk))
+    pgo = os.path.join(_NATIVE_DIR, "..", "..", "..",
+                       "tools", "pgo_train.py")
+    newest = max(os.path.getmtime(src), os.path.getmtime(mk),
+                 os.path.getmtime(pgo) if os.path.exists(pgo) else 0.0)
     if os.path.exists(_SO_PATH) and os.path.getmtime(_SO_PATH) >= newest:
         return
     subprocess.run(
@@ -928,23 +931,31 @@ def _prog_run_scans(plan, n_threads, defer_straggler=False):
                 # Join everything EXCEPT the big chain's final scan: the
                 # caller overlaps assembly with it, row-gated on its
                 # published progress (jt_prog_assemble_stream gate).
-                for i, f in enumerate(futs):
-                    if i != straggler_idx:
-                        f.result()
+                try:
+                    for i, f in enumerate(futs):
+                        if i != straggler_idx:
+                            f.result()
+                except BaseException:
+                    ex.shutdown(wait=True, cancel_futures=True)
+                    raise
                 fut = futs[straggler_idx]
 
                 def join(fut=fut, ex=ex):
-                    fut.result()
-                    ex.shutdown(wait=True)
+                    try:
+                        fut.result()
+                    finally:
+                        ex.shutdown(wait=True, cancel_futures=True)
 
                 return state, dc_state, {
                     "join": join,
                     "gate": straggler_gate,
                     "scale": straggler_scale,
                 }
-            for f in futs:
-                f.result()
-            ex.shutdown(wait=True)
+            try:
+                for f in futs:
+                    f.result()
+            finally:
+                ex.shutdown(wait=True, cancel_futures=True)
         else:
             for fn, args in tasks:
                 fn(*args)

@@ -84,6 +84,65 @@ def test_corrupt_stream_matches_oracle_or_falls_back():
         np.testing.assert_array_equal(np.asarray(got), ref)
 
 
+def test_pair_kernel_12bit_large_magnitudes():
+    """12-bit streams carry magnitudes of up to 14 (AC) / 15 (DC) bits,
+    which do not fit the pair entry's 13-bit two's-complement value
+    field; such symbols must route through MODE_SLOW (advisor r3
+    finding: value 5000 wrapped to -3191). Per-image optimal tables
+    give the large size categories short codes, hitting the
+    len+size<=16 window that previously classified them SINGLE/PAIR."""
+    from jpeg_tpu.entropy.device_decode2 import decode_coefficients_device3
+
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 4096, (96, 96, 3), dtype=np.uint16)
+    # Alternating flat-extreme 8x8 blocks (DC deltas ~ +-32k: size 15)
+    # and pixel checkerboards (single huge AC coefficient: size >= 13).
+    yy, xx = np.mgrid[0:96, 0:96]
+    flat = np.where(((yy // 8 + xx // 8) % 2) == 0, 0, 4095)
+    checker = np.where(((yy + xx) % 2) == 0, 0, 4095)
+    big = np.where(((yy // 8) % 2) == 0, flat, checker)
+    img[..., 0] = big
+    data = encode_rgb(img, quality=100, subsampling=(1, 1), precision=12,
+                      engine="python", optimize=True)
+    plan = parse_jpeg(data)
+    ref = decode_coefficients(plan)
+    assert int(np.abs(ref).max()) >= 4096  # stream has >=13-bit values
+    got, err = decode_coefficients_device3(plan)
+    assert not np.asarray(err).any()
+    np.testing.assert_array_equal(np.asarray(got), ref)
+    got2, stats = decode_coefficients_device_spec(
+        plan, target_lanes=16, overlap_mcus=8, pair=True)
+    assert got2 is not None, stats
+    np.testing.assert_array_equal(np.asarray(got2), ref)
+
+
+def test_pair_table_routes_large_sizes_slow():
+    """Unit check of the table builder: a short code bound to a >=13-bit
+    size category must be MODE_SLOW, and never symbol 2 of a pair."""
+    from jpeg_tpu.entropy.device_pair import (
+        MODE_PAIR, MODE_SLOW, build_pair_table)
+    from jpeg_tpu.entropy.tables import HuffmanTable
+
+    bits = np.zeros(16, np.uint8)
+    bits[0] = 1  # 1-bit code '0' -> size 13
+    bits[1] = 2  # 2-bit codes '10', '11' -> sizes 1, 2
+    table = HuffmanTable.from_bits_values(bits, np.array([13, 1, 2],
+                                                         np.uint8))
+    pt = build_pair_table(table, table, True)
+    a = pt[:, 0].astype(np.int64)
+    mode = a & 3
+    # peek starting with bit 0 -> the size-13 code: must be slow.
+    assert (mode[: 1 << 15] == MODE_SLOW).all()
+    # pairs whose SECOND symbol would be the size-13 code are rejected:
+    # every pair entry's consumed-bit split must leave sym2 a size < 13.
+    b = pt[:, 1].astype(np.int64)
+    is_pair = mode == MODE_PAIR
+    v2 = (b >> 9) & 0x1FFF
+    v2 = v2 - ((v2 >> 12) << 13)
+    assert is_pair.any()
+    assert (np.abs(v2[is_pair]) < (1 << 12)).all()
+
+
 def test_pair_kernel_spec_path():
     """pair=True routes through the pair-symbol lean decoder
     (device_pair tables + 64-bit refills); kept correct even though the
