@@ -634,9 +634,19 @@ def main():
         return 8 / (time.perf_counter() - t0)
 
     spec_fps = median3(_spec_once)
+    # Adjudication detail (VERDICT r3 item 1): the chunk count the
+    # auto-tuner locked in (possibly loaded from build/spec_tuner.json,
+    # persisted across processes) + each candidate's best trial, and
+    # whether the loaded .so is the profile-guided build.
+    from jpeg_tpu.runtime import pgo_status, spec_tuner_snapshot
+
+    tuner = spec_tuner_snapshot()
+    spec_chunks = next(
+        (st["chosen"] for st in tuner.values() if st["chosen"]), None)
     log(f"entropy: single-image {entropy_fps:.1f} fps, "
         f"corpus-mode {corpus_entropy_fps:.1f} fps, "
-        f"no-restart speculative {spec_fps:.1f} fps")
+        f"no-restart speculative {spec_fps:.1f} fps "
+        f"(chunks={spec_chunks}, pgo={pgo_status()})")
     # Arithmetic (SOF9) 4K: QM-coded entropy, restart-parallel C++.
     try:
         from PIL import Image as _I
@@ -730,6 +740,9 @@ def main():
         "arithmetic_4k_entropy_fps": round(arith_fps, 2),
         "libjpeg_1thread_fps": round(lib_fps, 2),
         "host_cores": os.cpu_count(),
+        "spec_chunks": spec_chunks,
+        "spec_tuner": tuner,
+        "pgo": pgo_status(),
     }
     detail.update(dev)
     result = {

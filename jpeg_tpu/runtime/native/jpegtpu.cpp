@@ -22,7 +22,15 @@
 #include <array>
 #include <atomic>
 #include <cstdint>
+#include <unistd.h>
+
+#include <chrono>
+#include <condition_variable>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
+#include <functional>
+#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -658,6 +666,101 @@ void zero_plane_slice(const PlaneJob& job, int t, int nt) {
   }
 }
 
+// Persistent worker pool. Every hot entry point used to spawn 4-8
+// std::threads PER FRAME (~60-100us each on this VM): at the 4K
+// no-restart rate that was ~10% of the frame. Workers park on a
+// condition variable between dispatches. The caller participates as
+// worker 0. A second concurrent dispatch (e.g. two Python threads each
+// asking for a multi-threaded decode) falls back to ad-hoc spawning —
+// the corpus path uses n_threads=1 per worker, so contention is rare.
+// fork() safety: the pool detects a pid change and abandons the
+// (nonexistent-in-child) threads.
+class WorkerPool {
+ public:
+  static WorkerPool& inst() {
+    // Leaked: a static destructor would tear down the mutex/cv while
+    // parked workers still wait on them (hung process at exit). The
+    // parked threads die with the process.
+    static WorkerPool* p = new WorkerPool();
+    return *p;
+  }
+
+  // Run fn(t) for t in [0, n); returns when all n are done.
+  void run(int n, const std::function<void(int)>& fn) {
+    if (n <= 1) {
+      fn(0);
+      return;
+    }
+    std::unique_lock<std::mutex> dl(dispatch_m_, std::try_to_lock);
+    if (!dl.owns_lock()) {
+      std::vector<std::thread> ts;
+      ts.reserve(n - 1);
+      for (int t = 1; t < n; ++t) ts.emplace_back(fn, t);
+      fn(0);
+      for (auto& th : ts) th.join();
+      return;
+    }
+    {
+      std::unique_lock<std::mutex> lk(m_);
+      if (pid_ != getpid()) {  // forked child: threads didn't survive
+        threads_ = {};         // leak the stale handles deliberately
+        pid_ = getpid();
+        gen_ = 0;              // fresh threads must not see stale state
+        want_ = 0;
+      }
+      while ((int)threads_.size() < n - 1) {
+        int id = (int)threads_.size() + 1;
+        // Leaked on purpose at process exit: joining at static
+        // destruction races ctypes dlclose; workers are parked and die
+        // with the process.
+        threads_.push_back(new std::thread([this, id] { loop(id); }));
+        threads_.back()->detach();
+      }
+      fn_ = &fn;
+      want_ = n - 1;
+      done_ = 0;
+      ++gen_;
+    }
+    cv_.notify_all();
+    fn(0);
+    std::unique_lock<std::mutex> lk(m_);
+    cv_done_.wait(lk, [&] { return done_ == want_; });
+    fn_ = nullptr;
+  }
+
+ private:
+  void loop(int id) {
+    uint64_t seen = 0;
+    for (;;) {
+      const std::function<void(int)>* f;
+      {
+        std::unique_lock<std::mutex> lk(m_);
+        cv_.wait(lk, [&] { return gen_ != seen && id <= want_; });
+        seen = gen_;
+        f = fn_;
+      }
+      (*f)(id);
+      {
+        std::unique_lock<std::mutex> lk(m_);
+        if (++done_ == want_) cv_done_.notify_one();
+      }
+    }
+  }
+
+  std::mutex dispatch_m_;  // serializes whole dispatches
+  std::mutex m_;
+  std::condition_variable cv_, cv_done_;
+  std::vector<std::thread*> threads_;
+  const std::function<void(int)>* fn_ = nullptr;
+  uint64_t gen_ = 0;
+  int want_ = 0, done_ = 0;
+  pid_t pid_ = getpid();
+};
+
+inline void pool_run(int n, const std::function<void(int)>& fn) {
+  WorkerPool::inst().run(n, fn);
+}
+
 struct ScanJob {
   const uint8_t* data;
   const int64_t* seg_start;
@@ -1125,6 +1228,17 @@ int64_t jt_decode_scan_planes_spec(
   std::vector<int64_t> chunk_byte(K + 1);
   for (int64_t k = 0; k <= K; ++k) chunk_byte[k] = n_bytes * k / K;
 
+  // Phase timing (JT_SPEC_PROFILE=1): where a frame's wall time goes.
+  static const bool kProf = [] {
+    const char* e = getenv("JT_SPEC_PROFILE");
+    return e && *e == '1';
+  }();
+  auto now = [] { return std::chrono::steady_clock::now(); };
+  auto t0 = now();
+  auto ms = [](auto a, auto b) {
+    return std::chrono::duration<double, std::milli>(b - a).count();
+  };
+
   // --- Phase A: speculative VALUE decode per chunk (single Huffman pass) ---
   // Round-1 design scanned positions only, then re-decoded verified ranges:
   // two full Huffman passes. Here each chunk decodes blocks into contiguous
@@ -1144,8 +1258,15 @@ int64_t jt_decode_scan_planes_spec(
   // be empty).
   static thread_local std::vector<int16_t> temp_store;
   static thread_local std::vector<int32_t> dc_store;
-  temp_store.resize((size_t)(K * blk_cap * 64));
-  dc_store.resize((size_t)(K * (cap_mcus + 1) * 4));
+  // Grow-only: K*blk_cap is ~2*n_mcus*blocks + O(K) slack, so candidate
+  // K values (the auto-tuner trials several) need nearly the same total.
+  // Shrinking and regrowing across K changes cost a 30-40ms realloc +
+  // page-fault spike per frame — measured with JT_SPEC_PROFILE, and the
+  // spike landed in exactly the frames the chunk auto-tuner timed.
+  if (temp_store.size() < (size_t)(K * blk_cap * 64))
+    temp_store.resize((size_t)(K * blk_cap * 64));
+  if (dc_store.size() < (size_t)(K * (cap_mcus + 1) * 4))
+    dc_store.resize((size_t)(K * (cap_mcus + 1) * 4));
   int16_t* const temp_base = temp_store.data();
   int32_t* const dc_base = dc_store.data();
 
@@ -1212,26 +1333,23 @@ int64_t jt_decode_scan_planes_spec(
   };
   {
     int nt = (int)std::min<int64_t>(n_threads > 0 ? n_threads : 1, K);
-    std::vector<std::thread> threads;
     std::atomic<int64_t> next(0);
-    for (int t = 0; t < nt; ++t) {
-      threads.emplace_back([&, t, nt]() {
-        // No plane prezero in speculative mode (any prezero value):
-        // phase A zero-tiles its temp blocks, relocation copies COMPLETE
-        // 128B tiles, and the sequential gap/tail spans below decode in
-        // zero-tile mode — every real tile is fully written, so the old
-        // bulk zero was ~25MB of redundant stores per 4K frame
-        // (measured +14% fps when removed). Stride/band pad regions
-        // never get written and are cropped off downstream.
-        for (;;) {
-          int64_t k = next.fetch_add(1);
-          if (k >= K) return;
-          phase_a(k);
-        }
-      });
-    }
-    for (auto& th : threads) th.join();
+    // No plane prezero in speculative mode (any prezero value):
+    // phase A zero-tiles its temp blocks, relocation copies COMPLETE
+    // 128B tiles, and the sequential gap/tail spans below decode in
+    // zero-tile mode — every real tile is fully written, so the old
+    // bulk zero was ~25MB of redundant stores per 4K frame
+    // (measured +14% fps when removed). Stride/band pad regions
+    // never get written and are cropped off downstream.
+    pool_run(nt, [&](int) {
+      for (;;) {
+        int64_t k = next.fetch_add(1);
+        if (k >= K) return;
+        phase_a(k);
+      }
+    });
   }
+  auto t_a = now();
 
   // --- Merge: chain sync points from the ground-truth start ---
   // Chunk 0 is ground truth ONLY if its accepted parse starts at byte 0
@@ -1362,6 +1480,10 @@ int64_t jt_decode_scan_planes_spec(
   }
 
   // --- Relocation: dense 128B tile copies + DC correction, parallel ---
+  // (Non-temporal 16B stores were A/B'd here and REJECTED: a tile row is
+  // 16B but a WC buffer is a full 64B line, so strided 16B streams leave
+  // every line 3/4-partial and the flushes cost 22ms vs memcpy's 1.1ms,
+  // measured with JT_SPEC_PROFILE on the 4K no-restart stream.)
   auto relocate = [&](int64_t r) {
     int64_t cr = range_chunk[r];
     int64_t ia = range_idx[r];
@@ -1404,20 +1526,30 @@ int64_t jt_decode_scan_planes_spec(
       decode_span(cont_bit, mcu0 + take, mcu1, dc0, r);
     }
   };
+  auto t_merge = now();
   {
     int nt = (int)std::min<int64_t>(n_threads > 0 ? n_threads : 1, R);
-    std::vector<std::thread> threads;
     std::atomic<int64_t> next(0);
-    for (int t = 0; t < nt; ++t) {
-      threads.emplace_back([&]() {
-        for (;;) {
-          int64_t r = next.fetch_add(1);
-          if (r >= R) return;
-          relocate(r);
-        }
-      });
+    pool_run(nt, [&](int) {
+      for (;;) {
+        int64_t r = next.fetch_add(1);
+        if (r >= R) return;
+        relocate(r);
+      }
+    });
+  }
+  if (kProf) {
+    auto t_end = now();
+    int64_t tail = 0;
+    for (int64_t r = 0; r < R; ++r) {
+      int64_t mcu1 = (r + 1 < R) ? range_mcu[r + 1] : n_mcus;
+      tail += (mcu1 - range_mcu[r]) - range_take[r];
     }
-    for (auto& th : threads) th.join();
+    fprintf(stderr,
+            "[spec] K=%lld R=%lld phaseA=%.2fms merge=%.2fms reloc=%.2fms "
+            "tail_mcus=%lld chain_ok=%d\n",
+            (long long)K, (long long)R, ms(t0, t_a), ms(t_a, t_merge),
+            ms(t_merge, t_end), (long long)tail, (int)chain_ok);
   }
   return first_error.load() >= 0 ? first_error.load() : -1;
 }
@@ -1443,13 +1575,8 @@ int64_t jt_decode_scan(const uint8_t* data, int64_t /*n_bytes*/,
     return first_error.load();
   }
   int nt = (int)std::min<int64_t>(n_threads, n_segs);
-  std::vector<std::thread> threads;
-  threads.reserve(nt);
-  for (int t = 0; t < nt; ++t) {
-    threads.emplace_back(decode_segments, std::cref(job), &next, n_segs,
-                         &first_error);
-  }
-  for (auto& th : threads) th.join();
+  pool_run(nt,
+           [&](int) { decode_segments(job, &next, n_segs, &first_error); });
   return first_error.load();
 }
 
@@ -1561,28 +1688,22 @@ int64_t jt_decode_scan_planes(
     return first_error.load();
   }
   int nt = (int)std::min<int64_t>(n_threads, n_segs);
-  std::vector<std::thread> threads;
-  threads.reserve(nt);
   std::atomic<int> zeroed(0);
-  for (int t = 0; t < nt; ++t) {
-    threads.emplace_back([&job, &first_error, &zeroed, &next, t, nt,
-                          n_segs, prezero]() {
-      if (prezero == 2) {
-        zero_plane_slice(job, t, nt);
-        zeroed.fetch_add(1, std::memory_order_acq_rel);
-        while (zeroed.load(std::memory_order_acquire) < nt)
-          std::this_thread::yield();
-      }
-      if (prezero == 3)
-        decode_segments_planes<false, true>(job, &next, n_segs,
-                                            &first_error);
-      else if (prezero == 1)
-        decode_segments_planes<true>(job, &next, n_segs, &first_error);
-      else
-        decode_segments_planes<false>(job, &next, n_segs, &first_error);
-    });
-  }
-  for (auto& th : threads) th.join();
+  pool_run(nt, [&job, &first_error, &zeroed, &next, nt, n_segs,
+                prezero](int t) {
+    if (prezero == 2) {
+      zero_plane_slice(job, t, nt);
+      zeroed.fetch_add(1, std::memory_order_acq_rel);
+      while (zeroed.load(std::memory_order_acquire) < nt)
+        std::this_thread::yield();
+    }
+    if (prezero == 3)
+      decode_segments_planes<false, true>(job, &next, n_segs, &first_error);
+    else if (prezero == 1)
+      decode_segments_planes<true>(job, &next, n_segs, &first_error);
+    else
+      decode_segments_planes<false>(job, &next, n_segs, &first_error);
+  });
   return first_error.load();
 }
 
@@ -1976,10 +2097,9 @@ void jt_prog_assemble_stream(
     work(0, n_mcus);
     return;
   }
-  std::vector<std::thread> threads;
-  for (int t = 0; t < nt; ++t)
-    threads.emplace_back(work, n_mcus * t / nt, n_mcus * (t + 1) / nt);
-  for (auto& th : threads) th.join();
+  pool_run(nt, [&](int t) {
+    work(n_mcus * t / nt, n_mcus * (t + 1) / nt);
+  });
 }
 
 // Assemble de-zigzagged int16 coefficient planes (the fast-path layout of
@@ -2021,10 +2141,9 @@ void jt_prog_assemble_planes(
     work(0, n_mcus);
     return;
   }
-  std::vector<std::thread> threads;
-  for (int t = 0; t < nt; ++t)
-    threads.emplace_back(work, n_mcus * t / nt, n_mcus * (t + 1) / nt);
-  for (auto& th : threads) th.join();
+  pool_run(nt, [&](int t) {
+    work(n_mcus * t / nt, n_mcus * (t + 1) / nt);
+  });
 }
 
 
@@ -2102,27 +2221,21 @@ int64_t jt_decode_arith_scan_planes(
     work(0, n_segs);
     return first_error.load();
   }
-  std::vector<std::thread> threads;
   std::atomic<int> zeroed(0);
-  for (int t = 0; t < nt; ++t) {
-    int64_t lo = n_segs * t / nt;
-    int64_t hi = n_segs * (t + 1) / nt;
-    threads.emplace_back([&, t, nt, lo, hi]() {
-      if (prezero == 2) {
-        PlaneJob zj{};
-        zj.n_comp = n_comp;
-        zj.planes = planes;
-        zj.plane_stride = plane_stride;
-        zj.plane_rows = plane_rows;
-        zero_plane_slice(zj, t, nt);
-        zeroed.fetch_add(1, std::memory_order_acq_rel);
-        while (zeroed.load(std::memory_order_acquire) < nt)
-          std::this_thread::yield();
-      }
-      work(lo, hi);
-    });
-  }
-  for (auto& th : threads) th.join();
+  pool_run(nt, [&](int t) {
+    if (prezero == 2) {
+      PlaneJob zj{};
+      zj.n_comp = n_comp;
+      zj.planes = planes;
+      zj.plane_stride = plane_stride;
+      zj.plane_rows = plane_rows;
+      zero_plane_slice(zj, t, nt);
+      zeroed.fetch_add(1, std::memory_order_acq_rel);
+      while (zeroed.load(std::memory_order_acquire) < nt)
+        std::this_thread::yield();
+    }
+    work(n_segs * t / nt, n_segs * (t + 1) / nt);
+  });
   return first_error.load();
 }
 
@@ -2168,10 +2281,9 @@ int64_t jt_decode_arith_scan(
     work(0, n_segs);
     return first_error.load();
   }
-  std::vector<std::thread> threads;
-  for (int t = 0; t < nt; ++t)
-    threads.emplace_back(work, n_segs * t / nt, n_segs * (t + 1) / nt);
-  for (auto& th : threads) th.join();
+  pool_run(nt, [&](int t) {
+    work(n_segs * t / nt, n_segs * (t + 1) / nt);
+  });
   return first_error.load();
 }
 
