@@ -1,0 +1,83 @@
+"""In-single-Pallas-kernel entropy decoder (entropy/device_kernel.py):
+oracle equivalence in interpret mode across the sampling/precision/table
+matrix, incl. corrupt-stream parity (reference semantics,
+``src/jpeg/huffman.rs:109-268``). The real-TPU compile status is tracked
+separately (tools/probe_kernel_stages.py + the device_path_profitable
+ladder) — interpret mode pins the SEMANTICS."""
+
+import numpy as np
+import pytest
+
+from jpeg_tpu.entropy.device_kernel import decode_coefficients_device4
+from jpeg_tpu.entropy.oracle import decode_coefficients
+from jpeg_tpu.io.container import parse_jpeg
+from jpeg_tpu.models.encoder import encode_rgb
+
+
+def _check(img, **enc):
+    data = encode_rgb(img, **enc)
+    plan = parse_jpeg(data)
+    ref = decode_coefficients(plan)
+    got, err = decode_coefficients_device4(plan, interpret=True)
+    assert not err.any()
+    np.testing.assert_array_equal(got, ref)
+    return plan
+
+
+@pytest.mark.parametrize(
+    "sub,quality,ri",
+    [((1, 1), 95, 10), ((2, 1), 70, 4), ((2, 2), 85, 6), ((1, 2), 80, 5)],
+)
+def test_matches_oracle_samplings(sub, quality, ri):
+    rng = np.random.default_rng(hash((sub, quality)) % 2**31)
+    img = rng.integers(0, 256, (80, 96, 3), dtype=np.uint8)
+    _check(img, quality=quality, subsampling=sub, restart_interval_mcus=ri)
+
+
+def test_grayscale_and_single_lane():
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 256, (64, 64), dtype=np.uint8)
+    _check(gray, quality=85, restart_interval_mcus=8)
+    img = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    plan = _check(img, quality=85, subsampling=(2, 2))  # no restarts
+    assert len(plan.segments) == 1
+
+
+def test_optimal_tables_long_codes():
+    """Per-image optimal tables produce 12-16 bit codes exercising the
+    canonical fallback walk (the 11-bit LUT misses)."""
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (80, 80, 3), dtype=np.uint8)
+    _check(img, quality=92, subsampling=(2, 2), restart_interval_mcus=5,
+           optimize=True)
+
+
+def test_12bit_magnitudes():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 4096, (48, 64, 3), dtype=np.uint16)
+    plan = _check(img, quality=97, subsampling=(1, 1), precision=12,
+                  engine="python", restart_interval_mcus=3)
+    ref = decode_coefficients(plan)
+    assert int(np.abs(ref).max()) > 2047  # actually exercises >11-bit
+
+
+def test_corrupt_stream_parity():
+    """Corruption must yield the oracle's exact garbage or a raised err
+    flag — never silently-different output."""
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (80, 96, 3), dtype=np.uint8)
+    for seed in range(4):
+        data = bytearray(encode_rgb(img, quality=85, subsampling=(1, 1),
+                                    restart_interval_mcus=6))
+        data[len(data) // 2 + 11 * seed] ^= 0xFF
+        plan = parse_jpeg(bytes(data))
+        try:
+            ref = decode_coefficients(plan)
+        except ValueError:
+            ref = None
+        got, err = decode_coefficients_device4(plan, interpret=True)
+        if ref is None:
+            assert err.any()
+        else:
+            assert not err.any()
+            np.testing.assert_array_equal(got, ref)
