@@ -161,25 +161,31 @@ def _make_kernel(n_comp, max_mcus, bpm, slot_comp, slot_dc, slot_ac,
                 jax.lax.broadcasted_iota(jnp.int32, (W, S), 0),
                 jax.lax.broadcasted_iota(jnp.int32, (64, S), 0))
 
+    def _shr32(x, a):
+        """x >> a for a in [0, 32]: two half-shifts dodge the shift-by-32
+        UB *and* the nested-where select chains that stall the Mosaic
+        compiler (tools/probe_kernel_stages.py)."""
+        h = (a >> 1).astype(u32)
+        return (x >> h) >> (a.astype(u32) - h)
+
+    def _shl32(x, a):
+        h = (a >> 1).astype(u32)
+        return (x << h) << (a.astype(u32) - h)
+
     def refill64(words, st, iota_w):
         """Append two stream words (64 bits) to lanes holding <= 32 valid
-        bits. All updates additive/OR-style (Mosaic crashes on
-        identity-else gated carries, probes F/I2)."""
+        bits. Branch-free placement via the half-shift helpers; the only
+        select is the additive ``can`` gate (identity-else gated carries
+        crash the Mosaic build, probes F/I2)."""
         wi, cnt, hi, mi, lo = st
         w0 = _bcu(_gather_rows(wi, words, iota_w))
         w1 = _bcu(_gather_rows(wi + 1, words, iota_w))
         can = cnt <= 32
-        cu = cnt.astype(u32)
-        sh = cu & u32(31)
-        full = cnt == 32
-        hi_c = jnp.where(full, u32(0), w0 >> sh)
-        mi_c = jnp.where(full, w0,
-                         jnp.where(cnt == 0, u32(0),
-                                   w0 << ((u32(32) - cu) & u32(31))))
-        mi_c = mi_c | jnp.where(full, u32(0), w1 >> sh)
-        lo_c = jnp.where(full, w1,
-                         jnp.where(cnt == 0, u32(0),
-                                   w1 << ((u32(32) - cu) & u32(31))))
+        cnt_c = jnp.minimum(cnt, 32)  # keep shift amounts in [0, 32]
+        inv = 32 - cnt_c              # even for discarded (can=False) lanes
+        hi_c = _shr32(w0, cnt_c)
+        mi_c = _shl32(w0, inv) | _shr32(w1, cnt_c)
+        lo_c = _shl32(w1, inv)
         zero = u32(0)
         hi = hi | jnp.where(can, hi_c, zero)
         mi = mi | jnp.where(can, mi_c, zero)
@@ -188,15 +194,12 @@ def _make_kernel(n_comp, max_mcus, bpm, slot_comp, slot_dc, slot_ac,
         return (wi + 2 * gain, cnt + 64 * gain, hi, mi, lo)
 
     def consume(st, d):
-        """Shift the 96-bit register left by d (< 32) bits; additive
-        formulation (no identity-else)."""
+        """Shift the 96-bit register left by d (in [0, 31]) bits,
+        branch-free (d=0 handled by the half-shift helpers)."""
         wi, cnt, hi, mi, lo = st
         du = d.astype(u32)
-        dsh = (u32(32) - du) & u32(31)
-        dnz = du > 0
-        zero = u32(0)
-        hi = (hi << du) | jnp.where(dnz, mi >> dsh, zero)
-        mi = (mi << du) | jnp.where(dnz, lo >> dsh, zero)
+        hi = (hi << du) | _shr32(mi, 32 - d)
+        mi = (mi << du) | _shr32(lo, 32 - d)
         lo = lo << du
         return (wi, cnt - d, hi, mi, lo)
 
