@@ -369,6 +369,25 @@ def device_path_profitable(plan: DecodePlan,
     device tier remains a correctness demonstrator and host-offload
     escape hatch; pass an explicit ``min_segments`` measured on YOUR
     host:chip ratio to re-enable routing.
+
+    Round 4 addendum — the IN-KERNEL formulation (the one design the
+    r3 ladder did not cover, where the loop lives inside a single
+    Pallas kernel and the dispatch tax is paid once):
+    :mod:`jpeg_tpu.entropy.device_kernel` implements it fully
+    (select-reduce gathers, lane-private word refills, canonical
+    long-code walk) and is BIT-EXACT vs the oracle in interpret mode
+    across the sampling/precision/table matrix incl. corrupt streams
+    (tests/test_device_kernel.py). On the real chip its Mosaic compile
+    did not complete: some gated-carry formulations CRASH the remote
+    compiler (HTTP 500 tpu_compile_helper, bisected in
+    tools/probe_inkernel3.py — identity-else selects on loop carries),
+    and the remaining attempts could not be adjudicated because the
+    crash storm wedged the whole tunnel (every TPU interaction hung
+    30+ min, including previously-compiling kernels — see
+    tools/probe_kernel_stages.py and project memory). The in-kernel
+    rung therefore stands as: semantics proven, lowering blocked by
+    compiler defects on this jax/Mosaic build, re-probe on the next
+    toolchain.
     """
     if min_segments is None:
         return False
