@@ -124,7 +124,7 @@ int main(int argc, char** argv) {
         err = jt_decode_prog_ac(
             s.data.data(), seg_s.data(), seg_e.data(), n_segs, rri, ss, se,
             ah, al, ac_s[ci].data(), gw[ci], s.ac_luts.data(),
-            (int32_t)acids[0], bw[ci], n_blocks, 0);
+            (int32_t)acids[0], bw[ci], n_blocks, 0, nullptr, nullptr);
       }
       double ms = msec(t0, now());
       total[r] += ms;
