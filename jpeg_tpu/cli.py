@@ -80,6 +80,16 @@ def cmd_encode(args) -> int:
         if args.precision == 12:
             img = img.astype(np.uint16) << 4  # promote 8-bit sources
     sub = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[args.subsampling]
+    if getattr(args, "lossless", False):
+        from jpeg_tpu.entropy.lossless import encode_lossless
+
+        data = encode_lossless(img, predictor=args.predictor,
+                               precision=args.precision,
+                               restart_interval=args.restart_interval)
+        with open(args.output, "wb") as f:
+            f.write(data)
+        print(f"{args.input} -> {args.output} ({len(data)} bytes, lossless)")
+        return 0
     if args.progressive:
         from jpeg_tpu.models.encoder import encode_rgb_progressive
 
@@ -269,6 +279,11 @@ def main(argv=None) -> int:
                         "sources promoted x16)")
     e.add_argument("--arithmetic", action="store_true",
                    help="QM arithmetic entropy coding (SOF9/SOF10)")
+    e.add_argument("--lossless", action="store_true",
+                   help="SOF3 lossless (T.81 Annex H); samples stored "
+                        "exactly, decoded bit-identically")
+    e.add_argument("--predictor", type=int, choices=range(1, 8), default=1,
+                   help="lossless predictor selection (T.81 H.1.2.1)")
     e.add_argument("--progressive", action="store_true",
                    help="progressive (SOF2) output, standard scan script")
     e.add_argument("--color", choices=["auto", "cmyk", "ycck"], default="auto",

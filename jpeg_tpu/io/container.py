@@ -91,6 +91,12 @@ class ProgScan:
     arith_dc_L: tuple = (0, 0, 0, 0)
     arith_dc_U: tuple = (1, 1, 1, 1)
     arith_ac_K: tuple = (5, 5, 5, 5)
+    # Lossless (SOF3, T.81 Annex H — beyond the reference AND this
+    # system's libjpeg-turbo 2.1.5): an "MCU" is one sample position;
+    # predictor = SOS Ss (1-7), point_transform = SOS Al.
+    lossless: bool = False
+    predictor: int = 0
+    point_transform: int = 0
 
 
 @dataclasses.dataclass
@@ -134,6 +140,12 @@ class DecodePlan:
     arith_dc_L: tuple = (0, 0, 0, 0)
     arith_dc_U: tuple = (1, 1, 1, 1)
     arith_ac_K: tuple = (5, 5, 5, 5)
+    # Lossless (SOF3, T.81 Annex H — beyond the reference AND this
+    # system's libjpeg-turbo 2.1.5): an "MCU" is one sample position;
+    # predictor = SOS Ss (1-7), point_transform = SOS Al.
+    lossless: bool = False
+    predictor: int = 0
+    point_transform: int = 0
 
     @property
     def color_model(self) -> str:
@@ -257,6 +269,9 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
     ac_tables: list[HuffmanTable] = [empty_table() for _ in range(4)]
     arith_code = False
     sample_precision = 8
+    lossless = False
+    predictor = 0
+    point_transform = 0
     arith_dc_L = [0, 0, 0, 0]
     arith_dc_U = [1, 1, 1, 1]
     arith_ac_K = [5, 5, 5, 5]
@@ -352,14 +367,20 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
         elif marker == DRI:
             # JPEG B.2.4.4 — reference panics here (src/jpeg/mod.rs:424-428).
             restart_interval = _u16(vec, body)
-        elif marker in (SOF0, 0xC1, 0xC2, 0xC9, 0xCA):
+        elif marker in (SOF0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
             # JPEG B.2.2; parity src/jpeg/mod.rs:262-298. SOF2 = progressive,
             # SOF1 = extended sequential — at 8-bit precision its decode is
             # identical to baseline (more table slots, which we already
             # support). SOF9 = sequential DCT with arithmetic entropy coding
             # (QM coder, entropy/arith.py). All beyond the reference.
             precision = int(vec[body])
-            if precision == 12 and marker in (0xC1, 0xC2, 0xC9, 0xCA):
+            lossless = marker == 0xC3
+            if lossless:
+                # SOF3 lossless: any precision 2..16 (T.81 Table B.3).
+                if not 2 <= precision <= 16:
+                    raise JPEGError(
+                        f"invalid lossless precision {precision}")
+            elif precision == 12 and marker in (0xC1, 0xC2, 0xC9, 0xCA):
                 # 12-bit extended/progressive (T.81 Table B.2): magnitude
                 # categories grow to DC<=15 / AC<=14 and the level shift
                 # to 2048; every tier below (oracle, C++ runtime, XLA
@@ -393,6 +414,9 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
                 # vanishingly rare and not supported by the tiled kernels.
                 if h not in (1, 2, 4) or v not in (1, 2, 4):
                     raise JPEGError(f"unsupported sampling factors {h}x{v}")
+                if lossless and (h != 1 or v != 1):
+                    raise JPEGError(
+                        "lossless (SOF3) supports 1x1 sampling only")
                 tq = int(vec[idx + 2])
                 if tq > 3:
                     raise JPEGError(f"invalid quant table id {tq}")
@@ -473,7 +497,19 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
             ah = (int(vec[idx + 2]) & 0xF0) >> 4
             al = int(vec[idx + 2]) & 0x0F
             idx += 3
-            if ss > 63 or se > 63 or ss > se:
+            if lossless:
+                # H: Ss = predictor selection, Se = 0, Al = Pt.
+                predictor = ss
+                point_transform = al
+                if not 1 <= predictor <= 7:
+                    raise JPEGError(f"invalid predictor {predictor}")
+                if se != 0 or ah != 0:
+                    raise JPEGError(
+                        f"invalid lossless scan header Se={se} Ah={ah}")
+                if point_transform >= precision:
+                    raise JPEGError(
+                        f"point transform {point_transform} >= precision")
+            elif ss > 63 or se > 63 or ss > se:
                 raise JPEGError(f"invalid spectral selection {ss}..{se}")
             if progressive:
                 # libjpeg jdphuff start_pass checks: a refinement scan must
@@ -488,6 +524,9 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
             if any(t > 3 for t in scan_dc_ids + scan_ac_ids):
                 raise JPEGError("invalid scan table selector > 3")
             if not progressive and ncomp_scan < len(components):
+                if lossless:
+                    raise JPEGError(
+                        "non-interleaved multi-scan lossless unsupported")
                 # Non-interleaved multi-scan sequential (each component in
                 # its own scan, A.2.2): legal JPEG but out of scope — the
                 # engine decodes the FIRST sequential scan only (reference
@@ -529,8 +568,11 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
                 continue
             h_max = max(c.h for c in components)
             v_max = max(c.v for c in components)
-            mcus_x = (width + 8 * h_max - 1) // (8 * h_max)
-            mcus_y = (height + 8 * v_max - 1) // (8 * v_max)
+            if lossless:
+                mcus_x, mcus_y = width, height  # one sample per MCU
+            else:
+                mcus_x = (width + 8 * h_max - 1) // (8 * h_max)
+                mcus_y = (height + 8 * v_max - 1) // (8 * v_max)
             n_mcus = mcus_x * mcus_y
             ri = restart_interval or n_mcus
             segments = []
@@ -566,6 +608,9 @@ def parse_jpeg(data: bytes | np.ndarray) -> DecodePlan:
                 arith_dc_L=tuple(arith_dc_L),
                 arith_dc_U=tuple(arith_dc_U),
                 arith_ac_K=tuple(arith_ac_K),
+                lossless=lossless,
+                predictor=predictor,
+                point_transform=point_transform,
             )
             # Like the reference (src/jpeg/mod.rs:417): first scan only.
             return plan

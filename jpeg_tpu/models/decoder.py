@@ -235,6 +235,19 @@ def decode_plan(plan: DecodePlan, rounding: str = "truncate",
     ``upsample``: "replicate" (reference parity) or "fancy" (libjpeg-style
     triangular chroma filter — higher PSNR vs libjpeg's own decodes).
     """
+    if getattr(plan, "lossless", False):
+        # SOF3: no DCT/color pipeline — samples come out as stored
+        # (T.81 H; grayscale replicates to 3 channels like the DCT
+        # paths, multi-component streams are component-direct). The
+        # predictor-1/2 reconstruction runs as device cumsum scans.
+        from jpeg_tpu.entropy.lossless import decode_lossless
+
+        samples = decode_lossless(plan, device=True)
+        if samples.shape[2] == 1:
+            samples = np.repeat(samples, 3, axis=2)
+        if plan.precision <= 8:
+            samples = samples.astype(np.uint8)
+        return jnp.asarray(samples)
     if coefficients is None:
         coefficients = decode_coefficients_host(plan, engine)
     geom = PipelineGeometry.of(plan)
@@ -262,6 +275,9 @@ def decode_plan_fast(plan: DecodePlan, rounding: str = "truncate",
     from jpeg_tpu.ops.pallas_kernels import decode_planes_fused
     from jpeg_tpu.runtime import native_decode_planes
 
+    if getattr(plan, "lossless", False):
+        # SOF3 has no coefficient planes at all.
+        return decode_plan(plan, rounding=rounding)
     if getattr(plan, "color_model", "ycbcr") not in ("ycbcr", "gray"):
         # The fused kernel bakes in the YCbCr matrix: RGB-direct streams
         # would come out silently wrong and 4-component CMYK/YCCK plans

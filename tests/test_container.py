@@ -80,8 +80,13 @@ def test_progressive_parses(corpus):
 def test_extended_sof_rejected_cleanly(corpus):
     data = bytearray(corpus["lena-bw"])
     idx = bytes(data).find(b"\xff\xc0")
-    data[idx + 1] = 0xC3  # lossless sequential
+    data[idx + 1] = 0xC5  # differential/hierarchical: unsupported
     with pytest.raises(JPEGError, match="SOF"):
+        parse_jpeg(bytes(data))
+    # SOF3 is supported since r4, but a baseline stream masquerading as
+    # lossless still fails cleanly: its SOS Ss=0 is not a predictor.
+    data[idx + 1] = 0xC3
+    with pytest.raises(JPEGError, match="predictor"):
         parse_jpeg(bytes(data))
 
 

@@ -81,6 +81,12 @@ variants = {
         arithmetic=True, engine="python"),
     "p12_prog": jpeg_tpu.encode_rgb_progressive(
         (img.astype(np.uint16) << 4), quality=80, precision=12),
+    # lossless (SOF3, r4): both engines route to the same python
+    # entropy layer, so the cross-check here is error-clean decode
+    # or typed rejection — never a crash.
+    "lossless": __import__(
+        "jpeg_tpu.entropy.lossless", fromlist=["encode_lossless"]
+    ).encode_lossless(img, predictor=4, restart_interval=11),
 }
 lo, hi = (int(sys.argv[1]), int(sys.argv[2])) if len(sys.argv) > 2 else (0, 40)
 bad = 0
