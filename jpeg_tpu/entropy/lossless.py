@@ -152,20 +152,63 @@ def reconstruct_device(plan: DecodePlan, diffs: np.ndarray):
     return ((rec & M16).astype(jnp.uint16) << pt).astype(jnp.uint16)
 
 
-def decode_lossless(plan: DecodePlan, device: bool = False) -> np.ndarray:
-    """SOF3 scan -> [H, W, ncomp] uint16 samples."""
+def decode_lossless(plan: DecodePlan, device: bool = False,
+                    engine: str = "auto") -> np.ndarray:
+    """SOF3 scan -> [H, W, ncomp] uint16 samples.
+
+    ``engine``: "native" (C++ jt_decode_lossless, segment-parallel
+    diffs + sequential prediction), "oracle" (this module's python
+    reference), or "auto". ``device=True`` additionally routes the
+    reconstruction of predictor-1/2 restart-free scans through the TPU
+    cumsum path (diffs still decode on the chosen host engine)."""
     if not getattr(plan, "lossless", False):
         raise JPEGError("decode_lossless requires an SOF3 plan")
-    diffs = decode_diffs(plan)
     if device:
+        diffs = decode_diffs(plan)
         out = reconstruct_device(plan, diffs)
         if out is not None:
             return np.asarray(out)
-    return reconstruct(plan, diffs)
+        diffs_for_oracle = diffs
+    else:
+        diffs_for_oracle = None
+    if engine in ("auto", "native"):
+        try:
+            from jpeg_tpu.runtime import native_decode_lossless
+
+            return native_decode_lossless(plan)
+        except (ImportError, OSError):
+            if engine == "native":
+                raise
+    if diffs_for_oracle is None:
+        diffs_for_oracle = decode_diffs(plan)
+    return reconstruct(plan, diffs_for_oracle)
 
 
 # ---------------------------------------------------------------------------
 # Encoder
+
+
+def _pack_bits(vals: np.ndarray, lens: np.ndarray) -> bytes:
+    """MSB-first pack of per-symbol bit fields (<= 32 bits each) into
+    bytes: 1-padded to a byte boundary (F.1.2.3) and 0xFF00-stuffed
+    (B.1.1.5). Vectorized: one scatter pass per bit position instead of
+    a python call per symbol."""
+    lens = lens.astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    total = int(offs[-1])
+    nbits = -(-total // 8) * 8
+    bits = np.ones(nbits, np.uint8)  # 1-fill doubles as the pad
+    maxlen = int(lens.max(initial=0))
+    for b in range(maxlen):
+        sel = lens > b
+        bits[offs[:-1][sel] + b] = (
+            (vals[sel] >> (lens[sel] - 1 - b).astype(np.uint64)) & 1
+        ).astype(np.uint8)
+    raw = np.packbits(bits)
+    ff = np.flatnonzero(raw == 0xFF)
+    if len(ff):
+        raw = np.insert(raw, ff + 1, 0)
+    return raw.tobytes()
 
 
 def encode_lossless(samples: np.ndarray, predictor: int = 1,
@@ -204,17 +247,43 @@ def encode_lossless(samples: np.ndarray, predictor: int = 1,
     ri = restart_interval or n
     seg_starts = list(range(0, n, ri))
 
-    # Pass 1: differences (encoder-side prediction mirrors reconstruct()).
-    diffs = np.zeros((n, ncomp), np.int32)
-    rec = dom  # lossless: reconstructed == source in the Pt domain
-    for s0 in seg_starts:
-        first_y = s0 // W
-        for m in range(s0, min(s0 + ri, n)):
-            y, x = divmod(m, W)
-            for ci in range(ncomp):
-                px = _predict(rec, y, x, ci, predictor, default,
-                              first_y, s0, W)
-                diffs[m, ci] = (int(dom[y, x, ci]) - px) & M16
+    # Pass 1: differences. Encoder-side prediction has NO sequential
+    # dependency (lossless: reconstructed == source in the Pt domain),
+    # so the whole prediction map vectorizes; H.1.2.2 boundary rules
+    # (scan/interval starts, first lines) patch in afterwards.
+    pred = np.empty((H, W, ncomp), np.int64)
+    pred[0, 0] = default
+    pred[0, 1:] = dom[0, :-1]  # first line: Ra
+    pred[1:, 0] = dom[:-1, 0]  # other rows' first sample: Rb
+    ra = dom[1:, :-1].astype(np.int64)
+    rb = dom[:-1, 1:].astype(np.int64)
+    rc = dom[:-1, :-1].astype(np.int64)
+    if predictor == 1:
+        interior = ra
+    elif predictor == 2:
+        interior = rb
+    elif predictor == 3:
+        interior = rc
+    elif predictor == 4:
+        interior = ra + rb - rc
+    elif predictor == 5:
+        interior = ra + ((rb - rc) >> 1)
+    elif predictor == 6:
+        interior = rb + ((ra - rc) >> 1)
+    else:
+        interior = (ra + rb) >> 1
+    pred[1:, 1:] = interior
+    if restart_interval:
+        flat_dom = dom.reshape(n, ncomp)
+        flat_pred = pred.reshape(n, ncomp)
+        for s0 in seg_starts:
+            flat_pred[s0] = default  # interval start
+            # rest of the interval's first line: Ra
+            row_end = min((s0 // W + 1) * W, s0 + ri, n)
+            if s0 + 1 < row_end:
+                flat_pred[s0 + 1 : row_end] = flat_dom[s0 : row_end - 1]
+    diffs = ((dom.astype(np.int64) - pred) & M16).reshape(n, ncomp)
+    diffs = diffs.astype(np.int32)
 
     # Categories: value 32768 -> SSSS 16 (no bits); else signed in
     # [-32767, 32767] with the standard magnitude coding.
@@ -238,24 +307,30 @@ def encode_lossless(samples: np.ndarray, predictor: int = 1,
         length[t.values] = t.lengths
         maps.append((code, length))
 
+    # Vectorized symbol assembly: per sample-component, one fused field
+    # (huffman code ++ magnitude bits, <= 32 bits) packed by
+    # :func:`_pack_bits`; per-segment byte padding + 0xFF00 stuffing.
+    fused_vals = np.zeros((n, ncomp), np.uint64)
+    fused_lens = np.zeros((n, ncomp), np.int64)
+    for ci in range(ncomp):
+        code, length = maps[ci]
+        cat = ssss[:, ci]
+        clen = length[cat].astype(np.int64)
+        cval = code[cat].astype(np.uint64)
+        extra = np.where((cat > 0) & (cat < 16), cat, 0).astype(np.int64)
+        v = signed[:, ci].astype(np.int64)
+        raw = np.where(v >= 0, v, v + (1 << cat.astype(np.int64)) - 1)
+        raw = (raw & ((1 << extra) - 1)).astype(np.uint64)
+        fused_vals[:, ci] = (cval << extra.astype(np.uint64)) | raw
+        fused_lens[:, ci] = clen + extra
+    fused_vals = fused_vals.reshape(-1)
+    fused_lens = fused_lens.reshape(-1)
     scan = bytearray()
-    writer = BitWriter()
     for k, s0 in enumerate(seg_starts):
         if k:
-            writer.flush()
-            scan += writer.out
             scan += bytes([0xFF, 0xD0 + ((k - 1) % 8)])  # RSTn
-            writer = BitWriter()
-        for m in range(s0, min(s0 + ri, n)):
-            for ci in range(ncomp):
-                cat = int(ssss[m, ci])
-                code, length = maps[ci]
-                writer.put(int(code[cat]), int(length[cat]))
-                if 0 < cat < 16:
-                    v = int(signed[m, ci])
-                    writer.put(v if v >= 0 else v + (1 << cat) - 1, cat)
-    writer.flush()
-    scan += writer.out
+        e0, e1 = s0 * ncomp, min(s0 + ri, n) * ncomp
+        scan += _pack_bits(fused_vals[e0:e1], fused_lens[e0:e1])
 
     # Container: SOI + SOF3 + per-component DHT + (DRI) + SOS + EOI.
     out = bytearray(b"\xff\xd8")

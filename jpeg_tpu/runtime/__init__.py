@@ -85,6 +85,15 @@ def _configure(lib: ctypes.CDLL) -> None:
     i64p = ctypes.POINTER(ctypes.c_int64)
     i32p = ctypes.POINTER(ctypes.c_int32)
     u16p = ctypes.POINTER(ctypes.c_uint16)
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    lib.jt_decode_lossless.restype = ctypes.c_int64
+    lib.jt_decode_lossless.argtypes = [
+        u8p, i64p, i64p, i64p, i64p, ctypes.c_int64,  # data, segs
+        ctypes.c_int32, u16p, i32p,  # ncomp, dc_luts, comp_dc_id
+        ctypes.c_int64, ctypes.c_int64,  # width, height
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # pred, pt, prec
+        u16p, ctypes.c_int32,  # out, n_threads
+    ]
     lib.jt_decode_scan.restype = ctypes.c_int64
     lib.jt_decode_scan.argtypes = [
         u8p, ctypes.c_int64,  # data, n_bytes
@@ -404,6 +413,39 @@ def native_decode_gap(plan, start_bit: int, end_byte: int,
     if n < 0:
         return None
     return out[: n * bpm].reshape(n, bpm, 64), pos[:n]
+
+
+def native_decode_lossless(plan, n_threads: int | None = None) -> np.ndarray:
+    """Lossless (SOF3) decode -> [H, W, ncomp] uint16. Contract twin of
+    :func:`jpeg_tpu.entropy.lossless.decode_lossless` (equivalence-
+    tested); difference decode is parallel over restart segments, the
+    prediction pass sequential."""
+    lib = _load()
+    if n_threads is None:
+        n_threads = os.cpu_count() or 1
+    data = np.ascontiguousarray(plan.scan_data, dtype=np.uint8)
+    seg_start = np.array([s.byte_start for s in plan.segments], np.int64)
+    seg_end = np.array([s.byte_end for s in plan.segments], np.int64)
+    seg_mcu_start = np.array([s.mcu_start for s in plan.segments], np.int64)
+    seg_mcu_count = np.array([s.mcu_count for s in plan.segments], np.int64)
+    ncomp = len(plan.components)
+    comp_dc = np.array([c.dc_id for c in plan.components], np.int32)
+    dc_luts = np.ascontiguousarray(np.stack(
+        [(t.lut_value.astype(np.uint16) << 8) | t.lut_length
+         for t in plan.dc_tables]))
+    out = np.zeros((plan.height, plan.width, ncomp), np.uint16)
+    err = lib.jt_decode_lossless(
+        _p(data, ctypes.c_uint8),
+        _p(seg_start, ctypes.c_int64), _p(seg_end, ctypes.c_int64),
+        _p(seg_mcu_start, ctypes.c_int64),
+        _p(seg_mcu_count, ctypes.c_int64), len(plan.segments),
+        ncomp, _p(dc_luts, ctypes.c_uint16), _p(comp_dc, ctypes.c_int32),
+        plan.width, plan.height, plan.predictor, plan.point_transform,
+        plan.precision, _p(out, ctypes.c_uint16), n_threads,
+    )
+    if err >= 0:
+        raise NativeDecodeError(int(err))
+    return out
 
 
 def native_decode_coefficients(plan, n_threads: int | None = None,

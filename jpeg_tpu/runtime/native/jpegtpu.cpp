@@ -1554,6 +1554,113 @@ int64_t jt_decode_scan_planes_spec(
   return first_error.load() >= 0 ? first_error.load() : -1;
 }
 
+// Lossless (SOF3, T.81 Annex H) decode: restart-segment-parallel
+// difference decode, then one sequential prediction pass (the
+// reconstruction recurrence crosses segments through Rb). Contract twin
+// of jpeg_tpu.entropy.lossless (equivalence-tested): predictors 1-7,
+// H.1.2.2 boundary rules, SSSS=16 => diff 32768 with no bits, mod-2^16
+// arithmetic, output left-shifted by the point transform.
+// Returns -1 ok, else the first failed segment index.
+int64_t jt_decode_lossless(
+    const uint8_t* data, const int64_t* seg_start, const int64_t* seg_end,
+    const int64_t* seg_mcu_start, const int64_t* seg_mcu_count,
+    int64_t n_segs, int32_t ncomp, const uint16_t* dc_luts,
+    const int32_t* comp_dc_id, int64_t width, int64_t height,
+    int32_t predictor, int32_t point_transform, int32_t precision,
+    uint16_t* out, int32_t n_threads) {
+  TwoLevelLut luts[4];
+  bool built[4] = {};
+  const TwoLevelLut* comp_lut[4];
+  for (int c = 0; c < ncomp; ++c) {
+    int id = comp_dc_id[c];
+    if (!built[id]) {
+      luts[id].build(dc_luts + id * kLutSize);
+      built[id] = true;
+    }
+    comp_lut[c] = &luts[id];
+  }
+
+  // Phase 1: differences (mod 2^16) into `out`, parallel over segments.
+  std::atomic<int64_t> first_error(-1);
+  std::atomic<int64_t> next(0);
+  int nt = (int)std::min<int64_t>(n_threads > 0 ? n_threads : 1, n_segs);
+  pool_run(nt, [&](int) {
+    for (;;) {
+      int64_t s = next.fetch_add(1);
+      if (s >= n_segs) return;
+      BitReader br(data + seg_start[s], seg_end[s] - seg_start[s]);
+      uint16_t* o = out + seg_mcu_start[s] * ncomp;
+      int64_t n = seg_mcu_count[s] * ncomp;
+      for (int64_t i = 0; i < n; ++i) {
+        if (br.count < 31) br.refill();
+        uint32_t e = comp_lut[i % ncomp]->lookup((uint32_t)(br.bits >> 48));
+        int len = e & 0xFF;
+        if (__builtin_expect(len == 0, 0)) {
+          int64_t expect = -1;
+          first_error.compare_exchange_strong(expect, s);
+          return;
+        }
+        br.consume(len);
+        int ssss = e >> 8;
+        int32_t diff;
+        if (ssss == 16) {
+          diff = 32768;  // H.2 Table H.2: no additional bits
+        } else if (ssss == 0) {
+          diff = 0;
+        } else {
+          uint32_t v = br.read(ssss);
+          diff = (v >> (ssss - 1)) ? (int32_t)v
+                                   : (int32_t)v - (1 << ssss) + 1;
+        }
+        o[i] = (uint16_t)diff;
+      }
+    }
+  });
+  if (first_error.load() >= 0) return first_error.load();
+
+  // Phase 2: sequential reconstruction in place (reads reconstructed
+  // samples only at positions already passed).
+  const int32_t def = 1 << (precision - point_transform - 1);
+  for (int64_t s = 0; s < n_segs; ++s) {
+    int64_t first_m = seg_mcu_start[s];
+    int64_t first_y = first_m / width;
+    int64_t m_end = first_m + seg_mcu_count[s];
+    for (int64_t m = first_m; m < m_end; ++m) {
+      int64_t y = m / width, x = m % width;
+      uint16_t* row = out + m * ncomp;
+      for (int c = 0; c < ncomp; ++c) {
+        int32_t px;
+        if (m == first_m) {
+          px = def;
+        } else if (y == first_y) {
+          px = row[c - ncomp];  // Ra (rest of the interval's first line)
+        } else if (x == 0) {
+          px = *(row + c - width * ncomp);  // Rb
+        } else {
+          int32_t ra = row[c - ncomp];
+          int32_t rb = *(row + c - width * ncomp);
+          int32_t rc_ = *(row + c - (width + 1) * ncomp);
+          switch (predictor) {
+            case 1: px = ra; break;
+            case 2: px = rb; break;
+            case 3: px = rc_; break;
+            case 4: px = ra + rb - rc_; break;
+            case 5: px = ra + ((rb - rc_) >> 1); break;
+            case 6: px = rb + ((ra - rc_) >> 1); break;
+            default: px = (ra + rb) >> 1; break;
+          }
+        }
+        row[c] = (uint16_t)(px + (int16_t)row[c]);
+      }
+    }
+  }
+  if (point_transform) {
+    int64_t n = width * height * ncomp;
+    for (int64_t i = 0; i < n; ++i) out[i] <<= point_transform;
+  }
+  return -1;
+}
+
 // Returns -1 on success, else the index of the first failed segment.
 int64_t jt_decode_scan(const uint8_t* data, int64_t /*n_bytes*/,
                        const int64_t* seg_start, const int64_t* seg_end,

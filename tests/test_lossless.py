@@ -126,3 +126,51 @@ def test_public_decode_api_and_errors():
     bad[sos + 2 + 2 + 1 + 2 * 3] = 0  # Ss (predictor) = 0
     with pytest.raises(JPEGError):
         parse_jpeg(bytes(bad))
+
+
+def test_native_tier_matches_oracle():
+    """C++ jt_decode_lossless (segment-parallel diffs + sequential
+    prediction) must be bit-identical to the python oracle across
+    predictors, precisions, restarts, and the point transform."""
+    from jpeg_tpu.entropy.lossless import decode_diffs, reconstruct
+    from jpeg_tpu.runtime import native_decode_lossless
+
+    rng = np.random.default_rng(77)
+    for pred in (1, 3, 4, 6, 7):
+        for prec, ri, pt in ((8, 0, 0), (16, 13, 0), (12, 7, 2)):
+            img = rng.integers(0, 1 << prec, (19, 23, 3)).astype(np.uint16)
+            data = encode_lossless(img, predictor=pred, precision=prec,
+                                   restart_interval=ri, point_transform=pt)
+            plan = parse_jpeg(data)
+            oracle = reconstruct(plan, decode_diffs(plan))
+            np.testing.assert_array_equal(native_decode_lossless(plan),
+                                          oracle)
+
+
+def test_native_tier_corrupt_stream_raises():
+    from jpeg_tpu.runtime import native_decode_lossless
+
+    rng = np.random.default_rng(78)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    data = bytearray(encode_lossless(img, predictor=2))
+    sos = bytes(data).find(b"\xff\xda")
+    for off in range(20, 40):
+        d = bytearray(data)
+        d[sos + off] ^= 0xFF
+        try:
+            plan = parse_jpeg(bytes(d))
+        except JPEGError:
+            continue
+        try:
+            a = native_decode_lossless(plan)
+            ok_native = True
+        except ValueError:
+            ok_native = False
+        try:
+            b = decode_lossless(plan, engine="oracle")
+            ok_oracle = True
+        except ValueError:
+            ok_oracle = False
+        assert ok_native == ok_oracle
+        if ok_native:
+            np.testing.assert_array_equal(a, b)
