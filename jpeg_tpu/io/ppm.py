@@ -10,14 +10,18 @@ from __future__ import annotations
 import numpy as np
 
 
-def write_ppm(path, rgb: np.ndarray, binary: bool = True) -> None:
-    """Write [H, W, 3] u8 (maxval 255) or u16 (maxval 4095, 12-bit
-    decodes) to PPM. ``binary=False`` gives reference-identical P3 text
-    output (one pixel per line, src/main.rs:36-39); 16-bit P6 samples are
-    big-endian per the Netpbm spec."""
+def write_ppm(path, rgb: np.ndarray, binary: bool = True,
+              maxval: int | None = None) -> None:
+    """Write [H, W, 3] u8 (maxval 255) or u16 to PPM. u16 defaults to
+    maxval 4095 (12-bit decodes) unless samples exceed it (16-bit
+    lossless) or ``maxval`` is given. ``binary=False`` gives
+    reference-identical P3 text output (one pixel per line,
+    src/main.rs:36-39); 16-bit P6 samples are big-endian per the
+    Netpbm spec."""
     rgb = np.asarray(rgb)
     if rgb.dtype == np.uint16:
-        maxval = 4095
+        if maxval is None:
+            maxval = 4095 if int(rgb.max(initial=0)) <= 4095 else 65535
     else:
         rgb = rgb.astype(np.uint8)
         maxval = 255

@@ -174,3 +174,20 @@ def test_native_tier_corrupt_stream_raises():
         assert ok_native == ok_oracle
         if ok_native:
             np.testing.assert_array_equal(a, b)
+
+
+def test_16bit_ppm_roundtrip(tmp_path):
+    """16-bit lossless decodes write maxval-65535 PPMs (the writer used
+    to hardcode 4095, silently corrupting >12-bit samples)."""
+    import os
+
+    from jpeg_tpu.io.ppm import read_ppm, write_ppm
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 1 << 16, (10, 11, 3), dtype=np.uint16)
+    out = decode_lossless(parse_jpeg(encode_lossless(img, precision=16)))
+    p = os.path.join(tmp_path, "x.ppm")
+    write_ppm(p, out)
+    back, maxval = read_ppm(p, return_maxval=True)
+    assert maxval == 65535
+    np.testing.assert_array_equal(back, img)
