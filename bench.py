@@ -647,6 +647,31 @@ def main():
         f"corpus-mode {corpus_entropy_fps:.1f} fps, "
         f"no-restart speculative {spec_fps:.1f} fps "
         f"(chunks={spec_chunks}, pgo={pgo_status()})")
+    # Lossless (SOF3, r4) 1080p: segment-parallel C++ diff decode +
+    # sequential prediction (host path; predictor-1/2 device cumsum is
+    # exercised by tests, not timed here).
+    try:
+        from jpeg_tpu.entropy.lossless import encode_lossless as _encl
+        from jpeg_tpu.runtime import native_decode_lossless as _ndl
+
+        _rngl = np.random.default_rng(3)
+        _imgl = _rngl.integers(0, 256, (1080, 1920, 3), dtype=np.uint8)
+        _lplan = parse_jpeg(_encl(_imgl, predictor=4,
+                                  restart_interval=1920))
+        _ndl(_lplan)  # warmup
+
+        def _lossless_once():
+            t0 = time.perf_counter()
+            for _ in range(6):
+                _ndl(_lplan)
+            return 6 / (time.perf_counter() - t0)
+
+        lossless_fps = median3(_lossless_once)
+        log(f"lossless 1080p decode: {lossless_fps:.1f} fps "
+            f"({len(_lplan.segments)} segments)")
+    except Exception as e:  # noqa: BLE001 — diagnostic metric only
+        log(f"lossless bench failed: {type(e).__name__}: {e}")
+        lossless_fps = 0.0
     # Arithmetic (SOF9) 4K: QM-coded entropy, restart-parallel C++.
     try:
         from PIL import Image as _I
@@ -740,6 +765,7 @@ def main():
         "arithmetic_4k_entropy_fps": round(arith_fps, 2),
         "libjpeg_1thread_fps": round(lib_fps, 2),
         "host_cores": os.cpu_count(),
+        "lossless_1080p_fps": round(lossless_fps, 2),
         "spec_chunks": spec_chunks,
         "spec_tuner": tuner,
         "pgo": pgo_status(),
