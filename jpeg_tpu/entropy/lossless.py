@@ -188,6 +188,31 @@ def decode_lossless(plan: DecodePlan, device: bool = False,
 # Encoder
 
 
+def _interior_diffs(dom: np.ndarray, predictor: int) -> np.ndarray:
+    """Interior prediction differences (mod-2^16, signed window) of a
+    Pt-domain image for one selector — the predictor="auto" cost proxy
+    (boundary samples are a vanishing fraction)."""
+    ra = dom[1:, :-1]
+    rb = dom[:-1, 1:]
+    rc = dom[:-1, :-1]
+    if predictor == 1:
+        px = ra
+    elif predictor == 2:
+        px = rb
+    elif predictor == 3:
+        px = rc
+    elif predictor == 4:
+        px = ra + rb - rc
+    elif predictor == 5:
+        px = ra + ((rb - rc) >> 1)
+    elif predictor == 6:
+        px = rb + ((ra - rc) >> 1)
+    else:
+        px = (ra + rb) >> 1
+    d = (dom[1:, 1:] - px) & M16
+    return np.where(d >= 32768, d - 65536, d)
+
+
 def _pack_bits(vals: np.ndarray, lens: np.ndarray) -> bytes:
     """MSB-first pack of per-symbol bit fields (<= 32 bits each) into
     bytes: 1-padded to a byte boundary (F.1.2.3) and 0xFF00-stuffed
@@ -211,14 +236,38 @@ def _pack_bits(vals: np.ndarray, lens: np.ndarray) -> bytes:
     return raw.tobytes()
 
 
-def encode_lossless(samples: np.ndarray, predictor: int = 1,
+def encode_lossless(samples: np.ndarray, predictor: int | str = 1,
                     point_transform: int = 0, precision: int | None = None,
                     restart_interval: int = 0) -> bytes:
     """[H, W] or [H, W, C<=4] unsigned samples -> SOF3 JFIF-style bytes.
 
     ``restart_interval`` counts MCUs (= sample positions). Per-image
     optimal Huffman tables (Annex K.2) over the difference categories.
+    ``predictor="auto"`` picks the selector with the smallest entropy
+    estimate over its difference-category histogram (the prediction
+    maps are vectorized, so trying all seven costs ~7 image passes).
     """
+    if predictor == "auto":
+        s = np.asarray(samples)
+        dom = (s.astype(np.int64) >> point_transform)
+        if dom.ndim == 2:
+            dom = dom[:, :, None]
+        best, best_bits = 1, None
+        for p in range(1, 8):
+            d = _interior_diffs(dom, p)
+            cats = np.zeros(d.shape, np.int8)
+            nz = d != 0
+            cats[nz] = np.floor(
+                np.log2(np.abs(d[nz]))).astype(np.int8) + 1
+            counts = np.bincount(cats.reshape(-1), minlength=18)
+            probs = counts / max(counts.sum(), 1)
+            nzp = probs > 0
+            # code bits ~ -log2(p) per symbol + the magnitude bits
+            bits = float(-(counts[nzp] * np.log2(probs[nzp])).sum()
+                         + (counts * np.arange(18)).sum())
+            if best_bits is None or bits < best_bits:
+                best, best_bits = p, bits
+        predictor = best
     from jpeg_tpu.entropy.optimize import build_optimal_table
     from jpeg_tpu.models.encoder import BitWriter
 

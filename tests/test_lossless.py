@@ -191,3 +191,17 @@ def test_16bit_ppm_roundtrip(tmp_path):
     back, maxval = read_ppm(p, return_maxval=True)
     assert maxval == 65535
     np.testing.assert_array_equal(back, img)
+
+
+def test_auto_predictor_beats_or_matches_fixed_worst():
+    """predictor="auto" picks per image from an entropy estimate; on a
+    smooth gradient it must not lose to the worst fixed predictor and
+    must still round-trip exactly."""
+    yy, xx = np.mgrid[0:40, 0:48]
+    img = ((yy * 3 + xx * 2) % 256).astype(np.uint8)
+    auto = encode_lossless(img, predictor="auto")
+    out = decode_lossless(parse_jpeg(auto))[:, :, 0]
+    np.testing.assert_array_equal(out, img)
+    worst = max(len(encode_lossless(img, predictor=p))
+                for p in range(1, 8))
+    assert len(auto) <= worst
