@@ -205,3 +205,14 @@ def test_auto_predictor_beats_or_matches_fixed_worst():
     worst = max(len(encode_lossless(img, predictor=p))
                 for p in range(1, 8))
     assert len(auto) <= worst
+
+
+def test_four_component_lossless():
+    """4-component lossless streams decode component-direct (no color
+    transform in Annex H); the public API returns [H, W, 4]."""
+    rng = np.random.default_rng(90)
+    img = rng.integers(0, 256, (10, 12, 4), dtype=np.uint8)
+    out = np.asarray(jpeg_tpu.decode_bytes(
+        encode_lossless(img, predictor=2)))
+    assert out.shape == (10, 12, 4)
+    np.testing.assert_array_equal(out, img)
