@@ -202,6 +202,10 @@ def cmd_info(args) -> int:
         "color_model": plan.color_model,
         "progressive": plan.progressive,
         "arithmetic": plan.arith_code,
+        "precision": plan.precision,
+        "lossless": plan.lossless,
+        "predictor": plan.predictor or None,
+        "point_transform": plan.point_transform or None,
         "mcus": [plan.mcus_x, plan.mcus_y],
         "restart_interval_mcus": plan.restart_interval,
         "entropy_segments": len(plan.segments),
