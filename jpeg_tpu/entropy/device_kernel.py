@@ -82,10 +82,14 @@ def _canon_params(table):
     return mincode, maxcode, valptr, hv
 
 
-def plan_kernel_tables(plan: DecodePlan):
-    """(lut11s [8, T11, 1] i32, huffvals [8, 256, 1] i32, canon) — rows
-    0-3 DC tables, 4-7 AC; ``canon[row]`` = (mincode, maxcode, valptr)
-    python int tuples baked into the traced kernel (scalars)."""
+def plan_kernel_tables(plan: DecodePlan, gather: str = "select"):
+    """(lut11s, huffvals, canon) — rows 0-3 DC tables, 4-7 AC;
+    ``canon[row]`` = (mincode, maxcode, valptr) python int tuples baked
+    into the traced kernel (scalars). Shapes depend on the gather mode:
+    "select" -> i32 [8, T11, 1] / [8, 256, 1] column tables for the
+    select-reduce sweep; "mxu" -> f32 [8, 64, 32] / [8, 16, 16]
+    Kronecker splits (tab2d[lo, hi] = tab[hi*Tlo + lo], entries < 2^24
+    so the HIGHEST-precision dot is exact)."""
     luts = np.zeros((8, T11, 1), np.int32)
     hvs = np.zeros((8, 256, 1), np.int32)
     canon = []
@@ -101,6 +105,13 @@ def plan_kernel_tables(plan: DecodePlan):
         canon.append((tuple(int(x) for x in mn),
                       tuple(int(x) for x in mx),
                       tuple(int(x) for x in vp)))
+    if gather == "mxu":
+        luts = np.ascontiguousarray(
+            luts[:, :, 0].reshape(8, 32, 64).transpose(0, 2, 1)
+        ).astype(np.float32)
+        hvs = np.ascontiguousarray(
+            hvs[:, :, 0].reshape(8, 16, 16).transpose(0, 2, 1)
+        ).astype(np.float32)
     return luts, hvs, tuple(canon)
 
 
@@ -150,7 +161,7 @@ def _magnitude(hi, length, nbits, u32=jnp.uint32):
 
 
 def _make_kernel(n_comp, max_mcus, bpm, slot_comp, slot_dc, slot_ac,
-                 canon, S, W, max_block_steps=70):
+                 canon, S, W, gather="select", max_block_steps=70):
     u32 = jnp.uint32
 
     def _iotas():
@@ -203,12 +214,34 @@ def _make_kernel(n_comp, max_mcus, bpm, slot_comp, slot_dc, slot_ac,
         lo = lo << du
         return (wi, cnt - d, hi, mi, lo)
 
+    def _gather_kron(idx, tab2d, bits_lo):
+        """tab[idx] per lane via a Kronecker one-hot split: idx =
+        hi*2^bits_lo + lo; one-hot the hi part ([Th, S] compares), dot
+        the [Tlo, Th] table slice on the MXU (f32 HIGHEST — entries
+        < 2^24 so exact, probe P1b), then select-reduce the lo part.
+        Replaces a [T, S] compare sweep with [Th + Tlo, S] compares —
+        ~15x less VPU work for the 11-bit LUT (T=2048 -> 32+64)."""
+        Th = tab2d.shape[1]
+        Tlo = tab2d.shape[0]
+        hi_idx = idx >> bits_lo
+        lo_idx = idx & (Tlo - 1)
+        iota_hi = jax.lax.broadcasted_iota(jnp.int32, (Th, S), 0)
+        oh_hi = (iota_hi == hi_idx).astype(jnp.float32)
+        y = jax.lax.dot(tab2d, oh_hi,
+                        precision=jax.lax.Precision.HIGHEST)  # [Tlo, S]
+        iota_lo = jax.lax.broadcasted_iota(jnp.int32, (Tlo, S), 0)
+        return jnp.sum(jnp.where(iota_lo == lo_idx, y, 0.0), axis=0,
+                       keepdims=True).astype(jnp.int32)
+
     def resolve(hi, lut_row, hv_row, cn, iota_t, iota_h):
         """One Huffman symbol from the register top: 11-bit LUT gather +
         canonical 12..16-bit walk. -> (length [1,S], sym [1,S]);
         length == 0 marks an invalid prefix."""
         peek11 = _bci(hi >> u32(21))
-        e = _gather_rows(peek11, lut_row, iota_t)
+        if gather == "mxu":
+            e = _gather_kron(peek11, lut_row, 6)
+        else:
+            e = _gather_rows(peek11, lut_row, iota_t)
         len_f = e & 0x1F
         sym_f = (e >> 8) & 0xFF
         peek16 = _bci(hi >> u32(16))
@@ -223,7 +256,10 @@ def _make_kernel(n_comp, max_mcus, bpm, slot_comp, slot_dc, slot_ac,
                    & (len_s == 0))
             len_s = len_s + jnp.where(hit, ln, 0)
             idx = idx + jnp.where(hit, valptr[i] + code - mincode[i], 0)
-        sym_s = _gather_rows(idx, hv_row, iota_h)
+        if gather == "mxu":
+            sym_s = _gather_kron(idx, hv_row, 4)
+        else:
+            sym_s = _gather_rows(idx, hv_row, iota_h)
         need_s = len_f == 0
         length = len_f + jnp.where(need_s, len_s, 0)
         sym = jnp.where(need_s, sym_s, sym_f)
@@ -333,16 +369,18 @@ def _make_kernel(n_comp, max_mcus, bpm, slot_comp, slot_dc, slot_ac,
 
 @lru_cache(maxsize=64)
 def _compiled_kernel4(n_comp, max_mcus, bpm, slot_comp, slot_dc, slot_ac,
-                      canon, S, W, interpret=False):
+                      canon, S, W, interpret=False, gather="select"):
     kernel = _make_kernel(n_comp, max_mcus, bpm, slot_comp, slot_dc,
-                          slot_ac, canon, S, W)
+                          slot_ac, canon, S, W, gather)
+    lut_block = ((8, 64, 32) if gather == "mxu" else (8, T11, 1))
+    hv_block = ((8, 16, 16) if gather == "mxu" else (8, 256, 1))
     fn = pl.pallas_call(
         kernel,
         grid=(max_mcus,),
         in_specs=[
             pl.BlockSpec((W, S), lambda m: (0, 0)),
-            pl.BlockSpec((8, T11, 1), lambda m: (0, 0, 0)),
-            pl.BlockSpec((8, 256, 1), lambda m: (0, 0, 0)),
+            pl.BlockSpec(lut_block, lambda m: (0, 0, 0)),
+            pl.BlockSpec(hv_block, lambda m: (0, 0, 0)),
             pl.BlockSpec((1, S), lambda m: (0, 0)),
             pl.BlockSpec((1, S), lambda m: (0, 0)),
         ],
@@ -364,7 +402,8 @@ def _compiled_kernel4(n_comp, max_mcus, bpm, slot_comp, slot_dc, slot_ac,
     return jax.jit(fn)
 
 
-def decode_coefficients_device4(plan: DecodePlan, interpret: bool = False):
+def decode_coefficients_device4(plan: DecodePlan, interpret: bool = False,
+                                gather: str = "select"):
     """Entropy-decode the scan in ONE Pallas kernel ->
     ([total_blocks, 64] i32, err [S]). Contract identical to v1/v2."""
     segs = plan.segments
@@ -374,14 +413,14 @@ def decode_coefficients_device4(plan: DecodePlan, interpret: bool = False):
     # Lane-private word columns: +4 slack words for refill prefetch.
     max_words = max(-(-(s.byte_end - s.byte_start) // 4) for s in segs) + 4
     W = -(-max_words // 8) * 8
-    luts, hvs, canon = plan_kernel_tables(plan)
+    luts, hvs, canon = plan_kernel_tables(plan, gather)
     slots = plan.component_block_slots()
     slot_comp = tuple(ci for ci, _ in slots)
     slot_dc = tuple(plan.components[ci].dc_id for ci, _ in slots)
     slot_ac = tuple(plan.components[ci].ac_id for ci, _ in slots)
     kernel = _compiled_kernel4(
         len(plan.components), max_mcus, bpm, slot_comp, slot_dc, slot_ac,
-        canon, S, W, interpret)
+        canon, S, W, interpret, gather)
     words = _lane_words(plan.scan_data, segs, W)
     nblk = np.array([[s.mcu_count * bpm for s in segs]], np.int32)
     bitend = np.array(

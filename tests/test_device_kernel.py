@@ -81,3 +81,21 @@ def test_corrupt_stream_parity():
         else:
             assert not err.any()
             np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("gather", ["select", "mxu"])
+def test_gather_variants_match_oracle(gather):
+    """Both in-kernel gather formulations — [T, S] select-reduce sweep
+    and the Kronecker one-hot MXU split (32+64 compares + an exact
+    HIGHEST dot) — must be bit-identical to the oracle; the A/B between
+    them runs on a healthy tunnel (see the device gate ladder)."""
+    rng = np.random.default_rng(50)
+    img = rng.integers(0, 256, (80, 96, 3), dtype=np.uint8)
+    data = encode_rgb(img, quality=88, subsampling=(2, 2),
+                      restart_interval_mcus=5, optimize=True)
+    plan = parse_jpeg(data)
+    ref = decode_coefficients(plan)
+    got, err = decode_coefficients_device4(plan, interpret=True,
+                                           gather=gather)
+    assert not err.any()
+    np.testing.assert_array_equal(got, ref)
