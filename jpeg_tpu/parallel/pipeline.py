@@ -106,6 +106,16 @@ class BatchedCorpusDecoder:
             else:
                 data = path_or_bytes
             plan = parse_jpeg(data)
+            if getattr(plan, "lossless", False) or plan.precision != 8:
+                # Lossless (no coefficient planes at all) and 12-bit
+                # (u16 output) route through the compat decode inline —
+                # the fused batch kernel is the 8-bit DCT path.
+                from jpeg_tpu.models.decoder import decode_plan
+
+                import numpy as _np
+
+                rgb = _np.asarray(decode_plan(plan, rounding=self.rounding))
+                return (name, plan, "compat", rgb, None)
             if plan.color_model not in ("ycbcr", "gray"):
                 # CMYK/YCCK/RGB-direct: the fused batch kernel bakes in the
                 # YCbCr matrix — decode these rarities inline via the compat

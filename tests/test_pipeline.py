@@ -115,3 +115,20 @@ def test_mixed_corpus_stress():
     for data, r in zip(items[:9], results[:9]):
         want = decode_bytes(data, path="fast")
         np.testing.assert_array_equal(r.rgb, want)
+
+
+def test_batched_corpus_mixed_lossless():
+    """A lossless (SOF3) file in a batched corpus decodes via the inline
+    compat route instead of failing in the 8-bit DCT batch path."""
+    import numpy as np
+
+    from jpeg_tpu.entropy.lossless import encode_lossless
+    from jpeg_tpu.io.corpus import synthetic_jpeg
+    from jpeg_tpu.parallel.pipeline import BatchedCorpusDecoder
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (32, 40, 3), dtype=np.uint8)
+    res = BatchedCorpusDecoder().decode_all(
+        [synthetic_jpeg(64, 48, seed=1), encode_lossless(img, predictor=4)])
+    assert all(r.ok for r in res)
+    np.testing.assert_array_equal(res[1].rgb, img)
