@@ -280,15 +280,20 @@ def _make_kernel(n_comp, max_mcus, bpm, slot_comp, slot_dc, slot_ac,
         err = err | bad
         coef = jnp.where(ok, 1, 64)
 
+        # The AC loop carries the error mask as i32, not bool: a [1, S]
+        # bool while_loop carry fails Mosaic's scf.yield legalization on
+        # the real chip (bisected 2026-08-18, /tmp-bisect case C; every
+        # other carry kind — mixed [1,S]/[8,S] i32, any() conds, fori —
+        # legalizes fine).
         def cond(carry):
-            st, err, coef, acc, step = carry
-            busy = active & ~err & (coef < 64)
+            st, erri, coef, acc, step = carry
+            busy = active & (erri == 0) & (coef < 64)
             return (step < max_block_steps) & jnp.any(busy)
 
         def body(carry):
-            st, err, coef, acc, step = carry
+            st, erri, coef, acc, step = carry
             st = refill64(words, st, iota_w)
-            busy = active & ~err & (coef < 64) & (st[1] >= 31)
+            busy = active & (erri == 0) & (coef < 64) & (st[1] >= 31)
             length, sym = resolve(st[2], lut_ac, hv_ac, cn_ac, iota_t,
                                   iota_h)
             bad = busy & (length == 0)
@@ -307,13 +312,14 @@ def _make_kernel(n_comp, max_mcus, bpm, slot_comp, slot_dc, slot_ac,
             do_write = busy & ~bad & ~is_eob & ~is_zrl
             acc = acc + jnp.where(do_write & (pos_iota == pos), val, 0)
             coef = coef + jnp.where(busy & ~bad, coef_next - coef, 0)
-            err = err | bad
+            erri = erri | bad.astype(jnp.int32)
             st = consume(st, d)
-            return (st, err, coef, acc, step + 1)
+            return (st, erri, coef, acc, step + 1)
 
-        st, err, coef, acc, step = jax.lax.while_loop(
-            cond, body, (st, err, coef, acc, jnp.int32(0)))
-        err = err | (active & (coef < 64))
+        st, erri, coef, acc, step = jax.lax.while_loop(
+            cond, body, (st, err.astype(jnp.int32), coef, acc,
+                         jnp.int32(0)))
+        err = (erri > 0) | (active & (coef < 64))
         return acc, st, err
 
     def kernel(words_ref, luts_ref, hvs_ref, nblk_ref, bitend_ref,
