@@ -377,17 +377,30 @@ def device_path_profitable(plan: DecodePlan,
     (select-reduce gathers, lane-private word refills, canonical
     long-code walk) and is BIT-EXACT vs the oracle in interpret mode
     across the sampling/precision/table matrix incl. corrupt streams
-    (tests/test_device_kernel.py). On the real chip its Mosaic compile
-    did not complete: some gated-carry formulations CRASH the remote
-    compiler (HTTP 500 tpu_compile_helper, bisected in
-    tools/probe_inkernel3.py — identity-else selects on loop carries),
-    and the remaining attempts could not be adjudicated because the
-    crash storm wedged the whole tunnel (every TPU interaction hung
-    30+ min, including previously-compiling kernels — see
-    tools/probe_kernel_stages.py and project memory). The in-kernel
-    rung therefore stands as: semantics proven, lowering blocked by
-    compiler defects on this jax/Mosaic build, re-probe on the next
-    toolchain.
+    (tests/test_device_kernel.py). Its real-chip Mosaic compile was
+    initially blocked — some gated-carry formulations CRASH the remote
+    compiler (tools/probe_inkernel3.py: identity-else selects on loop
+    carries) and the crash storm wedged the tunnel for the rest of
+    that session — then ADJUDICATED after the tunnel recovered: the
+    remaining blocker bisected to exactly one Mosaic defect (a [1, S]
+    bool while_loop carry fails scf.yield legalization; carried as i32
+    now), after which the kernel compiles and matches the oracle
+    BIT-EXACT on the real chip. Measured (4K, kernel-only, r4):
+
+    * S=135 (row restarts):  select-gather 63.6 ms (15.7 fps),
+      MXU Kronecker gather 54.0 ms (18.5 fps) — v2 XLA-loop: 166 ms.
+    * S=2025 (16-MCU restarts): select 46.2 ms (21.7 fps),
+      mxu 30.8 ms (32.5 fps) — v2 XLA-loop: 121 ms.
+
+    The in-kernel loop is 2.6-3.9x the v2 kernel — the per-step
+    dispatch tax was real and is gone — but the host C++ tier still
+    decodes the same 4K scan in ~4.4 ms on 4 cores: the remaining gap
+    is ~7x of pure VPU/MXU gather work (a [2048-row LUT + word-column]
+    select-reduce per symbol vs an L1-resident table lookup). The
+    crossover still favors the host on any realistic host:chip ratio,
+    so the gate stays "never"; the in-kernel tier is the scale-out /
+    host-offload path and its per-lane cost now falls with lane count
+    (bench.py records `device_entropy_inkernel_fps`).
     """
     if min_segments is None:
         return False

@@ -408,10 +408,13 @@ def _compiled_kernel4(n_comp, max_mcus, bpm, slot_comp, slot_dc, slot_ac,
     return jax.jit(fn)
 
 
-def decode_coefficients_device4(plan: DecodePlan, interpret: bool = False,
-                                gather: str = "select"):
-    """Entropy-decode the scan in ONE Pallas kernel ->
-    ([total_blocks, 64] i32, err [S]). Contract identical to v1/v2."""
+def kernel_runner(plan: DecodePlan, interpret: bool = False,
+                  gather: str = "select"):
+    """Compile the in-kernel decoder for ``plan`` -> (kernel, args,
+    max_mcus, S). ``kernel(*args)`` returns the raw
+    ([max_mcus, bpm, 64, S] i32, err [1, S]) device arrays — used by
+    :func:`decode_coefficients_device4` and by bench.py's kernel-only
+    timing (which must not pay the 50 MB tunnel D2H)."""
     segs = plan.segments
     bpm = plan.blocks_per_mcu
     max_mcus = max(s.mcu_count for s in segs)
@@ -431,9 +434,18 @@ def decode_coefficients_device4(plan: DecodePlan, interpret: bool = False,
     nblk = np.array([[s.mcu_count * bpm for s in segs]], np.int32)
     bitend = np.array(
         [[(s.byte_end - s.byte_start) * 8 for s in segs]], np.int32)
-    out, err = kernel(jnp.asarray(words), jnp.asarray(luts),
-                      jnp.asarray(hvs), jnp.asarray(nblk),
-                      jnp.asarray(bitend))
+    args = (jnp.asarray(words), jnp.asarray(luts), jnp.asarray(hvs),
+            jnp.asarray(nblk), jnp.asarray(bitend))
+    return kernel, args, max_mcus, S
+
+
+def decode_coefficients_device4(plan: DecodePlan, interpret: bool = False,
+                                gather: str = "select"):
+    """Entropy-decode the scan in ONE Pallas kernel ->
+    ([total_blocks, 64] i32, err [S]). Contract identical to v1/v2."""
+    kernel, args, max_mcus, S = kernel_runner(plan, interpret, gather)
+    bpm = plan.blocks_per_mcu
+    out, err = kernel(*args)
     # [max_mcus, bpm, 64, S] -> [S, max_mcus*bpm, 64] stream order.
     coeffs = np.moveaxis(np.asarray(out), 3, 0).reshape(
         S, max_mcus * bpm, 64)
