@@ -451,3 +451,83 @@ def decode_coefficients_device4(plan: DecodePlan, interpret: bool = False,
         S, max_mcus * bpm, 64)
     coeffs = coeffs.reshape(S * max_mcus * bpm, 64)[: plan.total_blocks]
     return coeffs, np.asarray(err)[0]
+
+
+def kernel_runner_batch(plans: list, interpret: bool = False,
+                        gather: str = "select"):
+    """Compile ONE in-kernel decoder over a CORPUS: every plan's restart
+    segments stacked on the lane axis (S_total lanes), sequential grid =
+    the longest single segment. Same homogeneity contract as
+    ``device_decode.decode_coefficients_device_batch`` (identical slot
+    structure and byte-identical Huffman tables — the homogeneous-corpus
+    deployment shape); per-image segment counts/lengths may differ.
+    Returns (kernel, args, max_mcus, S_total, lane_base) where
+    ``lane_base[i]`` is image i's first lane column."""
+    assert plans, "empty batch"
+    p0 = plans[0]
+    bpm = p0.blocks_per_mcu
+    luts, hvs, canon = plan_kernel_tables(p0, gather)
+    slots = p0.component_block_slots()
+    slot_comp = tuple(ci for ci, _ in slots)
+    slot_dc = tuple(p0.components[ci].dc_id for ci, _ in slots)
+    slot_ac = tuple(p0.components[ci].ac_id for ci, _ in slots)
+    for p in plans[1:]:
+        s = p.component_block_slots()
+        l2, h2, c2 = plan_kernel_tables(p, gather)
+        if (p.blocks_per_mcu != bpm
+                or tuple(ci for ci, _ in s) != slot_comp
+                or tuple(p.components[ci].dc_id for ci, _ in s) != slot_dc
+                or tuple(p.components[ci].ac_id for ci, _ in s) != slot_ac
+                or not np.array_equal(l2, luts)
+                or not np.array_equal(h2, hvs) or c2 != canon):
+            raise ValueError(
+                "in-kernel batch requires identical slot structure and "
+                "Huffman tables across images")
+    max_mcus = max(s.mcu_count for p in plans for s in p.segments)
+    max_words = max(-(-(s.byte_end - s.byte_start) // 4)
+                    for p in plans for s in p.segments) + 4
+    W = -(-max_words // 8) * 8
+    lane_base = []
+    cols, nblk, bitend = [], [], []
+    pos = 0
+    for p in plans:
+        lane_base.append(pos)
+        cols.append(_lane_words(p.scan_data, p.segments, W))
+        nblk.extend(s.mcu_count * bpm for s in p.segments)
+        bitend.extend((s.byte_end - s.byte_start) * 8 for s in p.segments)
+        pos += len(p.segments)
+    S = pos
+    words = np.concatenate(cols, axis=1)
+    kernel = _compiled_kernel4(
+        len(p0.components), max_mcus, bpm, slot_comp, slot_dc, slot_ac,
+        canon, S, W, interpret, gather)
+    args = (jnp.asarray(words), jnp.asarray(luts), jnp.asarray(hvs),
+            jnp.asarray(np.array([nblk], np.int32)),
+            jnp.asarray(np.array([bitend], np.int32)))
+    return kernel, args, max_mcus, S, lane_base
+
+
+def decode_coefficients_device4_batch(plans: list, interpret: bool = False,
+                                      gather: str = "select"):
+    """Corpus entropy decode in ONE kernel launch -> (list of
+    [total_blocks, 64] i32 per image, err [S_total]). The per-image lane
+    rows are trimmed per segment when an image's restart interval is
+    shorter than the batch-wide max (same reshape contract as the v1
+    batch tier)."""
+    kernel, args, max_mcus, S, lane_base = kernel_runner_batch(
+        plans, interpret, gather)
+    bpm = plans[0].blocks_per_mcu
+    out, err = kernel(*args)
+    flat = np.moveaxis(np.asarray(out), 3, 0).reshape(
+        S, max_mcus * bpm, 64)
+    results = []
+    for p, row in zip(plans, lane_base):
+        segs = p.segments
+        if all(s.mcu_count == max_mcus for s in segs[:-1]):
+            img = flat[row : row + len(segs)].reshape(-1, 64)
+        else:
+            img = np.concatenate(
+                [flat[row + i, : s.mcu_count * bpm]
+                 for i, s in enumerate(segs)])
+        results.append(img[: p.total_blocks])
+    return results, np.asarray(err)[0]

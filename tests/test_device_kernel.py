@@ -99,3 +99,37 @@ def test_gather_variants_match_oracle(gather):
                                            gather=gather)
     assert not err.any()
     np.testing.assert_array_equal(got, ref)
+
+
+def test_batch_matches_oracle_mixed_segments():
+    """Corpus batch: three images with DIFFERENT restart intervals (so
+    per-image segment lengths differ from the batch-wide max) must each
+    match their own oracle decode, lanes stacked in one kernel launch."""
+    from jpeg_tpu.entropy.device_kernel import (
+        decode_coefficients_device4_batch,
+    )
+    rng = np.random.default_rng(60)
+    plans = []
+    for i, (shape, ri) in enumerate(
+            [((48, 64), 4), ((80, 96), 8), ((64, 48), 2)]):
+        img = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+        data = encode_rgb(img, quality=85, subsampling=(2, 2),
+                          restart_interval_mcus=ri)
+        plans.append(parse_jpeg(data))
+    got, err = decode_coefficients_device4_batch(plans, interpret=True)
+    assert not err.any()
+    assert len(got) == len(plans)
+    for p, g in zip(plans, got):
+        np.testing.assert_array_equal(g, decode_coefficients(p))
+
+
+def test_batch_rejects_heterogeneous_tables():
+    from jpeg_tpu.entropy.device_kernel import kernel_runner_batch
+
+    rng = np.random.default_rng(61)
+    img = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    a = parse_jpeg(encode_rgb(img, quality=85, restart_interval_mcus=4))
+    b = parse_jpeg(encode_rgb(img, quality=85, restart_interval_mcus=4,
+                              optimize=True))  # per-image tables differ
+    with pytest.raises(ValueError, match="identical slot structure"):
+        kernel_runner_batch([a, b])
