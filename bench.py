@@ -366,6 +366,93 @@ def bench_e2e_overlapped(plan, planes, n_frames=48):
     return n_frames / wall
 
 
+def bench_e2e_hybrid(plan, planes, n_frames=96, dev_batch=6):
+    """Cooperative host+device entropy (round-4 ladder rung): host
+    workers and the v4 in-kernel BATCH tier claim DISJOINT frames from
+    one shared counter while the device pixel pipeline covers every
+    frame — the ~85-90% of chip time that e2e_overlapped leaves idle
+    becomes entropy throughput instead of sitting dark. Device claims
+    whole batches (one kernel launch each, lanes = batch x segments)
+    and stops claiming near the tail so a straggling launch cannot
+    extend the wall past the host side. Same transfer-exclusion
+    contract as bench_e2e_overlapped. Returns (fps, device_frames)."""
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+    from concurrent.futures import ThreadPoolExecutor
+
+    from jpeg_tpu.entropy.device_kernel import kernel_runner_batch
+    from jpeg_tpu.models.decoder import PipelineGeometry
+    from jpeg_tpu.ops.pallas_kernels import (
+        fused_plane_decoder,
+        plan_quant_patterns,
+    )
+    from jpeg_tpu.runtime import native_decode_planes
+
+    geom = PipelineGeometry.of(plan)
+    fn = fused_plane_decoder(geom, "truncate")
+    args = [jnp.asarray(p) for p in planes] + [
+        jnp.asarray(q) for q in plan_quant_patterns(plan, geom)
+    ]
+
+    @jax.jit
+    def loop(p0, *rest):
+        def body(i, acc):
+            out = fn(p0 + (acc % 2).astype(jnp.int16), *rest)
+            return acc + out.astype(jnp.int32)[0, 0, 0]
+        return jax.lax.fori_loop(0, n_frames, body, jnp.int32(0))
+
+    kernel, kargs, _, _, _ = kernel_runner_batch(
+        [plan] * dev_batch, gather="mxu")
+
+    @jax.jit
+    def dev_entropy(*a):
+        out, err = kernel(*a)
+        return out.astype(jnp.float32).sum(), err.sum()
+
+    int(loop(*args))  # compile + warmup (pipeline)
+    s, _ = dev_entropy(*kargs)
+    float(s)  # compile + warmup (entropy batch)
+
+    lock = threading.Lock()
+    state = {"left": n_frames, "dev": 0}
+
+    def claim(k, guard=0):
+        with lock:
+            if state["left"] >= k + guard:
+                state["left"] -= k
+                return True
+            return False
+
+    def host_worker():
+        while claim(1):
+            native_decode_planes(plan, n_threads=1)
+
+    def dev_side():
+        # Tail guard: never claim the last 2 batches' worth — a 100+ ms
+        # straggler launch must not outlive the host side.
+        while claim(dev_batch, guard=2 * dev_batch):
+            s, _ = dev_entropy(*kargs)
+            float(s)
+            with lock:
+                state["dev"] += dev_batch
+
+    n_workers = os.cpu_count() or 1
+    t0 = time.perf_counter()
+    pipe_thread = threading.Thread(target=lambda: int(loop(*args)))
+    ent_thread = threading.Thread(target=dev_side)
+    pipe_thread.start()
+    ent_thread.start()
+    with ThreadPoolExecutor(max_workers=n_workers) as ex:
+        for _ in range(n_workers):
+            ex.submit(host_worker)
+    ent_thread.join()
+    pipe_thread.join()
+    wall = time.perf_counter() - t0
+    return n_frames / wall, state["dev"]
+
+
 def bench_device_entropy_batched(n_images=32, width=1920, height=1080):
     """Lane-batched device entropy decode of a homogeneous corpus
     (VERDICT r1 item 1a): all images' restart segments on the lane axis.
@@ -513,6 +600,14 @@ def device_stage(plan_bytes_file, planes_ready):
     e2e = bench_e2e_overlapped(plan, planes)
     out["e2e_overlapped_fps"] = round(e2e, 2)
     log(f"e2e overlapped (measured): {e2e:.1f} frames/s")
+    try:
+        hyb, dev_frames = bench_e2e_hybrid(plan, planes)
+        out["e2e_hybrid_fps"] = round(hyb, 2)
+        out["e2e_hybrid_device_frames"] = dev_frames
+        log(f"e2e hybrid host+device entropy: {hyb:.1f} frames/s "
+            f"(device decoded {dev_frames} frames' entropy)")
+    except Exception as e:  # noqa: BLE001 — diagnostic rung, never fatal
+        log(f"e2e hybrid: failed ({type(e).__name__}: {e})")
     # Approx-IDCT tier (JDCT_IFAST analogue, idct_mode="approx").
     try:
         import jax as _jax
@@ -795,7 +890,10 @@ def main():
     # host metrics); measured host+device overlap is the headline when
     # available, host corpus rate otherwise.
     dev = _run_device_stage(data)
-    e2e_fps = dev.get("e2e_overlapped_fps") or corpus_entropy_fps
+    # Headline = best measured production-routable e2e: host-only
+    # overlap, or hybrid host+device entropy when that rung wins.
+    e2e_fps = max(dev.get("e2e_overlapped_fps") or 0.0,
+                  dev.get("e2e_hybrid_fps") or 0.0) or corpus_entropy_fps
     detail = {
         "entropy_host_fps": round(entropy_fps, 2),
         "entropy_corpus_fps": round(corpus_entropy_fps, 2),

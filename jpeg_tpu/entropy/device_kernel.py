@@ -486,7 +486,10 @@ def kernel_runner_batch(plans: list, interpret: bool = False,
     max_mcus = max(s.mcu_count for p in plans for s in p.segments)
     max_words = max(-(-(s.byte_end - s.byte_start) // 4)
                     for p in plans for s in p.segments) + 4
-    W = -(-max_words // 8) * 8
+    # Bucket the lane-column height so successive corpus batches with
+    # slightly different longest-segment lengths reuse the lru-cached
+    # compiled kernel (256 words = 1 KB/lane granularity).
+    W = -(-max_words // 256) * 256
     lane_base = []
     cols, nblk, bitend = [], [], []
     pos = 0
@@ -508,17 +511,21 @@ def kernel_runner_batch(plans: list, interpret: bool = False,
 
 
 def decode_coefficients_device4_batch(plans: list, interpret: bool = False,
-                                      gather: str = "select"):
+                                      gather: str = "select",
+                                      to_host: bool = True):
     """Corpus entropy decode in ONE kernel launch -> (list of
     [total_blocks, 64] i32 per image, err [S_total]). The per-image lane
     rows are trimmed per segment when an image's restart interval is
     shorter than the batch-wide max (same reshape contract as the v1
-    batch tier)."""
+    batch tier). ``to_host=False`` keeps the coefficient arrays on
+    device (the hybrid corpus route feeds them straight into the XLA
+    pixel pipeline — no D2H of ~50 MB/4K frame)."""
     kernel, args, max_mcus, S, lane_base = kernel_runner_batch(
         plans, interpret, gather)
     bpm = plans[0].blocks_per_mcu
     out, err = kernel(*args)
-    flat = np.moveaxis(np.asarray(out), 3, 0).reshape(
+    xp = np if to_host else jnp
+    flat = xp.moveaxis(np.asarray(out) if to_host else out, 3, 0).reshape(
         S, max_mcus * bpm, 64)
     results = []
     for p, row in zip(plans, lane_base):
@@ -526,7 +533,7 @@ def decode_coefficients_device4_batch(plans: list, interpret: bool = False,
         if all(s.mcu_count == max_mcus for s in segs[:-1]):
             img = flat[row : row + len(segs)].reshape(-1, 64)
         else:
-            img = np.concatenate(
+            img = xp.concatenate(
                 [flat[row + i, : s.mcu_count * bpm]
                  for i, s in enumerate(segs)])
         results.append(img[: p.total_blocks])
