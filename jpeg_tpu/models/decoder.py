@@ -227,6 +227,38 @@ def decode_coefficients_host(plan: DecodePlan, engine: str = "auto") -> np.ndarr
     return decode_coefficients(plan)
 
 
+def coefficient_planes_from_blocks(coeffs, geom: PipelineGeometry):
+    """Stream-ordered zigzag blocks [total_blocks, 64] -> per-component
+    natural-order int16 coefficient planes in the C++ runtime's padded
+    plane layout (``runtime.native_decode_planes`` parity, shapes per
+    ``ops.pallas_kernels.padded_plane_shapes``). Pure jnp data movement —
+    this is how the hybrid corpus route feeds DEVICE-decoded entropy
+    (entropy/device_kernel.py batch tier) into the same fused Pallas
+    pixel pipeline as host-decoded images, keeping the fast-path output
+    bit-identical regardless of which side decoded the entropy."""
+    from jpeg_tpu.ops.pallas_kernels import padded_plane_shapes
+    from jpeg_tpu.ops.zigzag import NATURAL_TO_ZIGZAG
+
+    shapes = padded_plane_shapes(geom)
+    mcu_view = jnp.asarray(coeffs).reshape(
+        geom.n_mcus, geom.blocks_per_mcu, 64)
+    planes = []
+    for ci, ((h, v), (off, k)) in enumerate(
+            zip(geom.sampling, geom.component_slot_ranges())):
+        c = mcu_view[:, off : off + k]
+        c = c[..., NATURAL_TO_ZIGZAG]  # zigzag -> natural within blocks
+        my, mx = geom.mcus_y, geom.mcus_x
+        c = (c.reshape(my, mx, v, h, 8, 8)
+             .transpose(0, 2, 4, 1, 3, 5)
+             .reshape(my * v * 8, mx * h * 8))
+        rows, cols = shapes[ci]
+        plane = jnp.zeros((rows, cols), jnp.int16)
+        plane = plane.at[: my * v * 8, : mx * h * 8].set(
+            c.astype(jnp.int16))
+        planes.append(plane)
+    return planes
+
+
 def decode_plan(plan: DecodePlan, rounding: str = "truncate",
                 engine: str = "auto", coefficients: np.ndarray | None = None,
                 upsample: str = "replicate", color_space: str = "rgb"):
@@ -304,7 +336,12 @@ def decode_plan_fast(plan: DecodePlan, rounding: str = "truncate",
 
 def progressive_planes(plan: DecodePlan) -> list[np.ndarray]:
     """Progressive entropy decode -> int16 coefficient planes in the fast
-    path's plane layout (``jpeg_tpu.runtime.plane_shapes``)."""
+    path's plane layout (``jpeg_tpu.runtime.plane_shapes``).
+
+    When the native path is used, the returned arrays are the runtime's
+    per-thread scratch buffers (same ``reuse_buffer`` contract as
+    :func:`jpeg_tpu.runtime.native_decode_planes`): consume or ``.copy()``
+    them before the calling thread decodes another same-geometry image."""
     from jpeg_tpu.entropy.progressive import decode_progressive_coefficients
     from jpeg_tpu.ops.zigzag import unzigzag
     from jpeg_tpu.runtime import plane_shapes

@@ -88,10 +88,21 @@ class BatchedCorpusDecoder:
     """
 
     def __init__(self, workers: int | None = None, rounding: str = "truncate",
-                 mesh=None):
+                 mesh=None, hybrid_device: bool = False,
+                 device_batch: int = 6, _device_interpret: bool = False):
         self.workers = workers or os.cpu_count() or 1
         self.rounding = rounding
         self.mesh = mesh
+        # Cooperative host+device entropy (round-4 hybrid rung): a device
+        # thread claims whole batches of images from the BACK of the work
+        # list and entropy-decodes them in ONE in-kernel launch
+        # (entropy/device_kernel.py) while host workers drain the front —
+        # measured on-chip: the otherwise-idle chip adds ~60 fps of 4K
+        # entropy beside a ~200 fps 4-core host tier. Ineligible or
+        # erroring images fall back to the host path bit-exactly.
+        self.hybrid_device = hybrid_device
+        self.device_batch = device_batch
+        self._device_interpret = _device_interpret
 
     def _entropy_one(self, path_or_bytes):
         from jpeg_tpu.io.container import parse_jpeg
@@ -129,7 +140,14 @@ class BatchedCorpusDecoder:
             if plan.progressive:
                 from jpeg_tpu.models.decoder import progressive_planes
 
-                planes = progressive_planes(plan)
+                # progressive_planes returns the runtime's per-thread
+                # scratch buffer (same reuse contract as
+                # native_decode_planes): copy before this worker thread
+                # decodes another same-geometry image, or the stored
+                # planes are silently overwritten (found by
+                # test_hybrid_device_corpus; was a rare flake in
+                # test_mixed_corpus_stress).
+                planes = [p.copy() for p in progressive_planes(plan)]
             else:
                 planes = [p.copy() for p in
                           native_decode_planes(plan, n_threads=1)]
@@ -137,14 +155,111 @@ class BatchedCorpusDecoder:
         except Exception as e:  # noqa: BLE001 — isolation boundary
             return (name, None, None, None, f"{type(e).__name__}: {e}")
 
+    def _read(self, path_or_bytes) -> bytes:
+        if isinstance(path_or_bytes, str):
+            with open(path_or_bytes, "rb") as f:
+                return f.read()
+        return path_or_bytes
+
+    def _device_eligible(self, plan) -> bool:
+        return (not getattr(plan, "lossless", False)
+                and plan.precision == 8
+                and plan.color_model in ("ycbcr", "gray")
+                and not plan.progressive
+                and len(plan.segments) >= 2)
+
+    def _hybrid_parse(self, items):
+        """Shared-queue parse/entropy stage: host workers drain the FRONT
+        (native C++ tier), one device thread claims ``device_batch``-sized
+        groups from the BACK and decodes their entropy in a single
+        in-kernel launch, feeding coefficients straight into the compat
+        XLA pixel pipeline on-device. Any ineligible, table-mismatched or
+        erroring image falls back to the exact host route."""
+        import threading
+        from collections import deque
+
+        from jpeg_tpu.entropy.device_kernel import (
+            decode_coefficients_device4_batch,
+        )
+        from jpeg_tpu.io.container import parse_jpeg
+        from jpeg_tpu.models.decoder import (
+            PipelineGeometry,
+            coefficient_planes_from_blocks,
+        )
+
+        parsed: list = [None] * len(items)
+        work = deque(range(len(items)))
+        lk = threading.Lock()
+
+        def pop_front():
+            with lk:
+                return work.popleft() if work else None
+
+        def pop_back_batch(k):
+            # Tail guard: leave at least one batch's worth for the host so
+            # a straggling device launch cannot extend the wall.
+            with lk:
+                if len(work) >= 2 * k:
+                    return [work.pop() for _ in range(k)]
+                return None
+
+        def host_worker():
+            while (i := pop_front()) is not None:
+                parsed[i] = self._entropy_one(items[i])
+
+        def fallback(idxs):
+            for i in idxs:
+                parsed[i] = self._entropy_one(items[i])
+
+        def device_side():
+            while (idxs := pop_back_batch(self.device_batch)) is not None:
+                plans = []
+                try:
+                    for i in idxs:
+                        plans.append(parse_jpeg(self._read(items[i])))
+                    if not all(self._device_eligible(p) for p in plans):
+                        raise ValueError("ineligible for device route")
+                    coeffs, err = decode_coefficients_device4_batch(
+                        plans, interpret=self._device_interpret,
+                        to_host=False)
+                except Exception:  # noqa: BLE001 — exact host fallback
+                    fallback(idxs)
+                    continue
+                off = 0
+                for i, p, c in zip(idxs, plans, coeffs):
+                    seg_err = err[off : off + len(p.segments)].any()
+                    off += len(p.segments)
+                    if seg_err:
+                        fallback([i])
+                        continue
+                    # Same bucketed fused-kernel route as host-decoded
+                    # images: relayout the device coefficients into the
+                    # native plane layout ON DEVICE — output stays
+                    # bit-identical regardless of who decoded the entropy.
+                    geom = PipelineGeometry.of(p)
+                    planes = coefficient_planes_from_blocks(c, geom)
+                    name = items[i] if isinstance(items[i], str) else "<bytes>"
+                    parsed[i] = (name, p, geom, planes, None)
+
+        dev_thread = threading.Thread(target=device_side)
+        dev_thread.start()
+        with ThreadPoolExecutor(max_workers=self.workers) as ex:
+            for _ in range(self.workers):
+                ex.submit(host_worker)
+        dev_thread.join()
+        return parsed
+
     def decode_all(self, items) -> list[DecodeResult]:
         import numpy as np_
 
         from jpeg_tpu.ops.pallas_kernels import plan_quant_patterns
         from jpeg_tpu.parallel.batch import decode_batch_fast
 
-        with ThreadPoolExecutor(max_workers=self.workers) as ex:
-            parsed = list(ex.map(self._entropy_one, items))
+        if self.hybrid_device:
+            parsed = self._hybrid_parse(items)
+        else:
+            with ThreadPoolExecutor(max_workers=self.workers) as ex:
+                parsed = list(ex.map(self._entropy_one, items))
 
         results: list[DecodeResult | None] = [None] * len(parsed)
         buckets: dict = {}

@@ -132,3 +132,29 @@ def test_batched_corpus_mixed_lossless():
         [synthetic_jpeg(64, 48, seed=1), encode_lossless(img, predictor=4)])
     assert all(r.ok for r in res)
     np.testing.assert_array_equal(res[1].rgb, img)
+
+
+def test_hybrid_device_corpus():
+    """Cooperative host+device entropy route: device thread claims batches
+    from the back (in-kernel interpret on CPU), host drains the front —
+    every image must be bit-identical to its single-image decode, incl.
+    fallback for an ineligible (progressive) and a corrupt item."""
+    from jpeg_tpu.io.corpus import synthetic_image
+    from jpeg_tpu.models.encoder import encode_rgb, encode_rgb_progressive
+    from jpeg_tpu.parallel.pipeline import BatchedCorpusDecoder
+
+    items = [
+        encode_rgb(synthetic_image(96, 64, seed=i), quality=85,
+                   subsampling=(2, 2), restart_interval_mcus=3)
+        for i in range(10)
+    ]
+    items.append(encode_rgb_progressive(synthetic_image(96, 64, seed=11),
+                                        quality=85))  # ineligible -> host
+    items.append(b"\xff\xd8 broken")  # corrupt -> host error isolation
+
+    dec = BatchedCorpusDecoder(workers=2, hybrid_device=True,
+                               device_batch=3, _device_interpret=True)
+    results = dec.decode_all(items)
+    assert [r.ok for r in results] == [True] * 11 + [False]
+    for data, r in zip(items[:11], results[:11]):
+        np.testing.assert_array_equal(r.rgb, decode_bytes(data, path="fast"))
