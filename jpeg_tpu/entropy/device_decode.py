@@ -398,9 +398,29 @@ def device_path_profitable(plan: DecodePlan,
     is ~7x of pure VPU/MXU gather work (a [2048-row LUT + word-column]
     select-reduce per symbol vs an L1-resident table lookup). The
     crossover still favors the host on any realistic host:chip ratio,
-    so the gate stays "never"; the in-kernel tier is the scale-out /
-    host-offload path and its per-lane cost now falls with lane count
-    (bench.py records `device_entropy_inkernel_fps`).
+    so the gate stays "never" FOR EXCLUSIVE ROUTING; the in-kernel tier
+    is the scale-out / host-offload path and its per-lane cost now
+    falls with lane count (bench.py records
+    `device_entropy_inkernel_fps`).
+
+    Round 4, final rung — COOPERATIVE routing makes the crossover
+    question moot. The head-to-head framing above assumes entropy runs
+    on EITHER the host OR the chip; but during e2e decode the chip is
+    ~85-90% idle (pixel pipeline 2,081 fps vs ~220 e2e), so device
+    entropy does not need to beat the host — it only needs to beat
+    zero, which it now does by a wide margin. The in-kernel BATCH tier
+    (``device_kernel.kernel_runner_batch``: all images' segments on
+    the lane axis) amortizes the per-MCU-step vector work across a
+    corpus: 4K row-restart batch 2/4/6 -> 30.7/49.3/63.8 frames/s of
+    pure device entropy (tools/probe_v4_batch.py; batch 8 exceeds the
+    16 MB scoped-VMEM limit). Run CONCURRENTLY with the 4-core host
+    tier and the pixel pipeline, measured back-to-back at equal VM
+    mood: e2e 174.0 -> 293.5 fps (+69%, bench_e2e_hybrid, device
+    decoding 18/96 frames; chip ~100% busy). Production surface:
+    ``BatchedCorpusDecoder(hybrid_device=True)``. This gate still
+    answers the EXCLUSIVE question (and still says never); the hybrid
+    route bypasses it by construction since it only consumes
+    otherwise-idle chip time.
     """
     if min_segments is None:
         return False
