@@ -136,7 +136,8 @@ def cmd_corpus(args) -> int:
 
         with timer.stage("decode", frames=len(paths)):
             results = BatchedCorpusDecoder(
-                rounding=args.rounding).decode_all(paths)
+                rounding=args.rounding,
+                hybrid_device=args.hybrid_device).decode_all(paths)
         for p, r in zip(paths, results):
             if r.ok:
                 done += 1
@@ -302,6 +303,10 @@ def main(argv=None) -> int:
     c.add_argument("--process-index", type=int, default=0)
     c.add_argument("--process-count", type=int, default=1)
     c.add_argument("--strict", action="store_true", help="exit 1 on any failure")
+    c.add_argument("--hybrid-device", action="store_true",
+                   help="with --batched: the TPU also entropy-decodes "
+                        "batches of images (in-kernel tier) beside the "
+                        "host workers — uses otherwise-idle chip time")
     c.add_argument("--batched", action="store_true",
                    help="geometry-bucketed batch decode (fast Pallas path)")
     c.add_argument("--distributed", action="store_true",
