@@ -412,8 +412,10 @@ def device_path_profitable(plan: DecodePlan,
     (``device_kernel.kernel_runner_batch``: all images' segments on
     the lane axis) amortizes the per-MCU-step vector work across a
     corpus: 4K row-restart batch 2/4/6 -> 30.7/49.3/63.8 frames/s of
-    pure device entropy (tools/probe_v4_batch.py; batch 8 exceeds the
-    16 MB scoped-VMEM limit). Run CONCURRENTLY with the 4-core host
+    pure device entropy; 1080p batch 8/16/24 -> 169/277/334.7 frames/s
+    (tools/probe_v4_batch.py; the batch ceiling is the 16 MB
+    scoped-VMEM limit on the resident lane word columns — 4K caps at
+    ~6, 1080p at ~24). Run CONCURRENTLY with the 4-core host
     tier and the pixel pipeline, measured back-to-back at equal VM
     mood: e2e 174.0 -> 293.5 fps (+69%, bench_e2e_hybrid, device
     decoding 18/96 frames; chip ~100% busy). Production surface:
