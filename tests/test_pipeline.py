@@ -158,3 +158,23 @@ def test_hybrid_device_corpus():
     assert [r.ok for r in results] == [True] * 11 + [False]
     for data, r in zip(items[:11], results[:11]):
         np.testing.assert_array_equal(r.rgb, decode_bytes(data, path="fast"))
+
+
+def test_hybrid_device_corpus_sharded():
+    """hybrid_device composes with mesh sharding: device-decoded planes
+    join the same sharded buckets bit-exactly."""
+    from jpeg_tpu.io.corpus import synthetic_image
+    from jpeg_tpu.models.encoder import encode_rgb
+    from jpeg_tpu.parallel.mesh import make_mesh
+    from jpeg_tpu.parallel.pipeline import BatchedCorpusDecoder
+
+    mesh = make_mesh(n_data=4, n_seg=1)
+    items = [encode_rgb(synthetic_image(96, 64, seed=i), quality=85,
+                        subsampling=(2, 2), restart_interval_mcus=3)
+             for i in range(9)]  # 8 sharded + 1 spill
+    dec = BatchedCorpusDecoder(workers=2, mesh=mesh, hybrid_device=True,
+                               device_batch=3, _device_interpret=True)
+    results = dec.decode_all(items)
+    assert all(r.ok for r in results)
+    for data, r in zip(items, results):
+        np.testing.assert_array_equal(r.rgb, decode_bytes(data, path="fast"))
