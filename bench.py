@@ -366,7 +366,7 @@ def bench_e2e_overlapped(plan, planes, n_frames=48):
     return n_frames / wall
 
 
-def bench_e2e_hybrid(plan, planes, n_frames=96, dev_batch=6):
+def bench_e2e_hybrid(plan, planes, n_frames=96, dev_batch=None):
     """Cooperative host+device entropy (round-4 ladder rung): host
     workers and the v4 in-kernel BATCH tier claim DISJOINT frames from
     one shared counter while the device pixel pipeline covers every
@@ -375,14 +375,19 @@ def bench_e2e_hybrid(plan, planes, n_frames=96, dev_batch=6):
     whole batches (one kernel launch each, lanes = batch x segments)
     and stops claiming near the tail so a straggling launch cannot
     extend the wall past the host side. Same transfer-exclusion
-    contract as bench_e2e_overlapped. Returns (fps, device_frames)."""
+    contract as bench_e2e_overlapped. dev_batch=None auto-sizes the
+    device claim to the VMEM budget from the plan geometry
+    (suggest_device_batch). Returns (fps, device_frames, dev_batch)."""
     import threading
 
     import jax
     import jax.numpy as jnp
     from concurrent.futures import ThreadPoolExecutor
 
-    from jpeg_tpu.entropy.device_kernel import kernel_runner_batch
+    from jpeg_tpu.entropy.device_kernel import (
+        kernel_runner_batch,
+        suggest_device_batch,
+    )
     from jpeg_tpu.models.decoder import PipelineGeometry
     from jpeg_tpu.ops.pallas_kernels import (
         fused_plane_decoder,
@@ -403,6 +408,8 @@ def bench_e2e_hybrid(plan, planes, n_frames=96, dev_batch=6):
             return acc + out.astype(jnp.int32)[0, 0, 0]
         return jax.lax.fori_loop(0, n_frames, body, jnp.int32(0))
 
+    if dev_batch is None:
+        dev_batch = suggest_device_batch(plan)
     kernel, kargs, _, _, _ = kernel_runner_batch(
         [plan] * dev_batch, gather="mxu")
 
@@ -450,7 +457,7 @@ def bench_e2e_hybrid(plan, planes, n_frames=96, dev_batch=6):
     ent_thread.join()
     pipe_thread.join()
     wall = time.perf_counter() - t0
-    return n_frames / wall, state["dev"]
+    return n_frames / wall, state["dev"], dev_batch
 
 
 def bench_device_entropy_batched(n_images=32, width=1920, height=1080):
@@ -601,11 +608,13 @@ def device_stage(plan_bytes_file, planes_ready):
     out["e2e_overlapped_fps"] = round(e2e, 2)
     log(f"e2e overlapped (measured): {e2e:.1f} frames/s")
     try:
-        hyb, dev_frames = bench_e2e_hybrid(plan, planes)
+        hyb, dev_frames, hyb_batch = bench_e2e_hybrid(plan, planes)
         out["e2e_hybrid_fps"] = round(hyb, 2)
         out["e2e_hybrid_device_frames"] = dev_frames
+        out["e2e_hybrid_device_batch"] = hyb_batch
         log(f"e2e hybrid host+device entropy: {hyb:.1f} frames/s "
-            f"(device decoded {dev_frames} frames' entropy)")
+            f"(device decoded {dev_frames} frames' entropy, "
+            f"auto batch {hyb_batch})")
     except Exception as e:  # noqa: BLE001 — diagnostic rung, never fatal
         log(f"e2e hybrid: failed ({type(e).__name__}: {e})")
     # Approx-IDCT tier (JDCT_IFAST analogue, idct_mode="approx").
@@ -649,6 +658,26 @@ def device_stage(plan_bytes_file, planes_ready):
     out["corpus_1080p_device_fps"] = round(c1080_dev, 2)
     log(f"1080p corpus: entropy {c1080_entropy:.1f} fps, "
         f"batched device {c1080_dev:.1f} fps")
+    # 1080p hybrid corpus (ROADMAP r4 lever): at 1080p the in-kernel
+    # device tier is ~30-50% of the 4-core host rate by itself, so the
+    # cooperative split matters even more than at 4K. Same contract as
+    # the 4K e2e hybrid (pipeline covers every frame, host + device
+    # claim disjoint frames' entropy).
+    try:
+        from jpeg_tpu.io.corpus import synthetic_jpeg as _sj
+
+        _p1080 = parse_jpeg(_sj(1920, 1080, seed=0))
+        _pl1080 = [np.asarray(p) for p in native_decode_planes(_p1080)]
+        hyb1080, dev1080, b1080 = bench_e2e_hybrid(
+            _p1080, _pl1080, n_frames=256)
+        out["corpus_1080p_hybrid_fps"] = round(hyb1080, 2)
+        out["corpus_1080p_hybrid_device_frames"] = dev1080
+        out["corpus_1080p_hybrid_device_batch"] = b1080
+        log(f"1080p hybrid host+device entropy: {hyb1080:.1f} frames/s "
+            f"(device decoded {dev1080} frames' entropy, "
+            f"auto batch {b1080})")
+    except Exception as e:  # noqa: BLE001 — diagnostic rung, never fatal
+        log(f"1080p hybrid: failed ({type(e).__name__}: {e})")
     # Sharded-Mosaic smoke (VERDICT r1 weak #7): run the batched fused
     # kernel under an explicit NamedSharding on a real-device mesh (1 chip
     # here; the same code path the 8-device CPU dryrun compiles). Proves

@@ -48,6 +48,43 @@ from jpeg_tpu.io.container import DecodePlan
 
 T11 = 2048  # primary LUT size (11-bit peek)
 
+# Scoped-VMEM budget for one in-kernel batch launch, calibrated on the real
+# chip (v5e, 16 MiB scoped VMEM/core). The model counts the grid-invariant
+# lane word block (W x S_pad x 4 B) plus a double-buffered per-step output
+# block (2 x bpm x 64 x S_pad x 4 B), S_pad = lanes rounded to the 128-lane
+# tile. Mosaic's real frame is ~25% larger than this (extra staging the
+# model can't see): 4K row-restart batch 7 models at 13.0 MB but measures
+# 16.63 MB scoped (OOM at the 16 MB limit), while batch 6 (11.4 MB model)
+# runs; 1080p batch 24 (13.0 MB model) runs, batch 32 (17.0 MB) OOMs.
+# A 12 MB model budget keeps every pick inside the measured walls
+# (4K -> 6, 1080p -> 22).
+_VMEM_BATCH_BUDGET = 12 * 2**20
+
+
+def suggest_device_batch(plan: DecodePlan,
+                         vmem_budget: int = _VMEM_BATCH_BUDGET,
+                         max_batch: int = 64) -> int:
+    """Largest homogeneous-corpus batch whose in-kernel launch fits the
+    measured VMEM budget, from ``plan``'s geometry (segments-per-image,
+    longest segment, blocks/MCU). The hybrid corpus route
+    (``BatchedCorpusDecoder(hybrid_device=True)``) and
+    ``bench.bench_e2e_hybrid`` use this instead of a hand-picked batch:
+    4K row-restart -> 6, 1080p -> 22 on the calibration corpora."""
+    s_img = max(1, len(plan.segments))
+    bpm = plan.blocks_per_mcu
+    max_words = max(
+        -(-(s.byte_end - s.byte_start) // 4) for s in plan.segments) + 4
+    w = -(-max_words // 256) * 256  # kernel_runner_batch's word bucketing
+    best = 1
+    for b in range(1, max_batch + 1):
+        s_pad = -(-(b * s_img) // 128) * 128
+        need = (w * s_pad + 2 * bpm * 64 * s_pad) * 4
+        if need <= vmem_budget:
+            best = b
+        else:
+            break
+    return best
+
 
 # --------------------------------------------------------------------------
 # Host-side table prep

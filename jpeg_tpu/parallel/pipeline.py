@@ -89,7 +89,8 @@ class BatchedCorpusDecoder:
 
     def __init__(self, workers: int | None = None, rounding: str = "truncate",
                  mesh=None, hybrid_device: bool = False,
-                 device_batch: int = 6, _device_interpret: bool = False):
+                 device_batch: int | None = None,
+                 _device_interpret: bool = False):
         self.workers = workers or os.cpu_count() or 1
         self.rounding = rounding
         self.mesh = mesh
@@ -100,6 +101,8 @@ class BatchedCorpusDecoder:
         # measured on-chip: the otherwise-idle chip adds ~60 fps of 4K
         # entropy beside a ~200 fps 4-core host tier. Ineligible or
         # erroring images fall back to the host path bit-exactly.
+        # device_batch=None auto-sizes each claim to the VMEM budget from
+        # the corpus geometry (suggest_device_batch: 4K->7, 1080p->25).
         self.hybrid_device = hybrid_device
         self.device_batch = device_batch
         self._device_interpret = _device_interpret
@@ -180,12 +183,25 @@ class BatchedCorpusDecoder:
 
         from jpeg_tpu.entropy.device_kernel import (
             decode_coefficients_device4_batch,
+            suggest_device_batch,
         )
         from jpeg_tpu.io.container import parse_jpeg
         from jpeg_tpu.models.decoder import (
             PipelineGeometry,
             coefficient_planes_from_blocks,
         )
+
+        device_batch = self.device_batch
+        if device_batch is None:
+            # Auto-size each device claim to the VMEM budget from the back
+            # item's geometry (the first one the device would claim); any
+            # parse failure just means the host route handles that item.
+            try:
+                probe = parse_jpeg(self._read(items[-1]))
+                device_batch = (suggest_device_batch(probe)
+                                if self._device_eligible(probe) else 6)
+            except Exception:  # noqa: BLE001 — host fallback decides later
+                device_batch = 6
 
         parsed: list = [None] * len(items)
         work = deque(range(len(items)))
@@ -212,7 +228,7 @@ class BatchedCorpusDecoder:
                 parsed[i] = self._entropy_one(items[i])
 
         def device_side():
-            while (idxs := pop_back_batch(self.device_batch)) is not None:
+            while (idxs := pop_back_batch(device_batch)) is not None:
                 plans = []
                 try:
                     for i in idxs:

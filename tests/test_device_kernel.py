@@ -133,3 +133,46 @@ def test_batch_rejects_heterogeneous_tables():
                               optimize=True))  # per-image tables differ
     with pytest.raises(ValueError, match="identical slot structure"):
         kernel_runner_batch([a, b])
+
+
+def test_suggest_device_batch_calibration():
+    """The VMEM-model auto-sizer (suggest_device_batch) stays inside the
+    measured on-chip walls: 4K row-restart batch 7 OOMs at 16.63 MB
+    scoped (16 MB limit) so the pick must be <= 6; 1080p batch 24 runs
+    and 32 OOMs so the pick must land in [16, 31]. Monotone in budget,
+    >= 1 always."""
+    from jpeg_tpu.entropy.device_kernel import suggest_device_batch
+    from jpeg_tpu.io.corpus import synthetic_jpeg
+
+    p4k = parse_jpeg(synthetic_jpeg(3840, 2160, restart_rows=1, seed=0))
+    p1080 = parse_jpeg(synthetic_jpeg(1920, 1080, seed=0))
+    b4k = suggest_device_batch(p4k)
+    b1080 = suggest_device_batch(p1080)
+    assert 1 <= b4k <= 6
+    assert 16 <= b1080 <= 31
+    assert b1080 > b4k
+    # Monotone in budget; floor of 1 even under an absurdly small budget.
+    assert suggest_device_batch(p4k, vmem_budget=1) == 1
+    assert (suggest_device_batch(p1080, vmem_budget=24 << 20)
+            >= b1080)
+
+
+def test_hybrid_auto_batch_smoke():
+    """BatchedCorpusDecoder(hybrid_device=True) with device_batch=None
+    resolves the batch from the corpus geometry and still decodes
+    bit-exactly (interpret mode on CPU)."""
+    from jpeg_tpu.io.corpus import synthetic_image
+    from jpeg_tpu.models.decoder import decode_bytes
+    from jpeg_tpu.parallel.pipeline import BatchedCorpusDecoder
+
+    items = [
+        encode_rgb(synthetic_image(64, 48, seed=i), quality=85,
+                   subsampling=(2, 2), restart_interval_mcus=2)
+        for i in range(6)
+    ]
+    dec = BatchedCorpusDecoder(workers=2, hybrid_device=True,
+                               _device_interpret=True)
+    results = dec.decode_all(items)
+    assert all(r.ok for r in results)
+    for data, r in zip(items, results):
+        np.testing.assert_array_equal(r.rgb, decode_bytes(data, path="fast"))
