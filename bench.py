@@ -366,7 +366,7 @@ def bench_e2e_overlapped(plan, planes, n_frames=48):
     return n_frames / wall
 
 
-def bench_e2e_hybrid(plan, planes, n_frames=96, dev_batch=None):
+def bench_e2e_hybrid(plan, planes, n_frames=192, dev_batch=None):
     """Cooperative host+device entropy (round-4 ladder rung): host
     workers and the v4 in-kernel BATCH tier claim DISJOINT frames from
     one shared counter while the device pixel pipeline covers every
@@ -437,13 +437,26 @@ def bench_e2e_hybrid(plan, planes, n_frames=96, dev_batch=None):
             native_decode_planes(plan, n_threads=1)
 
     def dev_side():
-        # Tail guard: never claim the last 2 batches' worth — a 100+ ms
-        # straggler launch must not outlive the host side.
-        while claim(dev_batch, guard=2 * dev_batch):
-            s, _ = dev_entropy(*kargs)
-            float(s)
+        # Keep ONE launch in flight (jax async dispatch): the tunnel's
+        # dispatch+sync gap is ~27 ms/launch — pipelining measured +36%
+        # device entropy (tools/probe_launch_pipelining.py: 4K batch-6
+        # 59.5 -> 80.8 fps). Tail guard grows by one batch to cover the
+        # in-flight launch: up to two straggler launches must not
+        # outlive the host side's remaining guard frames.
+        infl = None
+
+        def retire(handle):
+            float(handle)
             with lock:
                 state["dev"] += dev_batch
+
+        while claim(dev_batch, guard=3 * dev_batch):
+            nxt = dev_entropy(*kargs)[0]
+            if infl is not None:
+                retire(infl)
+            infl = nxt
+        if infl is not None:
+            retire(infl)
 
     n_workers = os.cpu_count() or 1
     t0 = time.perf_counter()

@@ -422,7 +422,11 @@ def device_path_profitable(plan: DecodePlan,
     ``BatchedCorpusDecoder(hybrid_device=True)``. This gate still
     answers the EXCLUSIVE question (and still says never); the hybrid
     route bypasses it by construction since it only consumes
-    otherwise-idle chip time.
+    otherwise-idle chip time. The per-claim batch is auto-sized to the
+    scoped-VMEM budget from the corpus geometry
+    (``device_kernel.suggest_device_batch``, calibrated against the
+    measured OOM walls: 4K batch 7 = 16.63 MB scoped > the 16 MB
+    limit; picks 4K -> 6, 1080p -> 22 @ 315 fps on-chip).
     """
     if min_segments is None:
         return False

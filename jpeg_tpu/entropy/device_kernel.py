@@ -554,9 +554,11 @@ def decode_coefficients_device4_batch(plans: list, interpret: bool = False,
     [total_blocks, 64] i32 per image, err [S_total]). The per-image lane
     rows are trimmed per segment when an image's restart interval is
     shorter than the batch-wide max (same reshape contract as the v1
-    batch tier). ``to_host=False`` keeps the coefficient arrays on
-    device (the hybrid corpus route feeds them straight into the XLA
-    pixel pipeline — no D2H of ~50 MB/4K frame)."""
+    batch tier). ``to_host=False`` keeps the coefficient arrays AND the
+    error vector on device (the hybrid corpus route feeds coefficients
+    straight into the XLA pixel pipeline — no D2H of ~50 MB/4K frame —
+    and defers the err sync so the caller can keep a second launch in
+    flight; materialize it with ``np.asarray(err)``)."""
     kernel, args, max_mcus, S, lane_base = kernel_runner_batch(
         plans, interpret, gather)
     bpm = plans[0].blocks_per_mcu
@@ -574,4 +576,4 @@ def decode_coefficients_device4_batch(plans: list, interpret: bool = False,
                 [flat[row + i, : s.mcu_count * bpm]
                  for i, s in enumerate(segs)])
         results.append(img[: p.total_blocks])
-    return results, np.asarray(err)[0]
+    return results, (np.asarray(err)[0] if to_host else err[0])

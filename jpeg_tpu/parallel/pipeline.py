@@ -212,10 +212,12 @@ class BatchedCorpusDecoder:
                 return work.popleft() if work else None
 
         def pop_back_batch(k):
-            # Tail guard: leave at least one batch's worth for the host so
-            # a straggling device launch cannot extend the wall.
+            # Tail guard: leave at least two batches' worth for the host —
+            # with one launch kept in flight the device can hold TWO
+            # unfinalized claims, and a straggling launch must not extend
+            # the wall past the host side's remaining work.
             with lk:
-                if len(work) >= 2 * k:
+                if len(work) >= 3 * k:
                     return [work.pop() for _ in range(k)]
                 return None
 
@@ -227,7 +229,32 @@ class BatchedCorpusDecoder:
             for i in idxs:
                 parsed[i] = self._entropy_one(items[i])
 
+        def finalize(idxs, plans, coeffs, err):
+            import numpy as _np
+
+            err = _np.asarray(err)  # sync point: the launch completes here
+            off = 0
+            for i, p, c in zip(idxs, plans, coeffs):
+                seg_err = err[off : off + len(p.segments)].any()
+                off += len(p.segments)
+                if seg_err:
+                    fallback([i])
+                    continue
+                # Same bucketed fused-kernel route as host-decoded
+                # images: relayout the device coefficients into the
+                # native plane layout ON DEVICE — output stays
+                # bit-identical regardless of who decoded the entropy.
+                geom = PipelineGeometry.of(p)
+                planes = coefficient_planes_from_blocks(c, geom)
+                name = items[i] if isinstance(items[i], str) else "<bytes>"
+                parsed[i] = (name, p, geom, planes, None)
+
         def device_side():
+            # Keep ONE launch in flight (jax async dispatch): parsing and
+            # dispatching batch N+1 before syncing batch N hides the
+            # dispatch/sync gap — measured +36% (4K) / +55% (1080p)
+            # device entropy (tools/probe_launch_pipelining.py).
+            pending = None
             while (idxs := pop_back_batch(device_batch)) is not None:
                 plans = []
                 try:
@@ -241,21 +268,11 @@ class BatchedCorpusDecoder:
                 except Exception:  # noqa: BLE001 — exact host fallback
                     fallback(idxs)
                     continue
-                off = 0
-                for i, p, c in zip(idxs, plans, coeffs):
-                    seg_err = err[off : off + len(p.segments)].any()
-                    off += len(p.segments)
-                    if seg_err:
-                        fallback([i])
-                        continue
-                    # Same bucketed fused-kernel route as host-decoded
-                    # images: relayout the device coefficients into the
-                    # native plane layout ON DEVICE — output stays
-                    # bit-identical regardless of who decoded the entropy.
-                    geom = PipelineGeometry.of(p)
-                    planes = coefficient_planes_from_blocks(c, geom)
-                    name = items[i] if isinstance(items[i], str) else "<bytes>"
-                    parsed[i] = (name, p, geom, planes, None)
+                if pending is not None:
+                    finalize(*pending)
+                pending = (idxs, plans, coeffs, err)
+            if pending is not None:
+                finalize(*pending)
 
         dev_thread = threading.Thread(target=device_side)
         dev_thread.start()
