@@ -681,8 +681,11 @@ def device_stage(plan_bytes_file, planes_ready):
 
         _p1080 = parse_jpeg(_sj(1920, 1080, seed=0))
         _pl1080 = [np.asarray(p) for p in native_decode_planes(_p1080)]
+        # 512 frames ~ 0.5 s wall: at 1080p a device claim is only ~41 ms,
+        # so a short run is tail-guard-dominated (256 frames gave the
+        # device 3 claims); steady state needs the longer run.
         hyb1080, dev1080, b1080 = bench_e2e_hybrid(
-            _p1080, _pl1080, n_frames=256)
+            _p1080, _pl1080, n_frames=512)
         out["corpus_1080p_hybrid_fps"] = round(hyb1080, 2)
         out["corpus_1080p_hybrid_device_frames"] = dev1080
         out["corpus_1080p_hybrid_device_batch"] = b1080
