@@ -102,7 +102,7 @@ class BatchedCorpusDecoder:
         # entropy beside a ~200 fps 4-core host tier. Ineligible or
         # erroring images fall back to the host path bit-exactly.
         # device_batch=None auto-sizes each claim to the VMEM budget from
-        # the corpus geometry (suggest_device_batch: 4K->7, 1080p->25).
+        # the corpus geometry (suggest_device_batch: 4K->6, 1080p->22).
         self.hybrid_device = hybrid_device
         self.device_batch = device_batch
         self._device_interpret = _device_interpret
