@@ -59,3 +59,12 @@ results = BatchedCorpusDecoder(workers=2).decode_all(
 print("batch decode ok:", all(r.ok for r in results),
       "identical pixels:", all(
           np.array_equal(results[0].rgb, r.rgb) for r in results[1:]))
+
+# --- cooperative host+device entropy (hybrid_device=True) ---
+# On a large homogeneous corpus the otherwise-idle chip also decodes
+# entropy (in one Pallas kernel per claimed batch, auto-sized to VMEM,
+# one launch kept in flight); pixels stay bit-identical regardless of
+# which side decoded each image. On TPU hardware this is the headline
+# configuration (see README "Performance").
+hybrid = BatchedCorpusDecoder(workers=2, hybrid_device=True)
+# results = hybrid.decode_all(list_of_paths_or_bytes)
