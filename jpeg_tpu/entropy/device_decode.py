@@ -426,7 +426,16 @@ def device_path_profitable(plan: DecodePlan,
     scoped-VMEM budget from the corpus geometry
     (``device_kernel.suggest_device_batch``, calibrated against the
     measured OOM walls: 4K batch 7 = 16.63 MB scoped > the 16 MB
-    limit; picks 4K -> 6, 1080p -> 22 @ 315 fps on-chip).
+    limit; picks 4K -> 6, 1080p -> 22 @ 315 fps on-chip), and ONE
+    launch is kept in flight to hide the ~27 ms dispatch+sync gap
+    (tools/probe_launch_pipelining.py: 4K 59.5 -> 80.8 fps, 1080p
+    346 -> 537 fps). Measured cooperative rates at equal mood:
+    4K e2e 257.5 fps = 32.4x libjpeg (device share 28%); 1080p corpus
+    1208 fps vs 767 host-only (device share 34%). The remaining lane
+    ceiling is structural: lane word columns must be VMEM-resident
+    (refill offsets are data-dependent, so they cannot stream from
+    HBM per grid step), and int16 outputs would break the
+    bit-identical-garbage contract (see device_kernel).
     """
     if min_segments is None:
         return False

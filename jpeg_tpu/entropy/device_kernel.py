@@ -58,6 +58,13 @@ T11 = 2048  # primary LUT size (11-bit peek)
 # runs; 1080p batch 24 (13.0 MB model) runs, batch 32 (17.0 MB) OOMs.
 # A 12 MB model budget keeps every pick inside the measured walls
 # (4K -> 6, 1080p -> 22).
+#
+# Rejected lever: int16 output blocks would halve the out-buffer term and
+# buy ~+1 batch at 4K, but coefficients must stay i32 — on corrupt (or
+# adversarial valid-code) streams DC prediction legitimately accumulates
+# past +-32767, and the cross-tier contract requires BIT-IDENTICAL
+# garbage vs the i32 oracle (test_corrupt_stream_parity), which an i16
+# wraparound would break.
 _VMEM_BATCH_BUDGET = 12 * 2**20
 
 
