@@ -79,18 +79,57 @@ def suggest_device_batch(plan: DecodePlan,
     4K row-restart -> 6, 1080p -> 22 on the calibration corpora."""
     s_img = max(1, len(plan.segments))
     bpm = plan.blocks_per_mcu
-    max_words = max(
-        -(-(s.byte_end - s.byte_start) // 4) for s in plan.segments) + 4
-    w = -(-max_words // 256) * 256  # kernel_runner_batch's word bucketing
+    w = _plan_w(plan)  # kernel_runner_batch's word bucketing
     best = 1
     for b in range(1, max_batch + 1):
-        s_pad = -(-(b * s_img) // 128) * 128
-        need = (w * s_pad + 2 * bpm * 64 * s_pad) * 4
-        if need <= vmem_budget:
+        if _launch_model_bytes(w, b * s_img, bpm) <= vmem_budget:
             best = b
         else:
             break
     return best
+
+
+def _launch_model_bytes(w_bucketed: int, n_lanes: int, bpm: int) -> int:
+    """Analytic scoped-VMEM model for ONE in-kernel batch launch: the
+    grid-invariant lane word block plus a double-buffered per-step output
+    block, lanes padded to the 128-lane tile. Mosaic's real frame is ~25%
+    larger (see _VMEM_BATCH_BUDGET); callers budget at 12 MB."""
+    s_pad = -(-n_lanes // 128) * 128
+    return (w_bucketed * s_pad + 2 * bpm * 64 * s_pad) * 4
+
+
+def _plan_w(plan: DecodePlan) -> int:
+    """Word-column height for ``plan`` under kernel_runner_batch's
+    256-word bucketing (+4 slack words for refill prefetch)."""
+    mw = max(-(-(s.byte_end - s.byte_start) // 4)
+             for s in plan.segments) + 4
+    return -(-mw // 256) * 256
+
+
+def fit_batch_plans(plans: list,
+                    vmem_budget: int = _VMEM_BATCH_BUDGET) -> list:
+    """Split a claimed list of plans into contiguous sub-batches whose
+    one-launch VMEM model each fits ``vmem_budget``, using the ACTUAL
+    claimed plans' segment geometry (kernel_runner_batch sizes W and the
+    grid from the max over the whole batch, so sizing from one probe plan
+    alone can overshoot the budget when later-claimed images have longer
+    segments — advisor r4 finding). Single oversized plans still get
+    their own sub-batch (the launch OOM then falls back per-claim)."""
+    out: list = []
+    cur: list = []
+    cur_w = cur_s = 0
+    for p in plans:
+        w = max(cur_w, _plan_w(p))
+        s = cur_s + len(p.segments)
+        if cur and _launch_model_bytes(
+                w, s, p.blocks_per_mcu) > vmem_budget:
+            out.append(cur)
+            cur, cur_w, cur_s = [p], _plan_w(p), len(p.segments)
+        else:
+            cur, cur_w, cur_s = cur + [p], w, s
+    if cur:
+        out.append(cur)
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -90,6 +90,7 @@ class BatchedCorpusDecoder:
     def __init__(self, workers: int | None = None, rounding: str = "truncate",
                  mesh=None, hybrid_device: bool = False,
                  device_batch: int | None = None,
+                 device_vmem_budget: int | None = None,
                  _device_interpret: bool = False):
         self.workers = workers or os.cpu_count() or 1
         self.rounding = rounding
@@ -105,6 +106,7 @@ class BatchedCorpusDecoder:
         # the corpus geometry (suggest_device_batch: 4K->6, 1080p->22).
         self.hybrid_device = hybrid_device
         self.device_batch = device_batch
+        self.device_vmem_budget = device_vmem_budget
         self._device_interpret = _device_interpret
 
     def _entropy_one(self, path_or_bytes):
@@ -182,7 +184,9 @@ class BatchedCorpusDecoder:
         from collections import deque
 
         from jpeg_tpu.entropy.device_kernel import (
+            _VMEM_BATCH_BUDGET,
             decode_coefficients_device4_batch,
+            fit_batch_plans,
             suggest_device_batch,
         )
         from jpeg_tpu.io.container import parse_jpeg
@@ -191,15 +195,20 @@ class BatchedCorpusDecoder:
             coefficient_planes_from_blocks,
         )
 
+        vmem_budget = self.device_vmem_budget or _VMEM_BATCH_BUDGET
         device_batch = self.device_batch
         if device_batch is None:
             # Auto-size each device claim to the VMEM budget from the back
             # item's geometry (the first one the device would claim); any
             # parse failure just means the host route handles that item.
+            # Claims are re-fit to the ACTUAL claimed plans' geometry
+            # before launch (fit_batch_plans), so this probe only sets the
+            # claim granularity.
             try:
                 probe = parse_jpeg(self._read(items[-1]))
-                device_batch = (suggest_device_batch(probe)
-                                if self._device_eligible(probe) else 6)
+                device_batch = (
+                    suggest_device_batch(probe, vmem_budget=vmem_budget)
+                    if self._device_eligible(probe) else 6)
             except Exception:  # noqa: BLE001 — host fallback decides later
                 device_batch = 6
 
@@ -249,6 +258,19 @@ class BatchedCorpusDecoder:
                 name = items[i] if isinstance(items[i], str) else "<bytes>"
                 parsed[i] = (name, p, geom, planes, None)
 
+        def finalize_guarded(pend):
+            # finalize() holds the deferred sync point (to_host=False), so
+            # an async XLA/launch error surfaces HERE, not at dispatch —
+            # it must fall back to the exact host route like the dispatch
+            # handler does, or the device thread dies with parsed[i]=None
+            # for the claimed images (advisor r4 medium).
+            if pend is None:
+                return
+            try:
+                finalize(*pend)
+            except Exception:  # noqa: BLE001 — exact host fallback
+                fallback(pend[0])
+
         def device_side():
             # Keep ONE launch in flight (jax async dispatch): parsing and
             # dispatching batch N+1 before syncing batch N hides the
@@ -262,17 +284,29 @@ class BatchedCorpusDecoder:
                         plans.append(parse_jpeg(self._read(items[i])))
                     if not all(self._device_eligible(p) for p in plans):
                         raise ValueError("ineligible for device route")
-                    coeffs, err = decode_coefficients_device4_batch(
-                        plans, interpret=self._device_interpret,
-                        to_host=False)
+                    # Re-fit the claim to the claimed plans' own geometry:
+                    # the launch sizes W/grid from the max over the batch,
+                    # so images with longer segments than the auto-batch
+                    # probe would otherwise push the launch past the
+                    # calibrated VMEM budget (advisor r4).
+                    chunks = fit_batch_plans(plans, vmem_budget=vmem_budget)
                 except Exception:  # noqa: BLE001 — exact host fallback
                     fallback(idxs)
                     continue
-                if pending is not None:
-                    finalize(*pending)
-                pending = (idxs, plans, coeffs, err)
-            if pending is not None:
-                finalize(*pending)
+                off = 0
+                for chunk in chunks:
+                    cidx = idxs[off : off + len(chunk)]
+                    off += len(chunk)
+                    try:
+                        coeffs, err = decode_coefficients_device4_batch(
+                            chunk, interpret=self._device_interpret,
+                            to_host=False)
+                    except Exception:  # noqa: BLE001 — exact host fallback
+                        fallback(cidx)
+                        continue
+                    finalize_guarded(pending)
+                    pending = (cidx, chunk, coeffs, err)
+            finalize_guarded(pending)
 
         dev_thread = threading.Thread(target=device_side)
         dev_thread.start()

@@ -157,21 +157,116 @@ def test_suggest_device_batch_calibration():
             >= b1080)
 
 
-def test_hybrid_auto_batch_smoke():
+def test_hybrid_auto_batch_smoke(monkeypatch):
     """BatchedCorpusDecoder(hybrid_device=True) with device_batch=None
     resolves the batch from the corpus geometry and still decodes
-    bit-exactly (interpret mode on CPU)."""
+    bit-exactly (interpret mode on CPU). The small explicit VMEM budget
+    forces a small auto-batch so the device thread genuinely claims work
+    — asserted via a launch counter, so this can't silently pass on the
+    host route alone (advisor r4)."""
+    import jpeg_tpu.entropy.device_kernel as dk
     from jpeg_tpu.io.corpus import synthetic_image
     from jpeg_tpu.models.decoder import decode_bytes
     from jpeg_tpu.parallel.pipeline import BatchedCorpusDecoder
 
+    launches = []
+    real = dk.decode_coefficients_device4_batch
+
+    def counting(plans, **kw):
+        launches.append(len(plans))
+        return real(plans, **kw)
+
+    monkeypatch.setattr(dk, "decode_coefficients_device4_batch", counting)
+
+    items = [
+        encode_rgb(synthetic_image(128, 128, seed=i), quality=85,
+                   subsampling=(2, 2), restart_interval_mcus=1)
+        for i in range(24)
+    ]
+    # 64 segments/image: under a 900 KB budget the model fits 2 images
+    # (128 lanes = one pad tile, 0.5 MB) but not 3 (192 -> 256-lane tile,
+    # 1.0 MB), so the auto-batch resolves to 2 and claims genuinely happen.
+    dec = BatchedCorpusDecoder(workers=1, hybrid_device=True,
+                               device_vmem_budget=900 << 10,
+                               _device_interpret=True)
+    results = dec.decode_all(items)
+    assert launches, "device thread never claimed a batch"
+    assert all(n <= 2 for n in launches)
+    assert all(r.ok for r in results)
+    for data, r in zip(items, results):
+        np.testing.assert_array_equal(r.rgb, decode_bytes(data, path="fast"))
+
+
+def test_fit_batch_plans_refits_to_claimed_geometry():
+    """A claim whose LATER images have longer restart segments than the
+    probe image must be split so each launch's VMEM model fits the
+    budget (advisor r4: auto-batch sized from items[-1] only)."""
+    from types import SimpleNamespace
+
+    from jpeg_tpu.entropy.device_kernel import (
+        _launch_model_bytes,
+        _plan_w,
+        fit_batch_plans,
+    )
+
+    def fake_plan(n_segs, seg_bytes):
+        segs = [SimpleNamespace(byte_start=i * seg_bytes,
+                                byte_end=(i + 1) * seg_bytes)
+                for i in range(n_segs)]
+        return SimpleNamespace(segments=segs, blocks_per_mcu=6)
+
+    small = fake_plan(128, 400)    # w bucket 256
+    big = fake_plan(128, 4000)     # w bucket 1024
+    assert _plan_w(small) == 256 and _plan_w(big) == 1024
+    plans = [small, small, big, big]
+    # Budget = exactly one launch of [big, big]: [small, small, big]
+    # (384 lanes at big's W) exceeds it, so the claim must split.
+    budget = _launch_model_bytes(1024, 256, 6)
+    chunks = fit_batch_plans(plans, vmem_budget=budget)
+    assert [len(c) for c in chunks] == [2, 2]
+    assert chunks[0] == [small, small] and chunks[1] == [big, big]
+    for c in chunks:
+        w = max(_plan_w(p) for p in c)
+        s = sum(len(p.segments) for p in c)
+        assert _launch_model_bytes(w, s, 6) <= budget
+    # A single plan over budget still forms its own chunk.
+    assert fit_batch_plans([big], vmem_budget=1) == [[big]]
+
+
+def test_hybrid_finalize_error_falls_back(monkeypatch):
+    """An exception surfacing at the deferred sync point (finalize) must
+    fall back to the exact host route, not kill the device thread
+    (advisor r4 medium: async XLA errors land in finalize, outside the
+    dispatch-side try/except)."""
+    import jpeg_tpu.entropy.device_kernel as dk
+    from jpeg_tpu.io.corpus import synthetic_image
+    from jpeg_tpu.models.decoder import decode_bytes
+    from jpeg_tpu.parallel.pipeline import BatchedCorpusDecoder
+
+    real = dk.decode_coefficients_device4_batch
+
+    class Boom:
+        """Array-like whose materialization raises, like a deferred
+        XLA runtime error under to_host=False."""
+
+        def __array__(self, dtype=None):
+            raise RuntimeError("async device error")
+
+        def __getitem__(self, k):
+            raise RuntimeError("async device error")
+
+    def poisoned(plans, **kw):
+        coeffs, _err = real(plans, **kw)
+        return coeffs, Boom()
+
+    monkeypatch.setattr(dk, "decode_coefficients_device4_batch", poisoned)
     items = [
         encode_rgb(synthetic_image(64, 48, seed=i), quality=85,
                    subsampling=(2, 2), restart_interval_mcus=2)
-        for i in range(6)
+        for i in range(12)
     ]
     dec = BatchedCorpusDecoder(workers=2, hybrid_device=True,
-                               _device_interpret=True)
+                               device_batch=2, _device_interpret=True)
     results = dec.decode_all(items)
     assert all(r.ok for r in results)
     for data, r in zip(items, results):
