@@ -1,0 +1,483 @@
+"""Device entropy decode v5: the in-kernel lockstep decoder with WINDOWED
+lane words — the VMEM wall of v4 removed.
+
+v4 (``device_kernel.py``) keeps every lane's full word column resident in
+VMEM for the whole kernel (``words [W, S]``). At 4K that block is ~7 MB of
+the 12 MB budget and caps the corpus batch at 6; it is also the dominant
+VPU term, because every refill gathers over the full [W, S] column
+(select-reduce sweep, no vector gather on TPU).
+
+Here the full word columns stay in HBM. The decode runs as a chain of
+launches of G MCUs each; between launches, each lane's window of the next
+``Wc`` words is sliced AT ITS OWN cursor (vmap'd dynamic_slice — per-lane
+re-basing, so cross-lane consumption spread never matters) and the whole
+chain runs inside one ``lax.scan`` under one jit: ONE dispatch per batch
+regardless of launch count, everything async. Decoder state (bit register,
+word cursor, DC predictors, error bits) is carried in the scan.
+
+Consequences, measured on the bench corpus (tools/probe_window_stats.py):
+
+* VMEM model per launch drops from ``W*S_pad`` to ``Wc*S_pad`` words
+  (Wc = 512 default vs W = 2048+ at 4K) — the 4K corpus batch ceiling
+  moves from 6 to ~18 under the same 12 MB budget.
+* every refill's select-reduce sweep shrinks by the same W/Wc factor —
+  the dominant compute term, not just the dominant memory term.
+* a lane that consumes more than Wc words within one launch's G MCUs
+  overflows its window: flagged (error bit 1) and host-redecoded by the
+  hybrid route. G is provisioned from the exact per-segment rates the
+  host knows (segment bytes / MCU count) with a 1.5x safety factor; the
+  bench corpus needs only 1.03-1.11x (probe above), so fallbacks are
+  reserved for genuinely bursty rows.
+
+Contract identical to v4/v2 (zigzag order, DC-predicted, MCU stream
+order, per-lane error flags, 0xAA tail semantics, bit-identical garbage
+on corrupt streams for non-flagged lanes); equivalence-tested against the
+oracle. Reference: ``src/jpeg/huffman.rs:109-268``.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from jpeg_tpu.entropy.device_kernel import (
+    T11,
+    _VMEM_BATCH_BUDGET,
+    _bci,
+    _bcu,
+    _gather_rows,
+    _lane_words,
+    _launch_model_bytes,
+    _magnitude,
+    plan_kernel_tables,
+)
+from jpeg_tpu.io.container import DecodePlan
+
+# Default per-launch word window. 512 words = 2 KB of compressed data per
+# lane per launch; with the 1.5x-provisioned G below, a lane must burst
+# >= 1.5x its own segment-average rate over a whole launch to overflow
+# (bench corpus worst case 1.11x, tools/probe_window_stats.py).
+_W_CHUNK = 512
+_SAFETY = 1.5
+
+
+def suggest_window_batch(plan: DecodePlan,
+                         vmem_budget: int = _VMEM_BATCH_BUDGET,
+                         w_chunk: int = _W_CHUNK,
+                         max_batch: int = 64) -> int:
+    """Largest homogeneous-corpus batch whose WINDOWED launch fits the
+    VMEM budget — same model as ``suggest_device_batch`` but with the
+    word term capped at ``w_chunk`` (the windowed kernel's resident word
+    block) instead of the full column height."""
+    s_img = max(1, len(plan.segments))
+    bpm = plan.blocks_per_mcu
+    from jpeg_tpu.entropy.device_kernel import _plan_w
+
+    w = min(w_chunk, _plan_w(plan))
+    best = 1
+    for b in range(1, max_batch + 1):
+        if _launch_model_bytes(w, b * s_img, bpm) <= vmem_budget:
+            best = b
+        else:
+            break
+    return best
+
+
+def fit_window_plans(plans: list,
+                     vmem_budget: int = _VMEM_BATCH_BUDGET,
+                     w_chunk: int = _W_CHUNK) -> list:
+    """``fit_batch_plans`` for the windowed tier: contiguous sub-batches
+    whose windowed-launch VMEM model fits the budget."""
+    from jpeg_tpu.entropy.device_kernel import _plan_w
+
+    out: list = []
+    cur: list = []
+    cur_s = 0
+    for p in plans:
+        w = min(w_chunk, _plan_w(p))
+        s = cur_s + len(p.segments)
+        if cur and _launch_model_bytes(w, s, p.blocks_per_mcu) > vmem_budget:
+            out.append(cur)
+            cur, cur_s = [p], len(p.segments)
+        else:
+            cur, cur_s = cur + [p], s
+    if cur:
+        out.append(cur)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Kernel
+
+
+def _make_window_kernel(n_comp, G, bpm, slot_comp, slot_dc, slot_ac,
+                        canon, S, Wc, gather="select", max_block_steps=70):
+    """One launch of G MCUs over a per-lane word window of Wc words.
+
+    Same decode core as device_kernel._make_kernel, with three deltas:
+    (1) word gathers are window-relative (``wi - base``) over [Wc, S];
+    (2) decoder state is carried IN/OUT of the kernel (scan carry)
+        instead of VMEM scratch, so launches chain;
+    (3) the error latch is an i32 bitmask: bit 0 = decode error
+        (reference contract), bit 1 = window overflow (capacity, host
+        fallback — no parity claim)."""
+    u32 = jnp.uint32
+    NSTATE = 5 + n_comp + 1
+
+    def _iotas():
+        return (jax.lax.broadcasted_iota(jnp.int32, (T11, S), 0),
+                jax.lax.broadcasted_iota(jnp.int32, (256, S), 0),
+                jax.lax.broadcasted_iota(jnp.int32, (Wc, S), 0),
+                jax.lax.broadcasted_iota(jnp.int32, (64, S), 0))
+
+    def _shr32(x, a):
+        h = (a >> 1).astype(u32)
+        return (x >> h) >> (a.astype(u32) - h)
+
+    def _shl32(x, a):
+        h = (a >> 1).astype(u32)
+        return (x << h) << (a.astype(u32) - h)
+
+    def refill64(win, base, st, iota_w):
+        """Append two window words (64 bits) to lanes holding <= 32 valid
+        bits; window-relative indices. Returns (st, ovf [1,S] bool) —
+        ovf marks lanes whose refill ran off the window top."""
+        wi, cnt, hi, mi, lo = st
+        rel = wi - base
+        w0 = _bcu(_gather_rows(rel, win, iota_w))
+        w1 = _bcu(_gather_rows(rel + 1, win, iota_w))
+        can = cnt <= 32
+        ovf = can & (rel + 1 >= Wc)
+        cnt_c = jnp.minimum(cnt, 32)
+        inv = 32 - cnt_c
+        hi_c = _shr32(w0, cnt_c)
+        mi_c = _shl32(w0, inv) | _shr32(w1, cnt_c)
+        lo_c = _shl32(w1, inv)
+        zero = u32(0)
+        hi = hi | jnp.where(can, hi_c, zero)
+        mi = mi | jnp.where(can, mi_c, zero)
+        lo = lo | jnp.where(can, lo_c, zero)
+        gain = jnp.where(can, 1, 0)
+        return (wi + 2 * gain, cnt + 64 * gain, hi, mi, lo), ovf
+
+    def consume(st, d):
+        wi, cnt, hi, mi, lo = st
+        du = d.astype(u32)
+        hi = (hi << du) | _shr32(mi, 32 - d)
+        mi = (mi << du) | _shr32(lo, 32 - d)
+        lo = lo << du
+        return (wi, cnt - d, hi, mi, lo)
+
+    def _gather_kron(idx, tab2d, bits_lo):
+        Th = tab2d.shape[1]
+        Tlo = tab2d.shape[0]
+        hi_idx = idx >> bits_lo
+        lo_idx = idx & (Tlo - 1)
+        iota_hi = jax.lax.broadcasted_iota(jnp.int32, (Th, S), 0)
+        oh_hi = (iota_hi == hi_idx).astype(jnp.float32)
+        y = jax.lax.dot(tab2d, oh_hi, precision=jax.lax.Precision.HIGHEST)
+        iota_lo = jax.lax.broadcasted_iota(jnp.int32, (Tlo, S), 0)
+        return jnp.sum(jnp.where(iota_lo == lo_idx, y, 0.0), axis=0,
+                       keepdims=True).astype(jnp.int32)
+
+    def resolve(hi, lut_row, hv_row, cn, iota_t, iota_h):
+        peek11 = _bci(hi >> u32(21))
+        if gather == "mxu":
+            e = _gather_kron(peek11, lut_row, 6)
+        else:
+            e = _gather_rows(peek11, lut_row, iota_t)
+        len_f = e & 0x1F
+        sym_f = (e >> 8) & 0xFF
+        peek16 = _bci(hi >> u32(16))
+        mincode, maxcode, valptr = cn
+        len_s = jnp.zeros_like(len_f)
+        idx = jnp.zeros_like(len_f)
+        for i, ln in enumerate(range(12, 17)):
+            if maxcode[i] < 0:
+                continue
+            code = peek16 >> (16 - ln)
+            hit = ((code >= mincode[i]) & (code <= maxcode[i])
+                   & (len_s == 0))
+            len_s = len_s + jnp.where(hit, ln, 0)
+            idx = idx + jnp.where(hit, valptr[i] + code - mincode[i], 0)
+        if gather == "mxu":
+            sym_s = _gather_kron(idx, hv_row, 4)
+        else:
+            sym_s = _gather_rows(idx, hv_row, iota_h)
+        need_s = len_f == 0
+        length = len_f + jnp.where(need_s, len_s, 0)
+        sym = jnp.where(need_s, sym_s, sym_f)
+        return length, sym
+
+    def decode_block(win, base, st, err, active, lut_dc, hv_dc, cn_dc,
+                     lut_ac, hv_ac, cn_ac, io):
+        """One 8x8 block for all lanes -> (acc [64, S], st, err i32)."""
+        iota_t, iota_h, iota_w, pos_iota = io
+        st, ovf = refill64(win, base, st, iota_w)
+        err = err | jnp.where(active & ovf, 2, 0)
+        # --- DC symbol (peeled) ---
+        length, size = resolve(st[2], lut_dc, hv_dc, cn_dc, iota_t, iota_h)
+        bad = active & (length == 0)
+        val = _magnitude(st[2], length, size)
+        ok = active & ~bad
+        st = consume(st, jnp.where(ok, length + size, 0))
+        acc = jnp.where(ok & (pos_iota == 0), val, 0)
+        err = err | jnp.where(bad, 1, 0)
+        coef = jnp.where(ok, 1, 64)
+
+        # i32 while-loop carry for the error bits (a [1, S] bool carry
+        # fails Mosaic's scf.yield legalization — see device_kernel).
+        def cond(carry):
+            st, erri, coef, acc, step = carry
+            busy = active & (erri == 0) & (coef < 64)
+            return (step < max_block_steps) & jnp.any(busy)
+
+        def body(carry):
+            st, erri, coef, acc, step = carry
+            st, ovf = refill64(win, base, st, iota_w)
+            busy = active & (erri == 0) & (coef < 64) & (st[1] >= 31)
+            erri = erri | jnp.where(busy & ovf, 2, 0)
+            length, sym = resolve(st[2], lut_ac, hv_ac, cn_ac, iota_t,
+                                  iota_h)
+            bad = busy & (length == 0)
+            is_eob = sym == 0x00
+            is_zrl = sym == 0xF0
+            run = (sym >> 4) & 0xF
+            size = sym & 0xF
+            nbits = jnp.where(is_eob | is_zrl, 0, size)
+            val = _magnitude(st[2], length, nbits)
+            d = jnp.where(busy & ~bad, length + nbits, 0)
+            run_cap = jnp.minimum(run, 64 - coef - 1)
+            pos = coef + run_cap
+            coef_next = jnp.where(
+                is_eob, 64,
+                jnp.where(is_zrl, jnp.minimum(coef + 16, 64), pos + 1))
+            do_write = busy & ~bad & ~is_eob & ~is_zrl
+            acc = acc + jnp.where(do_write & (pos_iota == pos), val, 0)
+            coef = coef + jnp.where(busy & ~bad, coef_next - coef, 0)
+            erri = erri | jnp.where(bad, 1, 0)
+            st = consume(st, d)
+            return (st, erri, coef, acc, step + 1)
+
+        st, erri, coef, acc, step = jax.lax.while_loop(
+            cond, body, (st, err, coef, acc, jnp.int32(0)))
+        err = erri | jnp.where(active & (coef < 64), 1, 0)
+        return acc, st, err
+
+    def kernel(win_ref, luts_ref, hvs_ref, nblk_ref, base_ref,
+               stin_ref, out_ref, stout_ref):
+        iota_t, iota_h, iota_w, pos_iota = _iotas()
+        m = pl.program_id(0)
+        win = win_ref[...]
+        base = base_ref[...]
+
+        @pl.when(m == 0)
+        def _load():
+            stout_ref[...] = stin_ref[...]
+
+        st = (stout_ref[0], stout_ref[1], _bcu(stout_ref[2]),
+              _bcu(stout_ref[3]), _bcu(stout_ref[4]))
+        err = stout_ref[5 + n_comp]
+        nblk = nblk_ref[...]
+        for slot in range(bpm):
+            comp = slot_comp[slot]
+            dcr, acr = slot_dc[slot], 4 + slot_ac[slot]
+            active = (err == 0) & (m * bpm + slot < nblk)
+            acc, st, err = decode_block(
+                win, base, st, err, active,
+                luts_ref[dcr], hvs_ref[dcr], canon[dcr],
+                luts_ref[acr], hvs_ref[acr], canon[acr],
+                (iota_t, iota_h, iota_w, pos_iota))
+            dc = stout_ref[5 + comp] + jnp.where(active, acc[:1], 0)
+            stout_ref[5 + comp] = dc
+            acc = acc + jnp.where(active & (pos_iota == 0),
+                                  dc - acc[:1], 0)
+            acc = jnp.where(active, acc, 0)
+            out_ref[0, slot] = acc
+        stout_ref[0], stout_ref[1] = st[0], st[1]
+        stout_ref[2], stout_ref[3] = _bci(st[2]), _bci(st[3])
+        stout_ref[4] = _bci(st[4])
+        stout_ref[5 + n_comp] = err
+
+    return kernel, NSTATE
+
+
+@lru_cache(maxsize=64)
+def _compiled_window_chain(n_comp, G, K, bpm, slot_comp, slot_dc, slot_ac,
+                           canon, S, Wc, W_full, interpret=False,
+                           gather="select"):
+    """jit'd (words_sw [S, W_full], luts, hvs, nblk [1,S]) ->
+    (coeffs [K*G, bpm, 64, S] i32, state_final [NSTATE, 1, S]).
+    The whole K-launch chain — per-lane window slicing + pallas launch —
+    runs in ONE lax.scan under ONE jit: one dispatch per batch."""
+    kernel, NSTATE = _make_window_kernel(
+        n_comp, G, bpm, slot_comp, slot_dc, slot_ac, canon, S, Wc, gather)
+    lut_block = ((8, 64, 32) if gather == "mxu" else (8, T11, 1))
+    hv_block = ((8, 16, 16) if gather == "mxu" else (8, 256, 1))
+    pfn = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((Wc, S), lambda m: (0, 0)),
+            pl.BlockSpec(lut_block, lambda m: (0, 0, 0)),
+            pl.BlockSpec(hv_block, lambda m: (0, 0, 0)),
+            pl.BlockSpec((1, S), lambda m: (0, 0)),
+            pl.BlockSpec((1, S), lambda m: (0, 0)),
+            pl.BlockSpec((NSTATE, 1, S), lambda m: (0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bpm, 64, S), lambda m: (m, 0, 0, 0)),
+            pl.BlockSpec((NSTATE, 1, S), lambda m: (0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, bpm, 64, S), jnp.int32),
+            jax.ShapeDtypeStruct((NSTATE, 1, S), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+
+    def run(words_sw, luts, hvs, nblk):
+        state0 = jnp.zeros((NSTATE, 1, S), jnp.int32)
+
+        def body(state, k):
+            base = jnp.minimum(state[0, 0], W_full - Wc)  # [S]
+            win = jax.vmap(
+                lambda row, b: jax.lax.dynamic_slice(row, (b,), (Wc,))
+            )(words_sw, base).T  # [Wc, S]
+            nblk_rem = nblk - (k * G) * bpm
+            out, st = pfn(win, luts, hvs, nblk_rem, base[None, :], state)
+            return st, out
+
+        st_f, outs = jax.lax.scan(
+            body, state0, jnp.arange(K, dtype=jnp.int32))
+        return outs.reshape(K * G, bpm, 64, S), st_f
+
+    return jax.jit(run)
+
+
+# --------------------------------------------------------------------------
+# Host runners (API mirrors device_kernel's v4 runners)
+
+
+def _window_geometry(plans, w_chunk, safety):
+    """(W_full, Wc, rate_max, G, K, max_mcus) for a batch of plans."""
+    max_mcus = max(s.mcu_count for p in plans for s in p.segments)
+    max_words = max(-(-(s.byte_end - s.byte_start) // 4)
+                    for p in plans for s in p.segments) + 4
+    W_full = max(-(-max_words // 256) * 256, w_chunk)
+    Wc = min(w_chunk, W_full)
+    rate_max = max((s.byte_end - s.byte_start) / 4.0 / max(1, s.mcu_count)
+                   for p in plans for s in p.segments)
+    G = max(1, int((Wc - 8) // (safety * max(rate_max, 1.0))))
+    K = -(-max_mcus // G)
+    G = -(-max_mcus // K)  # even split: trailing-launch waste < 1 step/lane
+    return W_full, Wc, rate_max, G, K, max_mcus
+
+
+def window_runner_batch(plans: list, interpret: bool = False,
+                        gather: str = "select",
+                        w_chunk: int = _W_CHUNK,
+                        safety: float = _SAFETY):
+    """Compile the windowed chain for a CORPUS batch (same homogeneity
+    contract as ``kernel_runner_batch``) -> (run, args, meta) where
+    ``run(*args)`` returns ([K*G, bpm, 64, S] i32, state [NSTATE,1,S])
+    device arrays and ``meta`` = (max_mcus, S, lane_base, bitend, K, G)."""
+    assert plans, "empty batch"
+    p0 = plans[0]
+    bpm = p0.blocks_per_mcu
+    luts, hvs, canon = plan_kernel_tables(p0, gather)
+    slots = p0.component_block_slots()
+    slot_comp = tuple(ci for ci, _ in slots)
+    slot_dc = tuple(p0.components[ci].dc_id for ci, _ in slots)
+    slot_ac = tuple(p0.components[ci].ac_id for ci, _ in slots)
+    for p in plans[1:]:
+        s = p.component_block_slots()
+        l2, h2, c2 = plan_kernel_tables(p, gather)
+        if (p.blocks_per_mcu != bpm
+                or tuple(ci for ci, _ in s) != slot_comp
+                or tuple(p.components[ci].dc_id for ci, _ in s) != slot_dc
+                or tuple(p.components[ci].ac_id for ci, _ in s) != slot_ac
+                or not np.array_equal(l2, luts)
+                or not np.array_equal(h2, hvs) or c2 != canon):
+            raise ValueError(
+                "in-kernel batch requires identical slot structure and "
+                "Huffman tables across images")
+    W_full, Wc, _rate, G, K, max_mcus = _window_geometry(
+        plans, w_chunk, safety)
+    lane_base = []
+    cols, nblk, bitend = [], [], []
+    pos = 0
+    for p in plans:
+        lane_base.append(pos)
+        cols.append(_lane_words(p.scan_data, p.segments, W_full))
+        nblk.extend(s.mcu_count * bpm for s in p.segments)
+        bitend.extend((s.byte_end - s.byte_start) * 8 for s in p.segments)
+        pos += len(p.segments)
+    S = pos
+    words_sw = np.ascontiguousarray(np.concatenate(cols, axis=1).T)
+    run = _compiled_window_chain(
+        len(p0.components), G, K, bpm, slot_comp, slot_dc, slot_ac,
+        canon, S, Wc, W_full, interpret, gather)
+    args = (jnp.asarray(words_sw), jnp.asarray(luts), jnp.asarray(hvs),
+            jnp.asarray(np.array([nblk], np.int32)))
+    meta = (max_mcus, S, lane_base,
+            jnp.asarray(np.array(bitend, np.int32)), K, G)
+    return run, args, meta
+
+
+def _final_err(state, bitend):
+    """err [S] bool from the carried state: decode/overflow bits plus the
+    v4 cursor check (consumed bits must not run past the segment end by
+    more than one stuffing pad)."""
+    wi, cnt = state[0, 0], state[1, 0]
+    errbits = state[-1, 0]
+    cursor = wi * 32 - cnt
+    return (errbits != 0) | (cursor > bitend + 8), errbits
+
+
+def decode_coefficients_device5_batch(plans: list, interpret: bool = False,
+                                      gather: str = "select",
+                                      to_host: bool = True,
+                                      w_chunk: int = _W_CHUNK,
+                                      safety: float = _SAFETY):
+    """Corpus entropy decode through the windowed chain -> (list of
+    [total_blocks, 64] i32 per image, err [S_total]). Same contract and
+    trimming as ``decode_coefficients_device4_batch``; ``to_host=False``
+    keeps coefficients and the error vector on device for the hybrid
+    route's deferred sync."""
+    run, args, (max_mcus, S, lane_base, bitend, K, G) = window_runner_batch(
+        plans, interpret, gather, w_chunk, safety)
+    bpm = plans[0].blocks_per_mcu
+    out, state = run(*args)
+    err, _bits = _final_err(state, bitend)
+    out = out[:max_mcus]
+    xp = np if to_host else jnp
+    flat = xp.moveaxis(np.asarray(out) if to_host else out, 3, 0).reshape(
+        S, max_mcus * bpm, 64)
+    results = []
+    for p, row in zip(plans, lane_base):
+        segs = p.segments
+        if all(s.mcu_count == max_mcus for s in segs[:-1]):
+            img = flat[row : row + len(segs)].reshape(-1, 64)
+        else:
+            img = xp.concatenate(
+                [flat[row + i, : s.mcu_count * bpm]
+                 for i, s in enumerate(segs)])
+        results.append(img[: p.total_blocks])
+    return results, (np.asarray(err) if to_host else err)
+
+
+def decode_coefficients_device5(plan: DecodePlan, interpret: bool = False,
+                                gather: str = "select",
+                                w_chunk: int = _W_CHUNK,
+                                safety: float = _SAFETY):
+    """Single-image windowed decode -> ([total_blocks, 64] i32, err [S]).
+    Contract identical to decode_coefficients_device4."""
+    res, err = decode_coefficients_device5_batch(
+        [plan], interpret, gather, to_host=True, w_chunk=w_chunk,
+        safety=safety)
+    return np.asarray(res[0]), err
