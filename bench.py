@@ -90,6 +90,57 @@ def bench_libjpeg(data, iters=8):
     return 1.0 / dt
 
 
+def bench_libjpeg_allcore(data, iters=24):
+    """ALL-core libjpeg (PIL) corpus-mode decode: the multi-thread anchor
+    (VERDICT r4 item 2). A single-thread calibration cannot normalize
+    multi-thread contention on this shared VM — r3->r4 the 1-thread
+    number halved while normalized host ratios swung 13-21x — so
+    cross-round comparisons quote this denominator: the strongest thing
+    libjpeg can do with the same whole host."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from PIL import Image
+
+    n = os.cpu_count() or 1
+
+    def one(_):
+        np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+
+    with ThreadPoolExecutor(max_workers=n) as ex:
+        list(ex.map(one, range(n)))  # warmup
+        t0 = time.perf_counter()
+        list(ex.map(one, range(iters)))
+        return iters / (time.perf_counter() - t0)
+
+
+def bench_cpu_work_unit():
+    """Fixed synthetic single-thread CPU work unit: SHA-256 over 64 MB,
+    in MB/s. A mood denominator independent of libjpeg build, PIL
+    version, or this repo's own code — lets any two artifacts be
+    compared even if the jpeg baselines change (VERDICT r4 item 2)."""
+    import hashlib
+
+    buf = bytes(16 << 20)
+    hashlib.sha256(buf).digest()  # warm
+    t0 = time.perf_counter()
+    for _ in range(4):
+        hashlib.sha256(buf).digest()
+    return 64.0 / (time.perf_counter() - t0)
+
+
+def bench_encode_4k(img, iters=4):
+    """frames/s of the full 4K encoder (host C++ parallel segment pack +
+    NumPy forward DCT twin) — the component existed in three tiers with
+    zero perf evidence (VERDICT r4 missing item 4)."""
+    from jpeg_tpu.models.encoder import encode_rgb
+
+    encode_rgb(img, quality=85, restart_interval_mcus=16)  # warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        encode_rgb(img, quality=85, restart_interval_mcus=16)
+    return iters / (time.perf_counter() - t0)
+
+
 def _dispatch_latency():
     """One synchronous trivial-jit round trip (tunnel/dispatch overhead)."""
     import jax
@@ -509,6 +560,52 @@ def bench_device_entropy_batched(n_images=32, width=1920, height=1080):
     return best, n_lanes
 
 
+def bench_device_entropy_window(n_images=None, width=3840, height=2160,
+                                gather="mxu", w_chunk=512, iters=3):
+    """The v5 WINDOWED in-kernel entropy decoder on a homogeneous corpus
+    batch (entropy/device_window.py): lane words streamed from HBM in
+    per-lane-re-based windows, the whole K-launch chain one jit. Batch
+    auto-sized to the VMEM budget (past the v4 resident-word wall).
+    Dependency-chained differential timing. Returns (fps, batch, lanes,
+    K, G)."""
+    import jax
+    import jax.numpy as jnp
+
+    from jpeg_tpu.entropy.device_window import (
+        suggest_window_batch,
+        window_runner_batch,
+    )
+    from jpeg_tpu.io.container import parse_jpeg
+    from jpeg_tpu.io.corpus import synthetic_jpeg
+
+    p0 = parse_jpeg(synthetic_jpeg(width, height, restart_rows=1, seed=0))
+    if n_images is None:
+        n_images = suggest_window_batch(p0, w_chunk=w_chunk)
+    plans = [p0] + [
+        parse_jpeg(synthetic_jpeg(width, height, restart_rows=1, seed=i))
+        for i in range(1, n_images)]
+    run, args, (mm, S, lb, be, K, G) = window_runner_batch(
+        plans, gather=gather, w_chunk=w_chunk)
+    args = [jnp.asarray(a) for a in args]
+
+    def mk(n):
+        @jax.jit
+        def loop(*a):
+            def body(i, acc):
+                out, st = run(a[0], a[1], a[2], a[3] + (acc % 2))
+                return acc + st.astype(jnp.int32).sum()
+            return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+        return loop
+
+    short, long_ = mk(iters), mk(3 * iters)
+    int(short(*args))
+    int(long_(*args))
+    t1 = min(_timed(short, args) for _ in range(2))
+    t3 = min(_timed(long_, args) for _ in range(2))
+    dt = max(t3 - t1, 1e-9) / (2 * iters)
+    return n_images / dt, n_images, S, K, G
+
+
 def bench_device_entropy_inkernel(plan, gather="mxu", reps=3):
     """The v4 IN-KERNEL entropy decoder (entropy/device_kernel.py): the
     whole lockstep MCU loop inside ONE Pallas kernel, so the ~25-40 us
@@ -537,36 +634,6 @@ def bench_device_entropy_inkernel(plan, gather="mxu", reps=3):
         float(s)
         times.append(time.perf_counter() - t0)
     return 1.0 / min(times), S, int(e)
-
-
-def bench_device_entropy_spec(plan):
-    """Speculative chunk-lane device entropy decode of ONE 4K image
-    (VERDICT r2 item 1b: lanes from self-sync chunks, not restart
-    segments). Returns (fps, lanes, gap_mcus) at the best measured
-    config (1024 lanes, 8-MCU overlap — see the ladder recorded in
-    device_decode.device_path_profitable's docstring)."""
-    import jax
-    import jax.numpy as jnp
-
-    from jpeg_tpu.entropy.device_spec import (
-        decode_coefficients_device_spec,
-    )
-
-    got, stats = decode_coefficients_device_spec(
-        plan, target_lanes=1024, overlap_mcus=8)
-    if got is None:
-        return 0.0, stats["lanes"], stats["gap_mcus"]
-    jax.block_until_ready(got)
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        got, stats = decode_coefficients_device_spec(
-            plan, target_lanes=1024, overlap_mcus=8)
-        checksum = float(jnp.sum(got.astype(jnp.float32)))
-        times.append(time.perf_counter() - t0)
-    del checksum
-    return (1.0 / sorted(times)[len(times) // 2], stats["lanes"],
-            stats["gap_mcus"])
 
 
 def device_stage(plan_bytes_file, planes_ready):
@@ -666,6 +733,52 @@ def device_stage(plan_bytes_file, planes_ready):
         log(f"device pipeline (approx IDCT): {_fps:.1f} frames/s")
     except Exception as e:  # noqa: BLE001 — diagnostic metric only
         log(f"approx pipeline: failed ({type(e).__name__}: {e})")
+    # Device forward (encode) kernel: color+downsample+FDCT+quant fused
+    # Pallas kernel, dependency-chained (VERDICT r4 missing item 4 —
+    # encoder perf evidence). Kernel-only: the C++ pack half is timed
+    # host-side as encode_4k_fps.
+    try:
+        import jax as _jaxe
+        import jax.numpy as _jnpe
+
+        from jpeg_tpu.models.decoder import PipelineGeometry as _PGe
+        from jpeg_tpu.ops.pallas_kernels import (
+            fused_plane_encoder as _fpe,
+            padded_plane_shapes as _ppse,
+            plan_inv_quant_patterns as _piqe,
+        )
+
+        _geome = _PGe.of(plan)
+        _h, _w = _ppse(_geome)[0]
+        _rng = np.random.default_rng(1)
+        _rgbp = _jnpe.asarray(
+            _rng.integers(0, 256, (3, _h, _w), dtype=np.uint8))
+        _cq = [plan.quant_tables[c.quant_id].astype(np.int32)
+               for c in plan.components]
+        _iq = [_jnpe.asarray(q) for q in _piqe(_cq, _geome)]
+        _efn = _fpe(_geome)
+        _eiters = 32
+
+        def _mke(n):
+            @_jaxe.jit
+            def _loop(x, *rest):
+                def body(i, acc):
+                    o = _efn(x + (acc % 2).astype(_jnpe.uint8), *rest)
+                    return acc + o[0].astype(_jnpe.int32)[0, 0]
+                return _jaxe.lax.fori_loop(0, n, body, _jnpe.int32(0))
+            return _loop
+
+        _se, _le = _mke(_eiters), _mke(3 * _eiters)
+        _ea = (_rgbp, *_iq)
+        int(_se(*_ea))
+        int(_le(*_ea))
+        _t1 = min(_timed(_se, _ea) for _ in range(2))
+        _t3 = min(_timed(_le, _ea) for _ in range(2))
+        _efps = 2 * _eiters / max(_t3 - _t1, 1e-9)
+        out["encode_4k_device_kernel_fps"] = round(_efps, 2)
+        log(f"device encode kernel (fwd DCT+quant): {_efps:.1f} frames/s")
+    except Exception as e:  # noqa: BLE001 — diagnostic metric only
+        log(f"device encode kernel: failed ({type(e).__name__}: {e})")
     c1080_entropy, c1080_dev = bench_corpus_1080p()
     out["corpus_1080p_entropy_fps"] = round(c1080_entropy, 2)
     out["corpus_1080p_device_fps"] = round(c1080_dev, 2)
@@ -731,27 +844,24 @@ def device_stage(plan_bytes_file, planes_ready):
         log(f"device entropy batched: failed ({type(e).__name__}: {e})")
         out["device_entropy_batched_fps"] = 0.0
         out["device_entropy_batched_lanes"] = 0
+    # Windowed in-kernel tier (v5): the 4K corpus batch number past the
+    # v4 VMEM wall. The r4 rungs this replaces, with their conclusions
+    # (VERDICT r4 item 9 — keep the ladder in prose, stop re-timing dead
+    # tiers every run): single-image v4 in-kernel was lane-starved at
+    # S=135 (17-19 fps vs 156 host — a 4K image has too few restart
+    # segments for the lockstep design); the speculative chunk-lane
+    # device tier measured 1.4-2.8 fps across r3/r4 (gate says never).
     try:
-        ik_fps, ik_lanes, ik_err = bench_device_entropy_inkernel(plan)
-        out["device_entropy_inkernel_fps"] = round(ik_fps, 2)
-        out["device_entropy_inkernel_lanes"] = ik_lanes
-        log(f"device entropy IN-KERNEL (v4, mxu gather): {ik_fps:.2f} fps "
-            f"({ik_lanes} lanes, err lanes {ik_err}; r4-local ladder: "
-            f"S=135 select 15.7 / mxu 18.5 fps, S=2025 select 21.7 / "
-            f"mxu 32.5 fps — 2.6-3.9x the v2 XLA-loop kernel)")
+        w5_fps, w5_batch, w5_lanes, w5_k, w5_g = bench_device_entropy_window()
+        out["device_entropy_window_4k_fps"] = round(w5_fps, 2)
+        out["device_entropy_window_4k_batch"] = w5_batch
+        out["device_entropy_window_4k_lanes"] = w5_lanes
+        log(f"device entropy WINDOWED (v5, mxu): {w5_fps:.2f} fps "
+            f"(4K batch {w5_batch}, {w5_lanes} lanes, K={w5_k} launches "
+            f"x G={w5_g} MCUs, one jit)")
     except Exception as e:  # noqa: BLE001 — diagnostic metric only
-        log(f"device entropy in-kernel: failed ({type(e).__name__}: {e})")
-        out["device_entropy_inkernel_fps"] = 0.0
-    try:
-        sp_fps, sp_lanes, sp_gaps = bench_device_entropy_spec(plan)
-        out["device_entropy_spec_fps"] = round(sp_fps, 2)
-        out["device_entropy_spec_lanes"] = sp_lanes
-        log(f"device entropy speculative-chunk: {sp_fps:.2f} fps "
-            f"({sp_lanes} lanes, {sp_gaps} gap MCUs, 4K)")
-    except Exception as e:  # noqa: BLE001 — diagnostic metric only
-        log(f"device entropy spec: failed ({type(e).__name__}: {e})")
-        out["device_entropy_spec_fps"] = 0.0
-        out["device_entropy_spec_lanes"] = 0
+        log(f"device entropy windowed: failed ({type(e).__name__}: {e})")
+        out["device_entropy_window_4k_fps"] = 0.0
     print(json.dumps(out), flush=True)
 
 
@@ -793,9 +903,16 @@ def main():
     plan = parse_jpeg(data)
     log(f"plan: {plan.width}x{plan.height}, {len(plan.segments)} segments, "
         f"{plan.total_blocks} blocks")
+    from PIL import Image as _ImgM
+
+    img4k = np.asarray(_ImgM.open(io.BytesIO(data)).convert("RGB"))
 
     lib_fps = median3(lambda: bench_libjpeg(data))
-    log(f"libjpeg single-thread: {lib_fps:.1f} frames/s")
+    lib_all_fps = median3(lambda: bench_libjpeg_allcore(data))
+    cpu_unit = median3(bench_cpu_work_unit)
+    log(f"libjpeg single-thread: {lib_fps:.1f} frames/s; "
+        f"all-core corpus-mode: {lib_all_fps:.1f} frames/s; "
+        f"CPU work unit (sha256): {cpu_unit:.0f} MB/s")
 
     if bench_host_entropy(plan) is None:
         raise SystemExit("native runtime required for bench")
@@ -861,8 +978,7 @@ def main():
         from jpeg_tpu.models.encoder import encode_rgb as _enc
         from jpeg_tpu.runtime import native_decode_arith_planes as _nda
 
-        _img4k = np.asarray(_I.open(_io2.BytesIO(data)).convert("RGB"))
-        _ad = _enc(_img4k, quality=85, arithmetic=True,
+        _ad = _enc(img4k, quality=85, arithmetic=True,
                    restart_interval_mcus=16)
         _aplan = parse_jpeg(_ad)
         _nda(_aplan)  # warmup
@@ -931,14 +1047,25 @@ def main():
     except Exception as e:  # noqa: BLE001 — diagnostic metric only
         log(f"arithmetic corpus-mode failed: {type(e).__name__}: {e}")
         arith_corpus_fps = 0.0
+    # Encoder throughput (host tier; the device forward kernel is timed
+    # in the device stage).
+    try:
+        encode_fps = median3(lambda: bench_encode_4k(img4k))
+        log(f"encode 4K (host C++ pack): {encode_fps:.1f} frames/s")
+    except Exception as e:  # noqa: BLE001 — diagnostic metric only
+        log(f"encode bench failed: {type(e).__name__}: {e}")
+        encode_fps = 0.0
     # TPU benches in a killable child (tunnel hangs must not lose the
     # host metrics); measured host+device overlap is the headline when
     # available, host corpus rate otherwise.
     dev = _run_device_stage(data)
-    # Headline = best measured production-routable e2e: host-only
-    # overlap, or hybrid host+device entropy when that rung wins.
-    e2e_fps = max(dev.get("e2e_overlapped_fps") or 0.0,
-                  dev.get("e2e_hybrid_fps") or 0.0) or corpus_entropy_fps
+    # Headline = the PRODUCTION route: hybrid host+device entropy (what
+    # BatchedCorpusDecoder(hybrid_device=True) runs). No max() over
+    # configs — hybrid won every r4 measurement and taking the best of
+    # two rungs invites a cherry-pick reading (VERDICT r4 item 10).
+    # Fallbacks only cover rungs that failed to run at all.
+    e2e_fps = (dev.get("e2e_hybrid_fps")
+               or dev.get("e2e_overlapped_fps") or corpus_entropy_fps)
     detail = {
         "entropy_host_fps": round(entropy_fps, 2),
         "entropy_corpus_fps": round(corpus_entropy_fps, 2),
@@ -948,8 +1075,11 @@ def main():
         "arithmetic_4k_corpus_fps": round(arith_corpus_fps, 2),
         "arithmetic_4k_entropy_fps": round(arith_fps, 2),
         "libjpeg_1thread_fps": round(lib_fps, 2),
+        "libjpeg_allcore_fps": round(lib_all_fps, 2),
+        "cpu_work_unit_mb_s": round(cpu_unit, 1),
         "host_cores": os.cpu_count(),
         "lossless_1080p_fps": round(lossless_fps, 2),
+        "encode_4k_fps": round(encode_fps, 2),
         "spec_chunks": spec_chunks,
         "spec_tuner": tuner,
         "pgo": pgo_status(),
@@ -959,7 +1089,11 @@ def main():
         "metric": "frames_per_s_per_chip_4k_decode",
         "value": round(e2e_fps, 2),
         "unit": "frames/s",
+        # vs_baseline keeps the 1-thread libjpeg denominator for
+        # cross-round continuity; vs_libjpeg_allcore is the honest
+        # multi-thread anchor (what cross-round claims should quote).
         "vs_baseline": round(e2e_fps / lib_fps, 2),
+        "vs_libjpeg_allcore": round(e2e_fps / lib_all_fps, 2),
         "detail": detail,
     }
     print(json.dumps(result))

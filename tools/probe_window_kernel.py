@@ -32,23 +32,37 @@ def plans_1080(n):
             for i in range(n)]
 
 
-def time_chain(run, args, reps=3):
-    """Median wall of run(*args) fully synced, minus a 1-rep warm base —
-    differential so dispatch latency cancels: time(2 chained) - time(1)."""
+def time_chain(run, args, iters=3):
+    """Seconds per run(*args), measured as dependency-chained fori_loops
+    of N and 3N full decodes inside single dispatches (differential, so
+    the tunnel's per-dispatch latency cancels — same scheme as bench.py).
+    The loop-carried acc perturbs nblk by (acc % 2), which makes every
+    iteration data-dependent without changing the work meaningfully."""
     import jax
+    import jax.numpy as jnp
 
-    def once(n):
+    args = [jnp.asarray(a) for a in args]
+
+    def mk(n):
+        @jax.jit
+        def loop(*a):
+            def body(i, acc):
+                res = run(a[0], a[1], a[2], a[3] + (acc % 2), *a[4:])
+                return acc + res[1].astype(jnp.int32).sum()
+            return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+        return loop
+
+    def timed(loop):
         t0 = time.perf_counter()
-        out = None
-        for _ in range(n):
-            out = run(*args)
-        jax.block_until_ready(out)
+        int(loop(*args))
         return time.perf_counter() - t0
 
-    once(1)  # warm
-    singles = [once(1) for _ in range(reps)]
-    doubles = [once(2) for _ in range(reps)]
-    return max(1e-9, np.median(doubles) - np.median(singles))
+    short, long_ = mk(iters), mk(3 * iters)
+    int(short(*args))
+    int(long_(*args))  # compile + warm both
+    t1 = min(timed(short) for _ in range(2))
+    t3 = min(timed(long_) for _ in range(2))
+    return max(t3 - t1, 1e-9) / (2 * iters)
 
 
 def stage_exact():
@@ -77,16 +91,20 @@ def _ab(plans, label, v4_ok=True, gathers=("select", "mxu"),
 
     n = len(plans)
     if v4_ok:
-        k4, a4, mm, S = kernel_runner_batch(plans)
+        from jpeg_tpu.entropy.device_kernel import fit_batch_plans
+
+        fit = fit_batch_plans(plans)[0]  # largest budget-fitting prefix
+        k4, a4, mm, S, _lb = kernel_runner_batch(fit)
         t4 = time_chain(k4, a4)
-        print(f"  {label} v4 batch-{n}: {n / t4:7.1f} fps  (S={S})")
+        print(f"  {label} v4 batch-{len(fit)}: {len(fit) / t4:7.1f} fps "
+              f" (S={S})", flush=True)
     for g in gathers:
         for wc in wcs:
             run, args, (mm, S, lb, be, K, G) = window_runner_batch(
                 plans, gather=g, w_chunk=wc)
             t5 = time_chain(run, args)
             print(f"  {label} v5 batch-{n} {g:6s} wc={wc:4d} "
-                  f"(K={K:3d},G={G:3d}): {n / t5:7.1f} fps")
+                  f"(K={K:3d},G={G:3d}): {n / t5:7.1f} fps", flush=True)
 
 
 def stage_ab():
