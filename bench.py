@@ -417,7 +417,8 @@ def bench_e2e_overlapped(plan, planes, n_frames=48):
     return n_frames / wall
 
 
-def bench_e2e_hybrid(plan, planes, n_frames=192, dev_batch=None):
+def bench_e2e_hybrid(plan, planes, n_frames=192, dev_batch=None,
+                     idct_mode="exact"):
     """Cooperative host+device entropy (round-4 ladder rung): host
     workers and the v4 in-kernel BATCH tier claim DISJOINT frames from
     one shared counter while the device pixel pipeline covers every
@@ -447,7 +448,7 @@ def bench_e2e_hybrid(plan, planes, n_frames=192, dev_batch=None):
     from jpeg_tpu.runtime import native_decode_planes
 
     geom = PipelineGeometry.of(plan)
-    fn = fused_plane_decoder(geom, "truncate")
+    fn = fused_plane_decoder(geom, "truncate", False, idct_mode)
     args = [jnp.asarray(p) for p in planes] + [
         jnp.asarray(q) for q in plan_quant_patterns(plan, geom)
     ]
@@ -805,6 +806,14 @@ def device_stage(plan_bytes_file, planes_ready):
         log(f"1080p hybrid host+device entropy: {hyb1080:.1f} frames/s "
             f"(device decoded {dev1080} frames' entropy, "
             f"auto batch {b1080})")
+        # Approx-IDCT tier of the same route (opt-in production config:
+        # corpus --idct approx). Quality gate measured on-chip in
+        # docs/APPROX_QUALITY.md (VERDICT r4 item 4).
+        hyb1080a, dev1080a, _ = bench_e2e_hybrid(
+            _p1080, _pl1080, n_frames=512, idct_mode="approx")
+        out["corpus_1080p_hybrid_approx_fps"] = round(hyb1080a, 2)
+        log(f"1080p hybrid (approx IDCT): {hyb1080a:.1f} frames/s "
+            f"(device decoded {dev1080a} frames' entropy)")
     except Exception as e:  # noqa: BLE001 — diagnostic rung, never fatal
         log(f"1080p hybrid: failed ({type(e).__name__}: {e})")
     # Sharded-Mosaic smoke (VERDICT r1 weak #7): run the batched fused

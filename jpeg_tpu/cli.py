@@ -25,7 +25,8 @@ def cmd_decode(args) -> int:
 
         with open(args.input, "rb") as f:
             plan = parse_jpeg(f.read())
-        rgb = np.asarray(decode_plan_fast(plan, rounding=args.rounding))
+        rgb = np.asarray(decode_plan_fast(plan, rounding=args.rounding,
+                                          idct_mode=args.idct))
     else:
         from jpeg_tpu.io.container import parse_jpeg as _parse
         from jpeg_tpu.models.decoder import decode_plan as _dp
@@ -137,7 +138,8 @@ def cmd_corpus(args) -> int:
         with timer.stage("decode", frames=len(paths)):
             results = BatchedCorpusDecoder(
                 rounding=args.rounding,
-                hybrid_device=args.hybrid_device).decode_all(paths)
+                hybrid_device=args.hybrid_device,
+                idct_mode=args.idct).decode_all(paths)
         for p, r in zip(paths, results):
             if r.ok:
                 done += 1
@@ -258,6 +260,11 @@ def main(argv=None) -> int:
     d.add_argument("output")
     d.add_argument("--rounding", choices=["truncate", "round"], default="truncate")
     d.add_argument("--engine", choices=["auto", "native", "oracle"], default="auto")
+    d.add_argument("--idct", choices=["exact", "approx"], default="exact",
+                   help="approx = DEFAULT-precision IDCT matmuls in the fast "
+                        "path (~2x kernel throughput; measured max |diff| "
+                        "<= 2 u8 / PSNR >= 50 dB vs exact — "
+                        "docs/APPROX_QUALITY.md)")
     d.add_argument("--path", choices=["compat", "fast"], default="compat",
                    help="fast = plane-layout Pallas pipeline (TPU)")
     d.add_argument("--upsample", choices=["replicate", "fancy"],
@@ -303,6 +310,9 @@ def main(argv=None) -> int:
     c.add_argument("--process-index", type=int, default=0)
     c.add_argument("--process-count", type=int, default=1)
     c.add_argument("--strict", action="store_true", help="exit 1 on any failure")
+    c.add_argument("--idct", choices=["exact", "approx"], default="exact",
+                   help="approx IDCT tier for the batched pixel kernel "
+                        "(quality-gated; docs/APPROX_QUALITY.md)")
     c.add_argument("--hybrid-device", action="store_true",
                    help="with --batched: the TPU also entropy-decodes "
                         "batches of images (in-kernel tier) beside the "

@@ -81,13 +81,16 @@ def decode_batch_with_metrics(coeffs, matrices, geom: PipelineGeometry,
 
 def decode_batch_fast(planes_batch, qpats_batch, geom: PipelineGeometry,
                       rounding: str = "truncate", mesh: Mesh | None = None,
-                      interpret: bool | None = None):
+                      interpret: bool | None = None,
+                      idct_mode: str = "exact"):
     """Batched fast path: vmap of the fused Pallas plane kernel, optionally
     sharded over the ``data`` mesh axis.
 
     ``planes_batch``: per-component [B, rows_c, stride_c] int16;
     ``qpats_batch``: per-component [B, qrows, qcols] f32.
-    Returns planar u8 [B, 3, H_pad, W_pad].
+    Returns planar u8 [B, 3, H_pad, W_pad]. ``idct_mode="approx"`` selects
+    the DEFAULT-precision IDCT matmuls (quality gate: see
+    docs/APPROX_QUALITY.md — measured max |diff| <= 2 u8, PSNR >= 50 dB).
     """
     import jax as _jax
 
@@ -95,7 +98,7 @@ def decode_batch_fast(planes_batch, qpats_batch, geom: PipelineGeometry,
 
     if interpret is None:
         interpret = _jax.default_backend() == "cpu"
-    fn = _jax.vmap(fused_plane_decoder(geom, rounding, interpret))
+    fn = _jax.vmap(fused_plane_decoder(geom, rounding, interpret, idct_mode))
     if mesh is None:
         run = jax.jit(fn)
     else:

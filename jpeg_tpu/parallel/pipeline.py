@@ -40,10 +40,11 @@ class CorpusDecoder:
     """
 
     def __init__(self, workers: int | None = None, path: str = "compat",
-                 rounding: str = "truncate"):
+                 rounding: str = "truncate", idct_mode: str = "exact"):
         self.workers = workers or os.cpu_count() or 1
         self.path = path
         self.rounding = rounding
+        self.idct_mode = idct_mode
 
     def _decode_one(self, path_or_bytes) -> DecodeResult:
         name = path_or_bytes if isinstance(path_or_bytes, str) else "<bytes>"
@@ -58,7 +59,8 @@ class CorpusDecoder:
 
             plan = parse_jpeg(data)
             if self.path == "fast":
-                rgb = decode_plan_fast(plan, rounding=self.rounding)
+                rgb = decode_plan_fast(plan, rounding=self.rounding,
+                                       idct_mode=self.idct_mode)
             else:
                 rgb = decode_plan(plan, rounding=self.rounding)
             return DecodeResult(name, np.asarray(rgb))
@@ -91,10 +93,17 @@ class BatchedCorpusDecoder:
                  mesh=None, hybrid_device: bool = False,
                  device_batch: int | None = None,
                  device_vmem_budget: int | None = None,
+                 idct_mode: str = "exact",
                  _device_interpret: bool = False):
         self.workers = workers or os.cpu_count() or 1
         self.rounding = rounding
         self.mesh = mesh
+        # idct_mode="approx" (opt-in): DEFAULT-precision IDCT matmuls in
+        # the fused pixel kernel — ~2x kernel throughput; quality gated
+        # and measured in docs/APPROX_QUALITY.md (max |diff| <= 2 u8 vs
+        # exact, PSNR >= 50 dB across the corpus matrix). Entropy decode
+        # and all non-fused routes (12-bit, lossless, CMYK) stay exact.
+        self.idct_mode = idct_mode
         # Cooperative host+device entropy (round-4 hybrid rung): a device
         # thread claims whole batches of images from the BACK of the work
         # list and entropy-decodes them in ONE in-kernel launch
@@ -354,7 +363,8 @@ class BatchedCorpusDecoder:
                       for c in range(len(geom.sampling))]
                 try:
                     planar = np_.asarray(decode_batch_fast(
-                        bp, bq, geom, self.rounding, mesh=mesh))
+                        bp, bq, geom, self.rounding, mesh=mesh,
+                        idct_mode=self.idct_mode))
                 except Exception as e:  # noqa: BLE001 — bucket isolation
                     for i in chunk:
                         results[i] = DecodeResult(

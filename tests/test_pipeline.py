@@ -178,3 +178,43 @@ def test_hybrid_device_corpus_sharded():
     assert all(r.ok for r in results)
     for data, r in zip(items, results):
         np.testing.assert_array_equal(r.rgb, decode_bytes(data, path="fast"))
+
+
+def test_idct_mode_approx_plumbed():
+    """idct_mode="approx" threads through CorpusDecoder/BatchedCorpusDecoder
+    to the fused kernel. On CPU DEFAULT == HIGHEST matmul precision, so the
+    output is bit-identical to exact here; the on-chip quality gate table
+    (max |diff| <= 2 u8, PSNR >= 50 dB) lives in docs/APPROX_QUALITY.md."""
+    from jpeg_tpu.io.corpus import synthetic_image
+    from jpeg_tpu.models.encoder import encode_rgb
+    from jpeg_tpu.parallel.pipeline import BatchedCorpusDecoder, CorpusDecoder
+
+    items = [encode_rgb(synthetic_image(96, 64, seed=i), quality=85,
+                        subsampling=(2, 2), restart_interval_mcus=3)
+             for i in range(4)]
+    for dec in (BatchedCorpusDecoder(workers=2, idct_mode="approx"),
+                CorpusDecoder(workers=2, path="fast", idct_mode="approx")):
+        results = dec.decode_all(items)
+        assert all(r.ok for r in results)
+        for data, r in zip(items, results):
+            np.testing.assert_array_equal(
+                r.rgb, decode_bytes(data, path="fast"))
+
+
+def test_cli_idct_flag():
+    from jpeg_tpu.cli import main as cli_main
+    import os
+    import tempfile
+
+    from jpeg_tpu.io.corpus import synthetic_image
+    from jpeg_tpu.models.encoder import encode_rgb
+
+    with tempfile.TemporaryDirectory() as d:
+        jp = os.path.join(d, "a.jpg")
+        pp = os.path.join(d, "a.ppm")
+        with open(jp, "wb") as f:
+            f.write(encode_rgb(synthetic_image(96, 64, seed=0), quality=85,
+                               subsampling=(2, 2), restart_interval_mcus=3))
+        assert cli_main(["decode", jp, pp, "--path", "fast",
+                         "--idct", "approx"]) == 0
+        assert cli_main(["corpus", d, "--batched", "--idct", "approx"]) == 0

@@ -18,6 +18,16 @@ sys.path.insert(0, ".")
 
 import numpy as np
 
+
+def _enable_compile_cache():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+_enable_compile_cache()
+
 from jpeg_tpu.io.container import parse_jpeg
 from jpeg_tpu.io.corpus import synthetic_jpeg
 
@@ -108,10 +118,10 @@ def _ab(plans, label, v4_ok=True, gathers=("select", "mxu"),
 
 
 def stage_ab():
-    print("4K (v4 ceiling batch 6):")
-    _ab(plans_4k(6), "4K")
-    print("1080p (v4 ceiling batch 22):")
-    _ab(plans_1080(22), "1080p")
+    print("4K (v4 ceiling batch 6):", flush=True)
+    _ab(plans_4k(6), "4K", gathers=("mxu",))
+    print("1080p (v4 budget-fit batch):", flush=True)
+    _ab(plans_1080(22), "1080p", gathers=("mxu",), wcs=(256, 512))
 
 
 def stage_sweep():
