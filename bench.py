@@ -419,26 +419,28 @@ def bench_e2e_overlapped(plan, planes, n_frames=48):
 
 def bench_e2e_hybrid(plan, planes, n_frames=192, dev_batch=None,
                      idct_mode="exact"):
-    """Cooperative host+device entropy (round-4 ladder rung): host
-    workers and the v4 in-kernel BATCH tier claim DISJOINT frames from
-    one shared counter while the device pixel pipeline covers every
-    frame — the ~85-90% of chip time that e2e_overlapped leaves idle
-    becomes entropy throughput instead of sitting dark. Device claims
-    whole batches (one kernel launch each, lanes = batch x segments)
-    and stops claiming near the tail so a straggling launch cannot
-    extend the wall past the host side. Same transfer-exclusion
-    contract as bench_e2e_overlapped. dev_batch=None auto-sizes the
-    device claim to the VMEM budget from the plan geometry
-    (suggest_device_batch). Returns (fps, device_frames, dev_batch)."""
+    """Cooperative host+device entropy (round-4 ladder rung, round-5
+    windowed tier): host workers and the v5 WINDOWED in-kernel batch
+    tier (entropy/device_window.py — 2.5x the v4 resident-word kernel at
+    equal batch and no VMEM wall) claim DISJOINT frames from one shared
+    counter while the device pixel pipeline covers every frame — the
+    ~85-90% of chip time that e2e_overlapped leaves idle becomes entropy
+    throughput instead of sitting dark. Device claims whole batches (one
+    dispatch each: the K-launch chain is one jit) and stops claiming
+    near the tail so a straggling chain cannot extend the wall past the
+    host side. Same transfer-exclusion contract as bench_e2e_overlapped.
+    dev_batch=None auto-sizes the device claim to the VMEM budget from
+    the plan geometry (suggest_window_batch). Returns
+    (fps, device_frames, dev_batch)."""
     import threading
 
     import jax
     import jax.numpy as jnp
     from concurrent.futures import ThreadPoolExecutor
 
-    from jpeg_tpu.entropy.device_kernel import (
-        kernel_runner_batch,
-        suggest_device_batch,
+    from jpeg_tpu.entropy.device_window import (
+        suggest_window_batch,
+        window_runner_batch,
     )
     from jpeg_tpu.models.decoder import PipelineGeometry
     from jpeg_tpu.ops.pallas_kernels import (
@@ -461,14 +463,14 @@ def bench_e2e_hybrid(plan, planes, n_frames=192, dev_batch=None,
         return jax.lax.fori_loop(0, n_frames, body, jnp.int32(0))
 
     if dev_batch is None:
-        dev_batch = suggest_device_batch(plan)
-    kernel, kargs, _, _, _ = kernel_runner_batch(
+        dev_batch = suggest_window_batch(plan)
+    kernel, kargs, _meta = window_runner_batch(
         [plan] * dev_batch, gather="mxu")
 
     @jax.jit
     def dev_entropy(*a):
-        out, err = kernel(*a)
-        return out.astype(jnp.float32).sum(), err.sum()
+        out, st = kernel(*a)
+        return out.astype(jnp.float32).sum(), st.sum()
 
     int(loop(*args))  # compile + warmup (pipeline)
     s, _ = dev_entropy(*kargs)

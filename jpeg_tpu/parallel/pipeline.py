@@ -104,15 +104,16 @@ class BatchedCorpusDecoder:
         # exact, PSNR >= 50 dB across the corpus matrix). Entropy decode
         # and all non-fused routes (12-bit, lossless, CMYK) stay exact.
         self.idct_mode = idct_mode
-        # Cooperative host+device entropy (round-4 hybrid rung): a device
-        # thread claims whole batches of images from the BACK of the work
-        # list and entropy-decodes them in ONE in-kernel launch
-        # (entropy/device_kernel.py) while host workers drain the front —
-        # measured on-chip: the otherwise-idle chip adds ~60 fps of 4K
-        # entropy beside a ~200 fps 4-core host tier. Ineligible or
-        # erroring images fall back to the host path bit-exactly.
-        # device_batch=None auto-sizes each claim to the VMEM budget from
-        # the corpus geometry (suggest_device_batch: 4K->6, 1080p->22).
+        # Cooperative host+device entropy (round-4 hybrid rung, round-5
+        # windowed tier): a device thread claims whole batches of images
+        # from the BACK of the work list and entropy-decodes them through
+        # the windowed in-kernel chain (entropy/device_window.py) while
+        # host workers drain the front — measured on-chip: the
+        # otherwise-idle chip adds ~150 fps of 4K entropy beside a ~200
+        # fps 4-core host tier. Ineligible or erroring images (including
+        # per-lane window overflows) fall back to the host path
+        # bit-exactly. device_batch=None auto-sizes each claim to the
+        # VMEM budget from the corpus geometry (suggest_window_batch).
         self.hybrid_device = hybrid_device
         self.device_batch = device_batch
         self.device_vmem_budget = device_vmem_budget
@@ -192,11 +193,11 @@ class BatchedCorpusDecoder:
         import threading
         from collections import deque
 
-        from jpeg_tpu.entropy.device_kernel import (
-            _VMEM_BATCH_BUDGET,
-            decode_coefficients_device4_batch,
-            fit_batch_plans,
-            suggest_device_batch,
+        from jpeg_tpu.entropy.device_kernel import _VMEM_BATCH_BUDGET
+        from jpeg_tpu.entropy.device_window import (
+            decode_coefficients_device5_batch,
+            fit_window_plans,
+            suggest_window_batch,
         )
         from jpeg_tpu.io.container import parse_jpeg
         from jpeg_tpu.models.decoder import (
@@ -211,12 +212,12 @@ class BatchedCorpusDecoder:
             # item's geometry (the first one the device would claim); any
             # parse failure just means the host route handles that item.
             # Claims are re-fit to the ACTUAL claimed plans' geometry
-            # before launch (fit_batch_plans), so this probe only sets the
+            # before launch (fit_window_plans), so this probe only sets the
             # claim granularity.
             try:
                 probe = parse_jpeg(self._read(items[-1]))
                 device_batch = (
-                    suggest_device_batch(probe, vmem_budget=vmem_budget)
+                    suggest_window_batch(probe, vmem_budget=vmem_budget)
                     if self._device_eligible(probe) else 6)
             except Exception:  # noqa: BLE001 — host fallback decides later
                 device_batch = 6
@@ -294,11 +295,11 @@ class BatchedCorpusDecoder:
                     if not all(self._device_eligible(p) for p in plans):
                         raise ValueError("ineligible for device route")
                     # Re-fit the claim to the claimed plans' own geometry:
-                    # the launch sizes W/grid from the max over the batch,
-                    # so images with longer segments than the auto-batch
-                    # probe would otherwise push the launch past the
-                    # calibrated VMEM budget (advisor r4).
-                    chunks = fit_batch_plans(plans, vmem_budget=vmem_budget)
+                    # the launch sizes lanes from the whole batch, so
+                    # images with more segments than the auto-batch probe
+                    # would otherwise push the launch past the calibrated
+                    # VMEM budget (advisor r4).
+                    chunks = fit_window_plans(plans, vmem_budget=vmem_budget)
                 except Exception:  # noqa: BLE001 — exact host fallback
                     fallback(idxs)
                     continue
@@ -307,9 +308,16 @@ class BatchedCorpusDecoder:
                     cidx = idxs[off : off + len(chunk)]
                     off += len(chunk)
                     try:
-                        coeffs, err = decode_coefficients_device4_batch(
+                        # v5 windowed tier (entropy/device_window.py):
+                        # 2.5x the v4 resident-word kernel at equal batch
+                        # on-chip (4K batch-6: 146.6 vs 58.8 fps, mxu
+                        # gather, tools/probe_window_kernel.py) and no
+                        # resident-word VMEM wall. Per-lane window
+                        # overflow lanes fall back to the exact host
+                        # route via the err vector like any decode error.
+                        coeffs, err = decode_coefficients_device5_batch(
                             chunk, interpret=self._device_interpret,
-                            to_host=False)
+                            gather="mxu", to_host=False)
                     except Exception:  # noqa: BLE001 — exact host fallback
                         fallback(cidx)
                         continue

@@ -164,19 +164,19 @@ def test_hybrid_auto_batch_smoke(monkeypatch):
     forces a small auto-batch so the device thread genuinely claims work
     — asserted via a launch counter, so this can't silently pass on the
     host route alone (advisor r4)."""
-    import jpeg_tpu.entropy.device_kernel as dk
+    import jpeg_tpu.entropy.device_window as dw
     from jpeg_tpu.io.corpus import synthetic_image
     from jpeg_tpu.models.decoder import decode_bytes
     from jpeg_tpu.parallel.pipeline import BatchedCorpusDecoder
 
     launches = []
-    real = dk.decode_coefficients_device4_batch
+    real = dw.decode_coefficients_device5_batch
 
     def counting(plans, **kw):
         launches.append(len(plans))
         return real(plans, **kw)
 
-    monkeypatch.setattr(dk, "decode_coefficients_device4_batch", counting)
+    monkeypatch.setattr(dw, "decode_coefficients_device5_batch", counting)
 
     items = [
         encode_rgb(synthetic_image(128, 128, seed=i), quality=85,
@@ -238,12 +238,12 @@ def test_hybrid_finalize_error_falls_back(monkeypatch):
     fall back to the exact host route, not kill the device thread
     (advisor r4 medium: async XLA errors land in finalize, outside the
     dispatch-side try/except)."""
-    import jpeg_tpu.entropy.device_kernel as dk
+    import jpeg_tpu.entropy.device_window as dw
     from jpeg_tpu.io.corpus import synthetic_image
     from jpeg_tpu.models.decoder import decode_bytes
     from jpeg_tpu.parallel.pipeline import BatchedCorpusDecoder
 
-    real = dk.decode_coefficients_device4_batch
+    real = dw.decode_coefficients_device5_batch
 
     class Boom:
         """Array-like whose materialization raises, like a deferred
@@ -259,7 +259,7 @@ def test_hybrid_finalize_error_falls_back(monkeypatch):
         coeffs, _err = real(plans, **kw)
         return coeffs, Boom()
 
-    monkeypatch.setattr(dk, "decode_coefficients_device4_batch", poisoned)
+    monkeypatch.setattr(dw, "decode_coefficients_device5_batch", poisoned)
     items = [
         encode_rgb(synthetic_image(64, 48, seed=i), quality=85,
                    subsampling=(2, 2), restart_interval_mcus=2)

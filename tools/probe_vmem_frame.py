@@ -3,11 +3,13 @@ decoders across a design matrix, replacing the empirical "+25-28%" fudge
 (VERDICT r4 item 6).
 
 Instrument: compile with compiler_options={"xla_tpu_scoped_vmem_limit_kib":
-64} — far below any real frame — so every compile fails with
-"Scoped allocation with size X.XXM": the compiler reports the exact frame
-without ever touching the chip. (The client-side XLA_FLAGS parser rejects
-this backend flag, but per-compile compiler options are forwarded through
-the remote compile helper.)
+just under the analytic model} so the compile fails with "Scoped
+allocation with size X.XXM" — X is the exact total frame (verified: the
+same value the organic 16 MB OOM reports; a far-too-small limit instead
+reports a partial allocation). The compiler is the measuring instrument;
+the chip is never touched. (The client-side XLA_FLAGS parser rejects this
+backend flag, but per-compile compiler options are forwarded through the
+remote compile helper.)
 
 Matrix: v4 resident-word kernel and v5 windowed kernel x {select, mxu}
 gather x lane counts x word-block heights x bpm. Output: one line per
@@ -36,13 +38,23 @@ def _mb(s):
     return v if m.group(2) == "M" else v / 1024.0
 
 
-def measure(jitted, args):
-    try:
-        jitted.lower(*args).compile(
-            compiler_options={"xla_tpu_scoped_vmem_limit_kib": 64})
-        return 0.064  # compiled under 64 KiB (never for these kernels)
-    except Exception as e:  # noqa: BLE001 — the error IS the measurement
-        return _mb(str(e))
+def measure(jitted, args, model_mb):
+    """Compile at limit just under the analytic model: the failure
+    message reports the TRUE total frame (verified monotone; a limit in
+    [~1M, real) reports the same total the organic 16 MB OOM did). If it
+    compiles, the real frame is under the probe limit — bisect down."""
+    lo_kib = 768
+    kib = max(lo_kib, int(model_mb * 1024 * 0.9))
+    for _ in range(8):
+        try:
+            jitted.lower(*args).compile(
+                compiler_options={"xla_tpu_scoped_vmem_limit_kib": kib})
+            if kib <= lo_kib:
+                return kib / 1024.0
+            kib = kib // 2  # compiled: frame < limit; probe lower
+        except Exception as e:  # noqa: BLE001 — the error IS the reading
+            return _mb(str(e))
+    return None
 
 
 def corpus(width, height, n, restart_rows=1, gray=False):
@@ -88,7 +100,7 @@ def probe_v4():
             s_pad = -(-S // 128) * 128
             words = W * s_pad * 4 / 2**20
             outb = 2 * bpm * 64 * s_pad * 4 / 2**20
-            real = measure(k, a)
+            real = measure(k, a, words + outb)
             print(f"v4 {name.replace(' ', '_')} {gather} {S} {s_pad} {W} "
                   f"{bpm} {words:.2f} {outb:.2f} {words + outb:.2f} "
                   f"{real}", flush=True)
@@ -115,7 +127,7 @@ def probe_v5():
                 s_pad = -(-S // 128) * 128
                 words = wc * s_pad * 4 / 2**20
                 outb = 2 * bpm * 64 * s_pad * 4 / 2**20
-                real = measure(run, args)
+                real = measure(run, args, words + outb)
                 print(f"v5 {name.replace(' ', '_')} {gather}/wc{wc} {S} "
                       f"{s_pad} {wc} {bpm} {words:.2f} {outb:.2f} "
                       f"{words + outb:.2f} {real}", flush=True)

@@ -103,18 +103,26 @@ def _ab(plans, label, v4_ok=True, gathers=("select", "mxu"),
     if v4_ok:
         from jpeg_tpu.entropy.device_kernel import fit_batch_plans
 
-        fit = fit_batch_plans(plans)[0]  # largest budget-fitting prefix
-        k4, a4, mm, S, _lb = kernel_runner_batch(fit)
-        t4 = time_chain(k4, a4)
-        print(f"  {label} v4 batch-{len(fit)}: {len(fit) / t4:7.1f} fps "
-              f" (S={S})", flush=True)
+        try:
+            fit = fit_batch_plans(plans)[0]  # largest budget-fitting prefix
+            k4, a4, mm, S, _lb = kernel_runner_batch(fit)
+            t4 = time_chain(k4, a4)
+            print(f"  {label} v4 batch-{len(fit)}: {len(fit) / t4:7.1f} fps "
+                  f" (S={S})", flush=True)
+        except Exception as e:  # noqa: BLE001 — rung isolation
+            print(f"  {label} v4: FAILED {type(e).__name__}: "
+                  f"{str(e)[:120]}", flush=True)
     for g in gathers:
         for wc in wcs:
-            run, args, (mm, S, lb, be, K, G) = window_runner_batch(
-                plans, gather=g, w_chunk=wc)
-            t5 = time_chain(run, args)
-            print(f"  {label} v5 batch-{n} {g:6s} wc={wc:4d} "
-                  f"(K={K:3d},G={G:3d}): {n / t5:7.1f} fps", flush=True)
+            try:
+                run, args, (mm, S, lb, be, K, G) = window_runner_batch(
+                    plans, gather=g, w_chunk=wc)
+                t5 = time_chain(run, args)
+                print(f"  {label} v5 batch-{n} {g:6s} wc={wc:4d} "
+                      f"(K={K:3d},G={G:3d}): {n / t5:7.1f} fps", flush=True)
+            except Exception as e:  # noqa: BLE001 — rung isolation
+                print(f"  {label} v5 {g}/wc{wc}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:120]}", flush=True)
 
 
 def stage_ab():
