@@ -65,14 +65,57 @@ _W_CHUNK = 512
 _SAFETY = 1.5
 
 
+# Measured scoped-VMEM frame of the windowed kernel, replacing r4's
+# "+25-28% empirical margin" (VERDICT r4 item 6). Instrument:
+# tools/probe_vmem_frame.py compiles each config with
+# xla_tpu_scoped_vmem_limit_kib just under the analytic model; the
+# compile error reports the EXACT frame (chipless — the compiler is the
+# measuring instrument). Measured 2026-08-19 (mxu gather, wc 256/512,
+# bpm 6, jax/libtpu axon v5e):
+#
+#   s_pad <= 2432: real = 0.48-0.55 x analytic model (the scheduler
+#     keeps per-step temporaries in reuse; e.g. 4K batch-18 wc512:
+#     model 11.88 MB -> real 6.21 MB)
+#   s_pad >= 2816: real = 1.11-1.12 x model (temporaries materialize —
+#     a deterministic cliff: 1080p_x40 and 4K_x20, different geometry
+#     but the same s_pad 2816, both report exactly 15.36 MB)
+#
+# The select gather hits its cliff EARLIER (4K_x18 wc512 select: 15.91
+# MB at s_pad 2432) — only the mxu production gather gets the two-
+# regime model; select is priced at 1.25x model everywhere.
+_LANE_CLIFF = 2432  # last measured pre-cliff s_pad
+_PRE_CLIFF_SCALE = 0.55   # measured 0.48-0.55; conservative side
+_POST_CLIFF_SCALE = 1.15  # measured 1.11-1.12
+_REAL_VMEM_BUDGET = 14 * 2**20  # of the 16 MiB scoped limit
+
+
+def _window_frame_bytes(wc: int, n_lanes: int, bpm: int,
+                        gather: str = "mxu") -> int:
+    """Predicted REAL scoped-VMEM frame for one windowed launch
+    (measured-model; see the calibration table above). Accuracy at the
+    calibration points: +3% to +5% over measured for s_pad in
+    [1408, 2432] and [2816, 4096]; small shapes over-predict more
+    (constant terms), which only costs batch we don't need."""
+    s_pad = -(-n_lanes // 128) * 128
+    model = _launch_model_bytes(wc, n_lanes, bpm)
+    if gather != "mxu":
+        return int(model * 1.25)
+    scale = _PRE_CLIFF_SCALE if s_pad <= _LANE_CLIFF else _POST_CLIFF_SCALE
+    return int(model * scale)
+
+
 def suggest_window_batch(plan: DecodePlan,
-                         vmem_budget: int = _VMEM_BATCH_BUDGET,
+                         vmem_budget: int = _REAL_VMEM_BUDGET,
                          w_chunk: int = _W_CHUNK,
-                         max_batch: int = 64) -> int:
+                         max_batch: int = 64,
+                         gather: str = "mxu") -> int:
     """Largest homogeneous-corpus batch whose WINDOWED launch fits the
-    VMEM budget — same model as ``suggest_device_batch`` but with the
-    word term capped at ``w_chunk`` (the windowed kernel's resident word
-    block) instead of the full column height."""
+    measured VMEM frame model — word term capped at ``w_chunk`` and the
+    frame priced by :func:`_window_frame_bytes`. Batches are also kept
+    on the pre-cliff side of the lane count (s_pad <= 2432) when the
+    per-image segment count allows: the pre-cliff regime runs at a
+    ~2.5x margin under the 16 MiB limit and lane counts there are
+    already past the throughput knee."""
     s_img = max(1, len(plan.segments))
     bpm = plan.blocks_per_mcu
     from jpeg_tpu.entropy.device_kernel import _plan_w
@@ -80,7 +123,10 @@ def suggest_window_batch(plan: DecodePlan,
     w = min(w_chunk, _plan_w(plan))
     best = 1
     for b in range(1, max_batch + 1):
-        if _launch_model_bytes(w, b * s_img, bpm) <= vmem_budget:
+        lanes = b * s_img
+        s_pad = -(-lanes // 128) * 128
+        if (_window_frame_bytes(w, lanes, bpm, gather) <= vmem_budget
+                and (s_pad <= _LANE_CLIFF or b == 1)):
             best = b
         else:
             break
@@ -88,10 +134,13 @@ def suggest_window_batch(plan: DecodePlan,
 
 
 def fit_window_plans(plans: list,
-                     vmem_budget: int = _VMEM_BATCH_BUDGET,
-                     w_chunk: int = _W_CHUNK) -> list:
+                     vmem_budget: int = _REAL_VMEM_BUDGET,
+                     w_chunk: int = _W_CHUNK,
+                     gather: str = "mxu") -> list:
     """``fit_batch_plans`` for the windowed tier: contiguous sub-batches
-    whose windowed-launch VMEM model fits the budget."""
+    whose measured-model frame fits the budget, kept pre-cliff on the
+    lane count (single oversized plans still get their own sub-batch;
+    the launch OOM then falls back per-claim)."""
     from jpeg_tpu.entropy.device_kernel import _plan_w
 
     out: list = []
@@ -100,7 +149,10 @@ def fit_window_plans(plans: list,
     for p in plans:
         w = min(w_chunk, _plan_w(p))
         s = cur_s + len(p.segments)
-        if cur and _launch_model_bytes(w, s, p.blocks_per_mcu) > vmem_budget:
+        s_pad = -(-s // 128) * 128
+        if cur and (_window_frame_bytes(w, s, p.blocks_per_mcu,
+                                        gather) > vmem_budget
+                    or s_pad > _LANE_CLIFF):
             out.append(cur)
             cur, cur_s = [p], len(p.segments)
         else:

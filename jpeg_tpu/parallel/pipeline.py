@@ -193,8 +193,8 @@ class BatchedCorpusDecoder:
         import threading
         from collections import deque
 
-        from jpeg_tpu.entropy.device_kernel import _VMEM_BATCH_BUDGET
         from jpeg_tpu.entropy.device_window import (
+            _REAL_VMEM_BUDGET,
             decode_coefficients_device5_batch,
             fit_window_plans,
             suggest_window_batch,
@@ -205,7 +205,7 @@ class BatchedCorpusDecoder:
             coefficient_planes_from_blocks,
         )
 
-        vmem_budget = self.device_vmem_budget or _VMEM_BATCH_BUDGET
+        vmem_budget = self.device_vmem_budget or _REAL_VMEM_BUDGET
         device_batch = self.device_batch
         if device_batch is None:
             # Auto-size each device claim to the VMEM budget from the back

@@ -183,11 +183,12 @@ def test_hybrid_auto_batch_smoke(monkeypatch):
                    subsampling=(2, 2), restart_interval_mcus=1)
         for i in range(24)
     ]
-    # 64 segments/image: under a 900 KB budget the model fits 2 images
-    # (128 lanes = one pad tile, 0.5 MB) but not 3 (192 -> 256-lane tile,
-    # 1.0 MB), so the auto-batch resolves to 2 and claims genuinely happen.
+    # 64 segments/image: under a 400 KB budget the measured-frame model
+    # (0.55x the analytic 0.5 MB) fits 2 images (128 lanes = one pad
+    # tile, ~288 KB) but not 3 (192 -> 256-lane tile, ~577 KB), so the
+    # auto-batch resolves to 2 and claims genuinely happen.
     dec = BatchedCorpusDecoder(workers=1, hybrid_device=True,
-                               device_vmem_budget=900 << 10,
+                               device_vmem_budget=400 << 10,
                                _device_interpret=True)
     results = dec.decode_all(items)
     assert launches, "device thread never claimed a batch"
