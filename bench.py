@@ -131,14 +131,29 @@ def bench_cpu_work_unit():
 def bench_encode_4k(img, iters=4):
     """frames/s of the full 4K encoder (host C++ parallel segment pack +
     NumPy forward DCT twin) — the component existed in three tiers with
-    zero perf evidence (VERDICT r4 missing item 4)."""
+    zero perf evidence (VERDICT r4 missing item 4). Returns
+    (single_fps, corpus_fps): single-image latency and the all-core
+    corpus-mode deployment shape (one frame per worker — profile:
+    ~0.46 s NumPy forward transform + ~0.14 s C++ pack per 4K frame)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from jpeg_tpu.models.encoder import encode_rgb
 
-    encode_rgb(img, quality=85, restart_interval_mcus=16)  # warmup
+    def one(_=None):
+        encode_rgb(img, quality=85, restart_interval_mcus=16)
+
+    one()  # warmup
     t0 = time.perf_counter()
     for _ in range(iters):
-        encode_rgb(img, quality=85, restart_interval_mcus=16)
-    return iters / (time.perf_counter() - t0)
+        one()
+    single = iters / (time.perf_counter() - t0)
+    n = os.cpu_count() or 1
+    with ThreadPoolExecutor(max_workers=n) as ex:
+        list(ex.map(one, range(n)))  # warmup
+        t0 = time.perf_counter()
+        list(ex.map(one, range(2 * n)))
+        corpus = 2 * n / (time.perf_counter() - t0)
+    return single, corpus
 
 
 def _dispatch_latency():
@@ -1061,11 +1076,12 @@ def main():
     # Encoder throughput (host tier; the device forward kernel is timed
     # in the device stage).
     try:
-        encode_fps = median3(lambda: bench_encode_4k(img4k))
-        log(f"encode 4K (host C++ pack): {encode_fps:.1f} frames/s")
+        encode_fps, encode_corpus_fps = bench_encode_4k(img4k)
+        log(f"encode 4K host: single {encode_fps:.2f} fps, "
+            f"corpus-mode {encode_corpus_fps:.2f} fps")
     except Exception as e:  # noqa: BLE001 — diagnostic metric only
         log(f"encode bench failed: {type(e).__name__}: {e}")
-        encode_fps = 0.0
+        encode_fps = encode_corpus_fps = 0.0
     # TPU benches in a killable child (tunnel hangs must not lose the
     # host metrics); measured host+device overlap is the headline when
     # available, host corpus rate otherwise.
@@ -1091,6 +1107,7 @@ def main():
         "host_cores": os.cpu_count(),
         "lossless_1080p_fps": round(lossless_fps, 2),
         "encode_4k_fps": round(encode_fps, 2),
+        "encode_4k_corpus_fps": round(encode_corpus_fps, 2),
         "spec_chunks": spec_chunks,
         "spec_tuner": tuner,
         "pgo": pgo_status(),
