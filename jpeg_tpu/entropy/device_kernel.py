@@ -56,8 +56,13 @@ T11 = 2048  # primary LUT size (11-bit peek)
 # model can't see): 4K row-restart batch 7 models at 13.0 MB but measures
 # 16.63 MB scoped (OOM at the 16 MB limit), while batch 6 (11.4 MB model)
 # runs; 1080p batch 24 (13.0 MB model) runs, batch 32 (17.0 MB) OOMs.
-# A 12 MB model budget keeps every pick inside the measured walls
-# (4K -> 6, 1080p -> 22).
+# r5 re-measurement with the exact frame instrument
+# (tools/probe_vmem_frame.py): the v4 select-gather frame runs up to
+# 1.36x this model at 1400+ lanes (1080p x22: model 12.0 -> real 16.31
+# MB, an OOM the old 12 MB budget admitted), so the budget is 11 MB.
+# The v5 windowed tier (device_window.py) replaced this kernel in
+# production with a measured two-regime model; this budget only guards
+# the legacy tier.
 #
 # Rejected lever: int16 output blocks would halve the out-buffer term and
 # buy ~+1 batch at 4K, but coefficients must stay i32 — on corrupt (or
@@ -65,7 +70,7 @@ T11 = 2048  # primary LUT size (11-bit peek)
 # past +-32767, and the cross-tier contract requires BIT-IDENTICAL
 # garbage vs the i32 oracle (test_corrupt_stream_parity), which an i16
 # wraparound would break.
-_VMEM_BATCH_BUDGET = 12 * 2**20
+_VMEM_BATCH_BUDGET = 11 * 2**20
 
 
 def suggest_device_batch(plan: DecodePlan,
