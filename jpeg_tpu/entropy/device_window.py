@@ -167,7 +167,8 @@ def fit_window_plans(plans: list,
 
 
 def _make_window_kernel(n_comp, G, bpm, slot_comp, slot_dc, slot_ac,
-                        canon, S, Wc, gather="select", max_block_steps=70):
+                        canon, S, Wc, gather="select", max_block_steps=70,
+                        pair_step=False):
     """One launch of G MCUs over a per-lane word window of Wc words.
 
     Same decode core as device_kernel._make_kernel, with three deltas:
@@ -288,11 +289,12 @@ def _make_window_kernel(n_comp, G, bpm, slot_comp, slot_dc, slot_ac,
             busy = active & (erri == 0) & (coef < 64)
             return (step < max_block_steps) & jnp.any(busy)
 
-        def body(carry):
-            st, erri, coef, acc, step = carry
-            st, ovf = refill64(win, base, st, iota_w)
+        def ac_step(st, erri, coef, acc):
+            """One AC symbol for all lanes (no refill here). A lane
+            whose register holds < 31 bits simply stalls this half-step
+            (busy gate) and catches up after the next refill — per-lane
+            decode ORDER, and therefore bit-exactness, is unchanged."""
             busy = active & (erri == 0) & (coef < 64) & (st[1] >= 31)
-            erri = erri | jnp.where(busy & ovf, 2, 0)
             length, sym = resolve(st[2], lut_ac, hv_ac, cn_ac, iota_t,
                                   iota_h)
             bad = busy & (length == 0)
@@ -313,6 +315,21 @@ def _make_window_kernel(n_comp, G, bpm, slot_comp, slot_dc, slot_ac,
             coef = coef + jnp.where(busy & ~bad, coef_next - coef, 0)
             erri = erri | jnp.where(bad, 1, 0)
             st = consume(st, d)
+            return st, erri, coef, acc
+
+        def body(carry):
+            st, erri, coef, acc, step = carry
+            st, ovf = refill64(win, base, st, iota_w)
+            flag = (active & (erri == 0) & (coef < 64) & (st[1] >= 31)
+                    & ovf)
+            erri = erri | jnp.where(flag, 2, 0)
+            st, erri, coef, acc = ac_step(st, erri, coef, acc)
+            if pair_step:
+                # Second symbol on the SAME refill: the [Wc, S] refill
+                # sweep is the dominant VPU term, so amortizing it over
+                # two symbols buys throughput; a lane left with < 31
+                # bits after symbol A stalls symbol B (see ac_step).
+                st, erri, coef, acc = ac_step(st, erri, coef, acc)
             return (st, erri, coef, acc, step + 1)
 
         st, erri, coef, acc, step = jax.lax.while_loop(
@@ -361,13 +378,14 @@ def _make_window_kernel(n_comp, G, bpm, slot_comp, slot_dc, slot_ac,
 @lru_cache(maxsize=64)
 def _compiled_window_chain(n_comp, G, K, bpm, slot_comp, slot_dc, slot_ac,
                            canon, S, Wc, W_full, interpret=False,
-                           gather="select"):
+                           gather="select", pair_step=False):
     """jit'd (words_sw [S, W_full], luts, hvs, nblk [1,S]) ->
     (coeffs [K*G, bpm, 64, S] i32, state_final [NSTATE, 1, S]).
     The whole K-launch chain — per-lane window slicing + pallas launch —
     runs in ONE lax.scan under ONE jit: one dispatch per batch."""
     kernel, NSTATE = _make_window_kernel(
-        n_comp, G, bpm, slot_comp, slot_dc, slot_ac, canon, S, Wc, gather)
+        n_comp, G, bpm, slot_comp, slot_dc, slot_ac, canon, S, Wc, gather,
+        pair_step=pair_step)
     lut_block = ((8, 64, 32) if gather == "mxu" else (8, T11, 1))
     hv_block = ((8, 16, 16) if gather == "mxu" else (8, 256, 1))
     pfn = pl.pallas_call(
@@ -433,7 +451,8 @@ def _window_geometry(plans, w_chunk, safety):
 def window_runner_batch(plans: list, interpret: bool = False,
                         gather: str = "select",
                         w_chunk: int = _W_CHUNK,
-                        safety: float = _SAFETY):
+                        safety: float = _SAFETY,
+                        pair_step: bool = False):
     """Compile the windowed chain for a CORPUS batch (same homogeneity
     contract as ``kernel_runner_batch``) -> (run, args, meta) where
     ``run(*args)`` returns ([K*G, bpm, 64, S] i32, state [NSTATE,1,S])
@@ -473,7 +492,7 @@ def window_runner_batch(plans: list, interpret: bool = False,
     words_sw = np.ascontiguousarray(np.concatenate(cols, axis=1).T)
     run = _compiled_window_chain(
         len(p0.components), G, K, bpm, slot_comp, slot_dc, slot_ac,
-        canon, S, Wc, W_full, interpret, gather)
+        canon, S, Wc, W_full, interpret, gather, pair_step)
     args = (jnp.asarray(words_sw), jnp.asarray(luts), jnp.asarray(hvs),
             jnp.asarray(np.array([nblk], np.int32)))
     meta = (max_mcus, S, lane_base,
@@ -495,14 +514,15 @@ def decode_coefficients_device5_batch(plans: list, interpret: bool = False,
                                       gather: str = "select",
                                       to_host: bool = True,
                                       w_chunk: int = _W_CHUNK,
-                                      safety: float = _SAFETY):
+                                      safety: float = _SAFETY,
+                                      pair_step: bool = False):
     """Corpus entropy decode through the windowed chain -> (list of
     [total_blocks, 64] i32 per image, err [S_total]). Same contract and
     trimming as ``decode_coefficients_device4_batch``; ``to_host=False``
     keeps coefficients and the error vector on device for the hybrid
     route's deferred sync."""
     run, args, (max_mcus, S, lane_base, bitend, K, G) = window_runner_batch(
-        plans, interpret, gather, w_chunk, safety)
+        plans, interpret, gather, w_chunk, safety, pair_step)
     bpm = plans[0].blocks_per_mcu
     out, state = run(*args)
     err, _bits = _final_err(state, bitend)
@@ -526,10 +546,11 @@ def decode_coefficients_device5_batch(plans: list, interpret: bool = False,
 def decode_coefficients_device5(plan: DecodePlan, interpret: bool = False,
                                 gather: str = "select",
                                 w_chunk: int = _W_CHUNK,
-                                safety: float = _SAFETY):
+                                safety: float = _SAFETY,
+                                pair_step: bool = False):
     """Single-image windowed decode -> ([total_blocks, 64] i32, err [S]).
     Contract identical to decode_coefficients_device4."""
     res, err = decode_coefficients_device5_batch(
         [plan], interpret, gather, to_host=True, w_chunk=w_chunk,
-        safety=safety)
+        safety=safety, pair_step=pair_step)
     return np.asarray(res[0]), err
