@@ -10,8 +10,27 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache for CLI runs: a fresh 4K corpus
+    process otherwise spends minutes recompiling the windowed entropy
+    chain + batched fused kernel it compiled last run (remote compiles
+    through the axon tunnel are the worst case). Override the location
+    with JPEG_TPU_COMPILE_CACHE; empty string disables."""
+    cache = os.environ.get("JPEG_TPU_COMPILE_CACHE", "/tmp/jax_cache_tpu")
+    if not cache:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 — cache is best-effort
+        pass
 
 
 def cmd_decode(args) -> int:
@@ -251,6 +270,7 @@ def cmd_diff(args) -> int:
 
 
 def main(argv=None) -> int:
+    _enable_compile_cache()
     p = argparse.ArgumentParser(prog="jpeg_tpu",
                                 description="TPU-native JPEG engine")
     sub = p.add_subparsers(dest="cmd", required=True)
