@@ -154,20 +154,28 @@ def cmd_corpus(args) -> int:
     if args.batched:
         from jpeg_tpu.parallel.pipeline import BatchedCorpusDecoder
 
-        with timer.stage("decode", frames=len(paths)):
-            results = BatchedCorpusDecoder(
-                rounding=args.rounding,
-                hybrid_device=args.hybrid_device,
-                idct_mode=args.idct).decode_all(paths)
-        for p, r in zip(paths, results):
-            if r.ok:
-                done += 1
-                if manifest:
-                    manifest.mark_done(p, h=int(r.rgb.shape[0]),
-                                       w=int(r.rgb.shape[1]))
-            else:
-                failed += 1
-                print(f"FAILED {p}: {r.error}", file=sys.stderr)
+        # Chunked: the manifest checkpoints after every chunk, so a
+        # crash mid-corpus loses at most chunk_size images' work (the
+        # endurance harness SIGKILLs mid-run and resumes to verify
+        # exactly this). Chunks stay large enough to keep the batched
+        # fused kernel and the hybrid device claims fully fed.
+        dec = BatchedCorpusDecoder(rounding=args.rounding,
+                                   hybrid_device=args.hybrid_device,
+                                   idct_mode=args.idct)
+        chunk = max(1, args.chunk_size)
+        for c0 in range(0, len(paths), chunk):
+            part = paths[c0 : c0 + chunk]
+            with timer.stage("decode", frames=len(part)):
+                results = dec.decode_all(part)
+            for p, r in zip(part, results):
+                if r.ok:
+                    done += 1
+                    if manifest:
+                        manifest.mark_done(p, h=int(r.rgb.shape[0]),
+                                           w=int(r.rgb.shape[1]))
+                else:
+                    failed += 1
+                    print(f"FAILED {p}: {r.error}", file=sys.stderr)
     else:
         for p in paths:
             try:
@@ -337,6 +345,10 @@ def main(argv=None) -> int:
                    help="with --batched: the TPU also entropy-decodes "
                         "batches of images (in-kernel tier) beside the "
                         "host workers — uses otherwise-idle chip time")
+    c.add_argument("--chunk-size", type=int, default=64,
+                   help="batched mode: images per decode_all chunk; the "
+                        "manifest checkpoints after every chunk (crash "
+                        "loses at most one chunk)")
     c.add_argument("--batched", action="store_true",
                    help="geometry-bucketed batch decode (fast Pallas path)")
     c.add_argument("--distributed", action="store_true",

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 
 class Manifest:
@@ -38,7 +39,9 @@ class Manifest:
         return [i for i in items if str(i) not in self._done]
 
     def mark_done(self, item: str, **info) -> None:
-        rec = {"item": str(item), **info}
+        # Completion timestamp: resume diagnostics and steady-state
+        # throughput decay measurement (tools/endurance.py) read it.
+        rec = {"item": str(item), "ts": round(time.time(), 3), **info}
         self._done[str(item)] = rec
         self._fh.write(json.dumps(rec) + "\n")
         self._fh.flush()
