@@ -46,7 +46,6 @@ from jax.experimental import pallas as pl
 
 from jpeg_tpu.entropy.device_kernel import (
     T11,
-    _VMEM_BATCH_BUDGET,
     _bci,
     _bcu,
     _gather_rows,
