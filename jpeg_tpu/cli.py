@@ -148,6 +148,14 @@ def cmd_corpus(args) -> int:
     manifest = Manifest(args.manifest, args.process_index) if args.manifest else None
     if manifest:
         paths = manifest.pending(paths)
+    if args.limit:
+        # Bounded invocation for process recycling: decode at most N
+        # pending images then exit 0; rerunning with the same manifest
+        # continues. Deployment mitigation for host-side per-transfer
+        # memory retention in experimental backends (tools/endurance.py
+        # measures it: the framework itself is flat — CPU control — but
+        # the axon tunnel client retains ~37 MB per 4K frame moved).
+        paths = paths[: args.limit]
     timer = StageTimer()
     done = failed = 0
     t0 = time.perf_counter()
@@ -345,6 +353,10 @@ def main(argv=None) -> int:
                    help="with --batched: the TPU also entropy-decodes "
                         "batches of images (in-kernel tier) beside the "
                         "host workers — uses otherwise-idle chip time")
+    c.add_argument("--limit", type=int, default=0,
+                   help="decode at most N pending images this invocation "
+                        "then exit (process recycling; combine with "
+                        "--manifest)")
     c.add_argument("--chunk-size", type=int, default=64,
                    help="batched mode: images per decode_all chunk; the "
                         "manifest checkpoints after every chunk (crash "
