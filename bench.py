@@ -706,7 +706,12 @@ def device_stage(plan_bytes_file, planes_ready):
     out["e2e_overlapped_fps"] = round(e2e, 2)
     log(f"e2e overlapped (measured): {e2e:.1f} frames/s")
     try:
-        hyb, dev_frames, hyb_batch = bench_e2e_hybrid(plan, planes)
+        # 384 frames: with batch-18 device claims and a 3-batch tail
+        # guard, 192 frames quantizes the device share coarsely (the
+        # guard alone is 28% of the run); the longer run measures the
+        # steady state (same rationale as the 1080p rung's 512).
+        hyb, dev_frames, hyb_batch = bench_e2e_hybrid(plan, planes,
+                                                      n_frames=384)
         out["e2e_hybrid_fps"] = round(hyb, 2)
         out["e2e_hybrid_device_frames"] = dev_frames
         out["e2e_hybrid_device_batch"] = hyb_batch
