@@ -168,3 +168,31 @@ def test_cli_diff_amplified_output_saturates(tmp_path):
     pil = np.asarray(Image.open(CORPUS["lena"]).convert("RGB"))
     expect = np.clip(np.abs(ours.astype(int) - pil.astype(int)) * 64, 0, 255)
     np.testing.assert_array_equal(diff_img, expect)
+
+
+def test_corpus_limit_process_recycling(tmp_path, capsys):
+    """--limit N decodes at most N pending images then exits 0;
+    rerunning with the same manifest continues (process recycling
+    against host-side per-transfer retention in experimental
+    backends)."""
+    import json
+
+    from jpeg_tpu.cli import main
+    from jpeg_tpu.io.corpus import synthetic_image
+    from jpeg_tpu.models.encoder import encode_rgb
+
+    for i in range(5):
+        (tmp_path / f"{i}.jpg").write_bytes(
+            encode_rgb(synthetic_image(96, 64, seed=i), quality=85,
+                       subsampling=(2, 2), restart_interval_mcus=3))
+    m = str(tmp_path / "m")
+    counts = []
+    for _ in range(3):
+        assert main(["corpus", str(tmp_path), "--batched",
+                     "--manifest", m, "--limit", "2"]) == 0
+        counts.append(json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1])["decoded"])
+    assert counts == [2, 2, 1]
+    # fully done: another bounded run decodes nothing
+    assert main(["corpus", str(tmp_path), "--batched",
+                 "--manifest", m, "--limit", "2"]) == 0
