@@ -99,6 +99,12 @@ def _window_frame_bytes(wc: int, n_lanes: int, bpm: int,
     model = _launch_model_bytes(wc, n_lanes, bpm)
     if gather != "mxu":
         return int(model * 1.25)
+    # The cliff tracks the per-step working set, not the lane count
+    # alone: at wc=768/1024 the 4K batch-18 shape (s_pad 2432, pre-cliff
+    # at wc=512) already compiles into the post-cliff regime and OOMs —
+    # so the pre-cliff scale is only trusted at the calibrated wc <= 512.
+    if wc > _W_CHUNK:
+        return int(model * _POST_CLIFF_SCALE)
     scale = _PRE_CLIFF_SCALE if s_pad <= _LANE_CLIFF else _POST_CLIFF_SCALE
     return int(model * scale)
 
