@@ -431,11 +431,28 @@ def device_path_profitable(plan: DecodePlan,
     (tools/probe_launch_pipelining.py: 4K 59.5 -> 80.8 fps, 1080p
     346 -> 537 fps). Measured cooperative rates at equal mood:
     4K e2e 257.5 fps = 32.4x libjpeg (device share 28%); 1080p corpus
-    1208 fps vs 767 host-only (device share 34%). The remaining lane
-    ceiling is structural: lane word columns must be VMEM-resident
-    (refill offsets are data-dependent, so they cannot stream from
-    HBM per grid step), and int16 outputs would break the
-    bit-identical-garbage contract (see device_kernel).
+    1208 fps vs 767 host-only (device share 34%).
+
+    Round 5 rung — the "word columns must be VMEM-resident" ceiling
+    above was WRONG, and removing it was the round's flagship. Refill
+    offsets are data-dependent ACROSS lanes, but each lane's own
+    consumption is monotone, so a per-lane window re-based at each
+    lane's own cursor between launches streams the words from HBM
+    (``entropy/device_window.py``: K G-MCU launches chained inside ONE
+    lax.scan jit; vmap'd dynamic_slice re-basing; per-lane window
+    overflow is a flagged error with exact host fallback). The same
+    change shrank every refill's [W, S] select-reduce sweep by W/Wc —
+    the dominant VPU term: back-to-back at the old v4 ceiling, 4K
+    batch-6 58.8 -> 146.6 fps (2.5x at EQUAL batch), and past the
+    wall 4K batch-18 = 177 fps, 1080p batch-35 = 689 fps with the
+    pair_step AC loop (one refill sweep per two symbols, +12-13%).
+    Measured hybrid e2e at two moods: 370-377 fps 4K (9.1-10.6x
+    ALL-CORE libjpeg, BENCH_LOCAL_r5/r5b), 1080p corpus 1135-1142
+    exact / 1384-1434 with the gated approx pixel tier. The int16
+    output rejection stands (bit-identical-garbage contract,
+    device_kernel); the VMEM frame is now measured exactly rather
+    than margined (tools/probe_vmem_frame.py, two-regime model in
+    device_window).
     """
     if min_segments is None:
         return False
