@@ -671,7 +671,6 @@ def device_stage(plan_bytes_file, planes_ready):
     # the e2e overlap (BASELINE.md honesty note) with a number instead of
     # an assertion. Real PCIe hosts move the same planes in ~1 ms.
     try:
-        import jax as _jaxh
         import jax.numpy as _jnph
         import numpy as _nph
         import time as _th
@@ -1003,9 +1002,6 @@ def main():
         lossless_fps = 0.0
     # Arithmetic (SOF9) 4K: QM-coded entropy, restart-parallel C++.
     try:
-        from PIL import Image as _I
-        import io as _io2
-
         from jpeg_tpu.models.encoder import encode_rgb as _enc
         from jpeg_tpu.runtime import native_decode_arith_planes as _nda
 
