@@ -62,9 +62,14 @@ print("batch decode ok:", all(r.ok for r in results),
 
 # --- cooperative host+device entropy (hybrid_device=True) ---
 # On a large homogeneous corpus the otherwise-idle chip also decodes
-# entropy (in one Pallas kernel per claimed batch, auto-sized to VMEM,
-# one launch kept in flight); pixels stay bit-identical regardless of
-# which side decoded each image. On TPU hardware this is the headline
-# configuration (see README "Performance").
+# entropy through the windowed in-kernel chain (lane words streamed
+# from HBM, one jit per claimed batch auto-sized to the measured VMEM
+# model); pixels stay bit-identical regardless of which side decoded
+# each image. On TPU hardware this is the headline configuration (see
+# README "Performance"). idct_mode="approx" opts into the quality-gated
+# 2x pixel tier (max |diff| <= 2 u8, PSNR >= 57 dB measured —
+# docs/APPROX_QUALITY.md).
 hybrid = BatchedCorpusDecoder(workers=2, hybrid_device=True)
+hybrid_fast_pixels = BatchedCorpusDecoder(workers=2, hybrid_device=True,
+                                          idct_mode="approx")
 # results = hybrid.decode_all(list_of_paths_or_bytes)
