@@ -1087,6 +1087,12 @@ def main():
     # host metrics); measured host+device overlap is the headline when
     # available, host corpus rate otherwise.
     dev = _run_device_stage(data)
+    if not dev:
+        # Tunnel hangs are transient (r5 local: two clean runs, then one
+        # 560 s hang, then clean again) — one retry saves the round's
+        # hybrid headline instead of falling back to host-only numbers.
+        log("device stage empty — retrying once (transient tunnel hang?)")
+        dev = _run_device_stage(data)
     # Headline = the PRODUCTION route: hybrid host+device entropy (what
     # BatchedCorpusDecoder(hybrid_device=True) runs). No max() over
     # configs — hybrid won every r4 measurement and taking the best of
