@@ -132,9 +132,10 @@ def bench_encode_4k(img, iters=4):
     """frames/s of the full 4K encoder (host C++ parallel segment pack +
     NumPy forward DCT twin) — the component existed in three tiers with
     zero perf evidence (VERDICT r4 missing item 4). Returns
-    (single_fps, corpus_fps): single-image latency and the all-core
-    corpus-mode deployment shape (one frame per worker — profile:
-    ~0.46 s NumPy forward transform + ~0.14 s C++ pack per 4K frame)."""
+    (single_fps, corpus_fps): single-image latency (threaded-BLAS GEMMs
+    for color convert + forward DCT) and the all-core corpus-mode shape
+    (one frame per worker — profile after the r5 GEMM/np.take rework:
+    ~0.29 s transform + ~0.10 s C++ pack per 4K frame)."""
     from concurrent.futures import ThreadPoolExecutor
 
     from jpeg_tpu.models.encoder import encode_rgb

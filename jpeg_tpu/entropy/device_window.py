@@ -17,9 +17,10 @@ word cursor, DC predictors, error bits) is carried in the scan.
 
 Consequences, measured on the bench corpus (tools/probe_window_stats.py):
 
-* VMEM model per launch drops from ``W*S_pad`` to ``Wc*S_pad`` words
+* VMEM per launch drops from ``W*S_pad`` to ``Wc*S_pad`` words
   (Wc = 512 default vs W = 2048+ at 4K) — the 4K corpus batch ceiling
-  moves from 6 to ~18 under the same 12 MB budget.
+  moves from 6 to 18 (frames priced by the MEASURED two-regime model
+  below, not a margin; 4K batch-18 runs at ~6.2 MB of the 16 MiB).
 * every refill's select-reduce sweep shrinks by the same W/Wc factor —
   the dominant compute term, not just the dominant memory term.
 * a lane that consumes more than Wc words within one launch's G MCUs
