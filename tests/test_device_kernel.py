@@ -272,3 +272,39 @@ def test_hybrid_finalize_error_falls_back(monkeypatch):
     assert all(r.ok for r in results)
     for data, r in zip(items, results):
         np.testing.assert_array_equal(r.rgb, decode_bytes(data, path="fast"))
+
+
+def test_hybrid_window_overflow_falls_back(monkeypatch):
+    """Per-lane window overflow (error bit 1) must route the whole image
+    through the exact host path — forced here by shrinking every claim's
+    window to 16 words so all lanes overflow."""
+    import jpeg_tpu.entropy.device_window as dw
+    from jpeg_tpu.io.corpus import synthetic_image
+    from jpeg_tpu.models.decoder import decode_bytes
+    from jpeg_tpu.parallel.pipeline import BatchedCorpusDecoder
+
+    real = dw.decode_coefficients_device5_batch
+    overflowed = []
+
+    def tiny_window(plans, **kw):
+        kw["w_chunk"], kw["safety"] = 16, 0.01
+        res, err = real(plans, **kw)
+        import numpy as _np
+
+        overflowed.append(bool(_np.asarray(err).any()))
+        return res, err
+
+    monkeypatch.setattr(dw, "decode_coefficients_device5_batch",
+                        tiny_window)
+    items = [
+        encode_rgb(synthetic_image(96, 64, seed=i), quality=85,
+                   subsampling=(2, 2), restart_interval_mcus=3)
+        for i in range(10)
+    ]
+    dec = BatchedCorpusDecoder(workers=2, hybrid_device=True,
+                               device_batch=2, _device_interpret=True)
+    results = dec.decode_all(items)
+    assert overflowed and all(overflowed), "no claim actually overflowed"
+    assert all(r.ok for r in results)
+    for data, r in zip(items, results):
+        np.testing.assert_array_equal(r.rgb, decode_bytes(data, path="fast"))
