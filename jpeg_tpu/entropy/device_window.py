@@ -204,7 +204,14 @@ def _make_window_kernel(n_comp, G, bpm, slot_comp, slot_dc, slot_ac,
     def refill64(win, base, st, iota_w):
         """Append two window words (64 bits) to lanes holding <= 32 valid
         bits; window-relative indices. Returns (st, ovf [1,S] bool) —
-        ovf marks lanes whose refill ran off the window top."""
+        ovf marks lanes whose refill ran off the window top.
+
+        Rejected lever (r5, measured): sharing ONE compare between the
+        two word gathers via a row-shifted window copy (win2[w] =
+        win[w+1]) is bit-exact but the in-kernel [Wc, S] temp flips the
+        Mosaic frame into the post-cliff regime — 4K batch-18 went
+        6.21 -> 18.01 MB scoped and OOMs. The ~1/6 VPU saving is not
+        worth a 3x frame."""
         wi, cnt, hi, mi, lo = st
         rel = wi - base
         w0 = _bcu(_gather_rows(rel, win, iota_w))
