@@ -446,7 +446,10 @@ def bench_e2e_hybrid(plan, planes, n_frames=192, dev_batch=None,
     near the tail so a straggling chain cannot extend the wall past the
     host side. Same transfer-exclusion contract as bench_e2e_overlapped.
     dev_batch=None auto-sizes the device claim to the VMEM budget from
-    the plan geometry (suggest_window_batch). Returns
+    the plan geometry (suggest_window_batch). Host workers = all cores:
+    an r5 A/B of 3 vs 4 workers on the 4-core VM measured 4 winning
+    every pair (318/328 vs 245/305 fps) — the GIL-released C++ decode
+    outweighs contention with the dispatch/device threads. Returns
     (fps, device_frames, dev_batch)."""
     import threading
 
