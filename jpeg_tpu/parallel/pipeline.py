@@ -184,6 +184,15 @@ class BatchedCorpusDecoder:
                 # test_hybrid_device_corpus; was a rare flake in
                 # test_mixed_corpus_stress).
                 planes = [p.copy() for p in progressive_planes(plan)]
+            elif getattr(plan, "arith_code", False):
+                # SOF9 sequential arithmetic: the QM decoder, not the
+                # Huffman tier (routing these to native_decode_planes
+                # raised "invalid Huffman prefix" — found by the r5 CLI
+                # surface sweep; the non-batched path always handled it).
+                from jpeg_tpu.runtime import native_decode_arith_planes
+
+                planes = [p.copy()
+                          for p in native_decode_arith_planes(plan)]
             else:
                 planes = [p.copy() for p in
                           native_decode_planes(plan, n_threads=1)]
@@ -199,6 +208,7 @@ class BatchedCorpusDecoder:
 
     def _device_eligible(self, plan) -> bool:
         return (not getattr(plan, "lossless", False)
+                and not getattr(plan, "arith_code", False)
                 and plan.precision == 8
                 and plan.color_model in ("ycbcr", "gray")
                 and not plan.progressive

@@ -218,3 +218,27 @@ def test_cli_idct_flag():
         assert cli_main(["decode", jp, pp, "--path", "fast",
                          "--idct", "approx"]) == 0
         assert cli_main(["corpus", d, "--batched", "--idct", "approx"]) == 0
+
+
+def test_batched_corpus_decodes_arithmetic():
+    """SOF9 arithmetic images must route through the QM decoder in the
+    batched corpus path (they hit the Huffman tier and errored before —
+    found by the r5 CLI surface sweep); device claims must skip them."""
+    from jpeg_tpu.io.corpus import synthetic_image
+    from jpeg_tpu.models.encoder import encode_rgb
+    from jpeg_tpu.parallel.pipeline import BatchedCorpusDecoder
+
+    items = [encode_rgb(synthetic_image(96, 64, seed=i), quality=85,
+                        subsampling=(2, 2), restart_interval_mcus=3)
+             for i in range(4)]
+    items.append(encode_rgb(synthetic_image(96, 64, seed=9), quality=85,
+                            subsampling=(2, 2), arithmetic=True,
+                            restart_interval_mcus=3))
+    for hybrid in (False, True):
+        dec = BatchedCorpusDecoder(workers=2, hybrid_device=hybrid,
+                                   device_batch=2, _device_interpret=True)
+        results = dec.decode_all(items)
+        assert all(r.ok for r in results), [r.error for r in results]
+        for data, r in zip(items, results):
+            np.testing.assert_array_equal(
+                r.rgb, decode_bytes(data, path="fast"))
